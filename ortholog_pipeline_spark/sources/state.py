@@ -1,0 +1,111 @@
+"""Snapshot state store — the engine's replacement for the reference's Oracle tables
+(S7-S13, SURVEY.md §1.4).
+
+"Current DB state" inputs are snapshot reads; a run's effect is a deterministic new
+snapshot: explicit insert/update/delete sets are computed first (mirroring the
+reference's matchList/insertList/deleteList, OrthologRelationLoader.java:599-602), any
+commit gates run (delete threshold, manual-row guards), and only then is the new
+version written. Versioned directories give atomic publish + time travel without
+requiring Delta in the container; on a cluster the same layout maps 1:1 onto Delta
+`MERGE`.
+
+Layout:  <root>/<table>/v=<n>/  (parquet), with <root>/<table>/_CURRENT holding n.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class StateStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- versioning ---------------------------------------------------------
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def current_version(self, table: str) -> int:
+        marker = os.path.join(self._table_dir(table), "_CURRENT")
+        if not os.path.exists(marker):
+            return -1
+        with open(marker) as f:
+            return int(f.read().strip())
+
+    def _publish(self, table: str, version: int) -> None:
+        marker = os.path.join(self._table_dir(table), "_CURRENT")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, marker)  # atomic publish
+
+    # -- read/write ---------------------------------------------------------
+    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        v = self.current_version(table)
+        if v < 0:
+            if schema is None:
+                raise FileNotFoundError(f"state table {table} has no snapshot")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(
+            os.path.join(self._table_dir(table), f"v={v}")
+        )
+
+    def write(
+        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        """Write ``df`` as the next version and publish it. ``partition_by`` lets hot
+        tables (orthologs by dest_species_type_key) prune partitions on read."""
+        v = self.current_version(table) + 1
+        path = os.path.join(self._table_dir(table), f"v={v}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        self._publish(table, v)
+        return v
+
+    # -- merge (Delta-MERGE equivalent over snapshots) -----------------------
+    def apply_changes(
+        self,
+        table: str,
+        inserts: DataFrame | None = None,
+        deletes: DataFrame | None = None,
+        delete_key: list[str] | None = None,
+        updates: DataFrame | None = None,
+        update_key: list[str] | None = None,
+        schema: T.StructType | None = None,
+    ) -> int:
+        """next = ((current − deletes) updated-by updates) ∪ inserts, one shuffle per
+        set — the snapshot-algebra equivalent of the reference's batched DML
+        (S8/S9/S11/S12)."""
+        cur = self.read(table, schema)
+        nxt = cur
+        if deletes is not None:
+            key = delete_key or deletes.columns
+            nxt = nxt.join(deletes.select(*key).dropDuplicates(), key, "left_anti")
+        if updates is not None:
+            key = update_key or []
+            if not key:
+                raise ValueError("updates require update_key")
+            keep = nxt.join(updates.select(*key).dropDuplicates(), key, "left_anti")
+            nxt = keep.unionByName(updates.select(*nxt.columns))
+        if inserts is not None:
+            nxt = nxt.unionByName(inserts.select(*nxt.columns))
+        return self.write(table, nxt)
+
+
+def next_surrogate_keys(df: DataFrame, start: int, key_name: str) -> DataFrame:
+    """Mint sequence-style surrogate keys for inserts (GENETOGENE_RGD_ID_RLT_SEQ
+    semantics, SURVEY.md §7): deterministic dense ids offset by the snapshot max.
+    `monotonically_increasing_id` is partition-dependent, so keys are minted with a
+    row_number over all columns for run-to-run determinism; correctness hashes exclude
+    surrogate keys anyway (SURVEY.md §7). The global window is fine because insert
+    sets are small relative to the table; for bulk backfills switch to
+    zipWithIndex-per-partition."""
+    w = F.row_number().over(Window.orderBy(*[F.col(c) for c in df.columns]))
+    return df.withColumn(key_name, (F.lit(start) + w).cast("long"))

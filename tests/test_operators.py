@@ -1,0 +1,373 @@
+"""Operator semantics tests — the verdict matrices and tie-break cascades that define
+the reference's behavior (SURVEY.md §2.3-2.7, §7 hard parts)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ortholog_pipeline_spark.operators import bestfit, grouping, resolve, sync
+from ortholog_pipeline_spark.schemas import (
+    GENES_SCHEMA,
+    RGD_IDS_SCHEMA,
+    XREFS_SCHEMA,
+)
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# J1 resolution
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def resolution_dim(spark):
+    genes = spark.createDataFrame(
+        [
+            (101, "A2M", "protein-coding", None, 1),
+            (102, "Abc1", "protein-coding", None, 3),
+            (103, "Abc1-dup", "protein-coding", None, 3),
+            (104, "Old1", "protein-coding", None, 3),
+            (105, "New1", "protein-coding", None, 3),
+            (106, "Gone", "protein-coding", None, 3),
+            (107, "Allele1", "allele", None, 3),
+        ],
+        GENES_SCHEMA,
+    )
+    rgd_ids = spark.createDataFrame(
+        [
+            (101, "ACTIVE", 1, 1, None),
+            (102, "ACTIVE", 3, 1, None),
+            (103, "ACTIVE", 3, 1, None),
+            (104, "WITHDRAWN", 3, 1, 105),  # single active replacement
+            (105, "ACTIVE", 3, 1, None),
+            (106, "WITHDRAWN", 3, 1, None),  # no replacement
+            (107, "ACTIVE", 3, 1, None),
+        ],
+        RGD_IDS_SCHEMA,
+    )
+    xrefs = spark.createDataFrame(
+        [
+            (1, 101, "EG1", 3, "p", TS),  # exactly one active → matched
+            (2, 102, "EG2", 3, "p", TS),  # two active genes → multiple
+            (3, 103, "EG2", 3, "p", TS),
+            (4, 104, "EG3", 3, "p", TS),  # withdrawn w/ replacement → replaced
+            (5, 106, "EG4", 3, "p", TS),  # withdrawn w/o replacement → withdrawn
+            (6, 107, "EG5", 3, "p", TS),  # allele-typed gene → excluded → unmatched
+        ],
+        XREFS_SCHEMA,
+    )
+    return resolve.build_resolution_dim(xrefs, genes, rgd_ids)
+
+
+def test_resolution_verdict_matrix(spark, resolution_dim):
+    got = {r.acc_id: (r.rgd_id, r.verdict) for r in resolution_dim.collect()}
+    assert got["EG1"] == (101, resolve.MATCHED)
+    assert got["EG2"] == (None, resolve.MULTIPLE)
+    assert got["EG3"] == (105, resolve.REPLACED)
+    assert got["EG4"] == (None, resolve.WITHDRAWN)
+    assert "EG5" not in got  # allele excluded at the dim → unmatched at resolve time
+
+
+def test_resolve_relations_and_split(spark, resolution_dim):
+    rels = spark.createDataFrame(
+        [
+            ("EG1", "EG3", 1, 3, "HGNC", "Ensembl"),
+            ("EG1", "EG9", 1, 3, "HGNC", "Ensembl"),  # dest unknown → unmatched
+            ("EG2", "EG1", 1, 3, "NCBI", "NCBI"),  # src multiple → dropped
+        ],
+        "src_other_id string, dest_other_id string, src_species_type_key int,"
+        " dest_species_type_key int, data_source string, data_set_name string",
+    )
+    resolved = resolve.resolve_relations(rels, resolution_dim)
+    clean, dropped = resolve.split_resolved(resolved)
+    assert [(r.src_rgd_id, r.dest_rgd_id) for r in clean.collect()] == [(101, 105)]
+    drops = {
+        (r.src_other_id, r.dest_other_id): (r.src_verdict, r.dest_verdict)
+        for r in dropped.collect()
+    }
+    assert drops[("EG1", "EG9")] == (resolve.MATCHED, resolve.UNMATCHED)
+    assert drops[("EG2", "EG1")] == (resolve.MULTIPLE, resolve.MATCHED)
+
+    metrics = {
+        (r.side, r.verdict): r["count"]
+        for r in resolve.resolution_metrics(resolved).collect()
+    }
+    assert metrics[("src", resolve.MATCHED)] == 2
+    assert metrics[("dest", resolve.UNMATCHED)] == 1
+
+
+# ---------------------------------------------------------------------------
+# A2 merge + U4 closure
+# ---------------------------------------------------------------------------
+
+
+def test_merge_same_source_unions_evidence(spark):
+    rels = spark.createDataFrame(
+        [
+            (1, 2, 1, 3, "HGNC", "OrthoDB, Ensembl"),
+            (1, 2, 1, 3, "HGNC", "OrthoMCL, Ensembl"),
+        ],
+        "src_rgd_id int, dest_rgd_id int, src_species_type_key int,"
+        " dest_species_type_key int, data_source string, data_set_name string",
+    )
+    out = grouping.merge_duplicate_relations(rels).collect()
+    assert len(out) == 1
+    assert out[0].data_source == "HGNC"
+    assert out[0].data_set_name == "Ensembl, OrthoDB, OrthoMCL"
+
+
+def test_merge_hgnc_ncbi_appends_token(spark):
+    rels = spark.createDataFrame(
+        [
+            (1, 2, 1, 3, "HGNC", "OrthoDB, Ensembl"),
+            (1, 2, 1, 3, "NCBI", "NCBI"),
+        ],
+        "src_rgd_id int, dest_rgd_id int, src_species_type_key int,"
+        " dest_species_type_key int, data_source string, data_set_name string",
+    )
+    out = grouping.merge_duplicate_relations(rels).collect()
+    assert len(out) == 1
+    assert out[0].data_source == "HGNC"
+    # HGNC evidence + literal "NCBI" token (OrthologGroup.java:36-47)
+    assert out[0].data_set_name == "Ensembl, NCBI, OrthoDB"
+
+
+def test_merge_conflicting_sources_raises(spark):
+    rels = spark.createDataFrame(
+        [
+            (1, 2, 1, 3, "RGD", "manual"),
+            (1, 2, 1, 3, "NCBI", "NCBI"),
+        ],
+        "src_rgd_id int, dest_rgd_id int, src_species_type_key int,"
+        " dest_species_type_key int, data_source string, data_set_name string",
+    )
+    merged = grouping.merge_duplicate_relations(rels)
+    with pytest.raises(ValueError, match="conflicting sources"):
+        grouping.check_mergeable(merged)
+
+
+def test_complement_closure_symmetry(spark):
+    rels = spark.createDataFrame(
+        [(1, 2, 1, 3, "HGNC", "Ensembl"), (2, 1, 3, 1, "HGNC", "Ensembl")],
+        "src_rgd_id int, dest_rgd_id int, src_species_type_key int,"
+        " dest_species_type_key int, data_source string, data_set_name string",
+    )
+    out = grouping.complement_closure(rels)
+    assert out.count() == 2  # dedup: reverse already present
+    pairs = {(r.src_rgd_id, r.dest_rgd_id) for r in out.collect()}
+    assert pairs == {(1, 2), (2, 1)}
+
+
+def test_assert_human_sources(spark):
+    rels = spark.createDataFrame(
+        [(2, 1, 3, 1, "HGNC", "e")],
+        "src_rgd_id int, dest_rgd_id int, src_species_type_key int,"
+        " dest_species_type_key int, data_source string, data_set_name string",
+    )
+    with pytest.raises(ValueError, match="non-human"):
+        grouping.assert_human_sources(rels)
+
+
+# ---------------------------------------------------------------------------
+# W1 best-fit tie-break cascade
+# ---------------------------------------------------------------------------
+
+BF_SCHEMA = (
+    "src_rgd_id int, dest_rgd_id int, dest_species_type_key int, data_source string,"
+    " data_set_name string, src_gene_symbol string, dest_gene_symbol string"
+)
+BF_PARTS = ["src_rgd_id", "dest_species_type_key", "data_source"]
+
+
+def _pick(spark, rows):
+    df = spark.createDataFrame(rows, BF_SCHEMA)
+    out = bestfit.best_fit(df, BF_PARTS).collect()
+    assert len(out) == 1
+    return out[0].dest_rgd_id
+
+
+def test_best_fit_strict_evidence_winner(spark):
+    # 3 evidence tokens beats 1 — strict winner despite worse symbol
+    assert (
+        _pick(
+            spark,
+            [
+                (1, 20, 3, "HGNC", "A, B, C", "Gene1", "Zzz"),
+                (1, 21, 3, "HGNC", "A", "Gene1", "Gene1"),
+            ],
+        )
+        == 20
+    )
+
+
+def test_best_fit_tied_evidence_falls_to_symbol_over_all(spark):
+    # max evidence (2) is shared by dest 20/21 → NOT a strict winner → symbol rule
+    # applies over ALL candidates incl. dest 22 with 1 token (SURVEY.md §7)
+    assert (
+        _pick(
+            spark,
+            [
+                (1, 20, 3, "HGNC", "A, B", "Gene1", "Xaa"),
+                (1, 21, 3, "HGNC", "B, C", "Gene1", "Yaa"),
+                (1, 22, 3, "HGNC", "A", "Gene1", "gene1"),  # case-insens. match
+            ],
+        )
+        == 22
+    )
+
+
+def test_best_fit_alphabetical_fallback(spark):
+    assert (
+        _pick(
+            spark,
+            [
+                (1, 20, 3, "HGNC", "A", "Gene1", "Bbb"),
+                (1, 21, 3, "HGNC", "B", "Gene1", "aaa"),
+            ],
+        )
+        == 21
+    )
+
+
+def test_best_fit_single_candidate(spark):
+    assert _pick(spark, [(1, 20, 3, "NCBI", None, "Gene1", None)]) == 20
+
+
+# ---------------------------------------------------------------------------
+# W2 duplicate cleanup + ownership fence
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_cleanup_priority_and_ownership(spark):
+    rows = [
+        # (key, src, dest, source, created_by): NCBI dup of an RGD row, pipeline-owned
+        (1, 10, 20, "RGD", 99),  # curator manual — always survives
+        (2, 10, 20, "NCBI", 70),  # pipeline dup → deleted
+        (3, 10, 21, "HGNC", 70),  # sole row for (10,21) → kept
+        (4, 10, 22, "Alliance", 99),  # dup but NOT pipeline-owned → kept
+        (5, 10, 22, "NCBI", 99),
+    ]
+    df = spark.createDataFrame(
+        rows, "genetogene_key long, src_rgd_id int, dest_rgd_id int,"
+        " xref_data_src string, created_by int"
+    )
+    kept, deleted = bestfit.duplicate_cleanup(df, pipeline_user_id=70)
+    assert {r.genetogene_key for r in deleted.collect()} == {2}
+    assert {r.genetogene_key for r in kept.collect()} == {1, 3, 4, 5}
+
+
+def test_comparator_rank_descending_alpha(spark):
+    # W3's final key is DESCENDING case-insensitive dest symbol (Dao.java:187),
+    # opposite of W1
+    df = spark.createDataFrame(
+        [
+            (1, 10, 20, "NCBI", "A", "g", "aaa"),
+            (2, 10, 21, "NCBI", "B", "g", "BBB"),
+        ],
+        "genetogene_key long, src_rgd_id int, dest_rgd_id int, xref_data_src string,"
+        " xref_data_set string, src_gene_symbol string, dest_gene_symbol string",
+    )
+    ranked = bestfit.comparator_rank(df, ["src_rgd_id"])
+    best = ranked.filter(F.col("_rank") == 1).collect()[0]
+    assert best.dest_rgd_id == 21  # 'BBB' > 'aaa' case-insensitively → wins desc
+
+
+def test_prefer_mutual_best(spark):
+    df = spark.createDataFrame(
+        [(1, 2, "Y", "Y"), (1, 3, "Y", "N"), (4, 5, "N", "N")],
+        "g1 int, g2 int, is_best_score string, is_best_rev_score string",
+    )
+    out = bestfit.prefer_mutual_best(df, ["g1"])
+    got = {(r.g1, r.g2) for r in out.collect()}
+    assert got == {(1, 2), (4, 5)}  # g1=1 keeps only mutual-best; g1=4 keeps all
+
+
+# ---------------------------------------------------------------------------
+# J10 CDC sync + J9 reverse reconcile + guards
+# ---------------------------------------------------------------------------
+
+ASSOC_DDL = (
+    "master_rgd_id int, detail_rgd_id int, assoc_type string, src_pipeline string,"
+    " assoc_subtype string"
+)
+KEY = ["master_rgd_id", "detail_rgd_id", "assoc_type", "src_pipeline"]
+
+
+def test_sync_full_outer_verdicts(spark):
+    incoming = spark.createDataFrame(
+        [
+            (1, 2, "weak_ortholog", "HGNC", "Ensembl"),  # match
+            (1, 3, "weak_ortholog", "HGNC", "ensembl, NEW"),  # update (case-insens.)
+            (1, 4, "weak_ortholog", "HGNC", "Ensembl"),  # insert
+        ],
+        ASSOC_DDL,
+    )
+    existing = spark.createDataFrame(
+        [
+            (1, 2, "weak_ortholog", "HGNC", "ENSEMBL"),  # case-insensitive equal
+            (1, 3, "weak_ortholog", "HGNC", "Ensembl"),
+            (1, 5, "weak_ortholog", "HGNC", "Ensembl"),  # delete
+        ],
+        ASSOC_DDL,
+    )
+    out = sync.sync_full_outer(incoming, existing, KEY, ["assoc_subtype"])
+    got = {r.detail_rgd_id: r.sync_verdict for r in out.collect()}
+    assert got == {2: "match", 3: "update", 4: "insert", 5: "delete"}
+
+
+def test_drop_covered_by_strong(spark):
+    assoc = spark.createDataFrame(
+        [(1, 2), (1, 3)], "master_rgd_id int, detail_rgd_id int"
+    )
+    strong = spark.createDataFrame(
+        [(1, 2)], "src_rgd_id int, dest_rgd_id int"
+    )
+    out = sync.drop_covered_by_strong(assoc, strong)
+    assert [(r.master_rgd_id, r.detail_rgd_id) for r in out.collect()] == [(1, 3)]
+
+
+def test_missing_reverse(spark):
+    orth = spark.createDataFrame(
+        [(1, 2, "NCBI"), (2, 1, "NCBI"), (1, 3, "NCBI")],
+        "src_rgd_id int, dest_rgd_id int, xref_data_src string",
+    )
+    out = sync.missing_reverse(orth)
+    assert [(r.src_rgd_id, r.dest_rgd_id) for r in out.collect()] == [(1, 3)]
+
+
+def test_reconcile_reverse_associations(spark):
+    inserts = spark.createDataFrame(
+        [(1, 2), (5, 6)], "master_rgd_id int, detail_rgd_id int"
+    )
+    deletes = spark.createDataFrame(
+        [(2, 1), (7, 8)], "master_rgd_id int, detail_rgd_id int"
+    )
+    ins, dels = sync.reconcile_reverse_associations(inserts, deletes)
+    assert [(r.master_rgd_id, r.detail_rgd_id) for r in ins.collect()] == [(5, 6)]
+    assert [(r.master_rgd_id, r.detail_rgd_id) for r in dels.collect()] == [(7, 8)]
+
+
+def test_stale_rows_protected(spark):
+    existing = spark.createDataFrame(
+        [(1, 2, "RGD"), (1, 3, "NCBI"), (1, 4, "NCBI")],
+        "src_rgd_id int, dest_rgd_id int, xref_data_src string",
+    )
+    touched = spark.createDataFrame([(1, 4)], "src_rgd_id int, dest_rgd_id int")
+    out = sync.stale_rows(
+        existing,
+        touched,
+        ["src_rgd_id", "dest_rgd_id"],
+        protected=F.col("xref_data_src") == "RGD",
+    )
+    # (1,2) is manual → protected; (1,4) touched; only (1,3) is stale
+    assert [(r.src_rgd_id, r.dest_rgd_id) for r in out.collect()] == [(1, 3)]
+
+
+def test_guard_delete_threshold():
+    sync.guard_delete_threshold(5, 100, 10.0)  # 5% ok
+    with pytest.raises(RuntimeError, match="threshold"):
+        sync.guard_delete_threshold(11, 100, 10.0)

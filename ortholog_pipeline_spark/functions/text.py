@@ -1,0 +1,100 @@
+"""Text-analysis column helpers for the documents table: tokenization, quality
+scoring, language-ID heuristics, fingerprinting.
+
+All built-in expressions (split/filter/aggregate/md5) — these run inside codegen and
+scale linearly; there is deliberately no Python in this path because at 100 TB the
+documents table is the biggest input the engine sees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.split(F.trim(c), r"\s+")
+    return F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")).otherwise(
+        arr
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    t = tokens(col)
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(t)) / F.size(t)
+    )
+
+
+#: Small function-word list drawn from general English; used for both quality scoring
+#: and as the 'en' marker set in the language-ID heuristic.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+
+def stopword_ratio(col: Column | str, stops: tuple[str, ...] = STOPWORDS) -> Column:
+    t = tokens(col)
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(hits / F.size(t))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite doc-quality heuristic: length saturation + lexical diversity +
+    stopword plausibility, each weighted. Deterministic arithmetic only, so the
+    DuckDB oracle can reproduce it bit-for-bit (after rounding)."""
+    n = token_count(col).cast("double")
+    length_term = F.least(F.lit(1.0), n / F.lit(100.0))
+    return (
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * distinct_token_ratio(col)
+        + F.lit(0.3) * stopword_ratio(col)
+    )
+
+
+#: Marker token sets per language for the n-gram/function-word language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "les", "des", "et"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def lang_hits(col: Column | str, lang: str) -> Column:
+    t = tokens(col)
+    marker_arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(t, lambda x: F.array_contains(marker_arr, x)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language = argmax of marker hits, ties broken by fixed language
+    order, 'und' (undetermined) when no marker hits at all."""
+    langs = list(LANG_MARKERS)
+    hits = {lang: lang_hits(col, lang) for lang in langs}
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    # fixed order: later langs win only with STRICTLY more hits → deterministic
+    for lang in reversed(langs):
+        cond = hits[lang] > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return best
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase + collapsed whitespace + trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint = md5 of the normalized text (md5 is identical in Spark
+    and DuckDB, unlike murmur `hash()`)."""
+    return F.md5(normalize_text(col))

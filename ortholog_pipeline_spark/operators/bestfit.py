@@ -19,6 +19,41 @@ from pyspark.sql import functions as F
 from ortholog_pipeline_spark.functions.strings import evidence_count, source_priority
 
 
+def pick_best(
+    df: DataFrame,
+    partition_cols: list[str],
+    evidence: Column,
+    prefer: Column,
+    order_cols: list[Column],
+) -> DataFrame:
+    """Generalized W1 picker: top-1 per partition where ``evidence`` wins only when it
+    is a STRICT maximum; otherwise ``prefer`` (a 0/1 column) then ``order_cols`` decide
+    over ALL candidates. This is the reference's two-phase tie-break shape
+    (OrthologRelationLoader.java:537-578) independent of the ortholog column names.
+    """
+    w = Window.partitionBy(*partition_cols)
+    df = (
+        df.withColumn("_ev", evidence)
+        .withColumn("_ev_max", F.max("_ev").over(w))
+        .withColumn(
+            "_n_at_max",
+            F.sum(F.when(F.col("_ev") == F.col("_ev_max"), 1).otherwise(0)).over(w),
+        )
+        .withColumn("_pref", prefer)
+    )
+    order: list[Column] = [
+        F.when(F.col("_n_at_max") == 1, F.col("_ev")).otherwise(F.lit(0)).desc(),
+        F.col("_pref").desc(),
+        *order_cols,
+    ]
+    rn = F.row_number().over(w.orderBy(*order))
+    return (
+        df.withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .drop("_ev", "_ev_max", "_n_at_max", "_pref", "_rn")
+    )
+
+
 def best_fit(
     relations: DataFrame,
     partition_cols: list[str],
@@ -38,36 +73,17 @@ def best_fit(
       4. otherwise alphabetically first dest symbol (case-insensitive), with
          ``final_tiebreak_col`` ascending for full determinism.
     """
-    w = Window.partitionBy(*partition_cols)
-
-    df = (
-        relations.withColumn("_ev", evidence_count(evidence_col))
-        .withColumn("_ev_max", F.max("_ev").over(w))
-        .withColumn(
-            "_n_at_max",
-            F.sum(F.when(F.col("_ev") == F.col("_ev_max"), 1).otherwise(0)).over(w),
-        )
-        .withColumn(
-            "_sym_match",
-            F.when(
-                F.lower(F.col(dest_symbol_col)) == F.lower(F.col(src_symbol_col)), 1
-            ).otherwise(0),
-        )
-    )
-
-    order: list[Column] = [
-        # strict evidence winner first — when the max is shared this key is constant
-        # (all rows compare equal) and the symbol rules decide
-        F.when(F.col("_n_at_max") == 1, F.col("_ev")).otherwise(F.lit(0)).desc(),
-        F.col("_sym_match").desc(),
-        F.lower(F.col(dest_symbol_col)).asc_nulls_last(),
-        F.col(final_tiebreak_col).asc(),
-    ]
-    rn = F.row_number().over(w.orderBy(*order))
-    return (
-        df.withColumn("_rn", rn)
-        .filter(F.col("_rn") == 1)
-        .drop("_ev", "_ev_max", "_n_at_max", "_sym_match", "_rn")
+    return pick_best(
+        relations,
+        partition_cols,
+        evidence=evidence_count(evidence_col),
+        prefer=F.when(
+            F.lower(F.col(dest_symbol_col)) == F.lower(F.col(src_symbol_col)), 1
+        ).otherwise(0),
+        order_cols=[
+            F.lower(F.col(dest_symbol_col)).asc_nulls_last(),
+            F.col(final_tiebreak_col).asc(),
+        ],
     )
 
 

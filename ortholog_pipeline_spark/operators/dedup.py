@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Scale design notes (the whole point of these shapes):
+  * Exact dedup is one hash-groupBy — a single shuffle on the fingerprint.
+  * MinHash+LSH never compares all pairs: signatures are per-row (map-side, codegen
+    array expressions), banding buckets collide only near-duplicates, and the
+    verification join runs on the tiny candidate set. At 100 TB the only wide ops are
+    the band-key shuffle and the candidate join.
+  * The n-gram Jaccard join is the classic sparse similarity join: explode shingles,
+    join on shingle, count per pair — shuffle is bounded by posting-list sizes, and a
+    `distinct` before the explode caps skew from repeated shingles. Use it to VERIFY
+    candidates, not to generate them, at scale.
+  * Everything uses md5-derived 60-bit integers (conv of the hex prefix) instead of
+    murmur `hash()` so the DuckDB oracle reproduces results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ortholog_pipeline_spark.functions.text import fingerprint, tokens
+
+
+def hex_hash64(col: Column) -> Column:
+    """Deterministic 60-bit integer hash portable across engines: first 15 hex chars
+    of md5 parsed base-16 (DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def pow2(b: Column) -> Column:
+    """2^b as a long for a Column exponent (F.shiftleft only takes int literals);
+    exact for b ≤ 53 since pow computes in double."""
+    return F.pow(F.lit(2.0), b.cast("double")).cast("long")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via normalized-md5 fingerprint groupBy: one row per fingerprint
+    with the keeper (min id) and the duplicate count."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def word_shingles(text_col: str, k: int = 3) -> Column:
+    """Distinct k-token shingles of a document as array<string>."""
+    t = tokens(text_col)
+    n = F.size(t)
+    # guard: Spark's sequence(1, 0) produces a DESCENDING [1, 0], not empty
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for hash function h, min over shingles of
+    hex_hash64(h || ':' || shingle). Pure array expressions — computed map-side."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: hex_hash64(F.concat(h.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature, bucket-join within (band, band_key): only rows agreeing on
+    a full band collide. Returns distinct candidate (id_1, id_2) with id_1 < id_2."""
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = df.select(
+        F.col(id_col),
+        F.explode(band_idx).alias("band"),
+        F.col(sig_col).alias("_sig"),
+    ).select(
+        id_col,
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        "_sig", F.col("band") * rows_per_band + 1, rows_per_band
+                    ),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        ).alias("band_key"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_1"), "band", "band_key"
+    )
+    b = banded.select(F.col(id_col).alias("id_2"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .dropDuplicates()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs; keeps pairs ≥ threshold.
+    Joins sizes + exploded-intersection counts — no array cross products."""
+    sizes = df.select(F.col(id_col), F.size(shingle_col).alias("sz"))
+    posting = df.select(
+        F.col(id_col), F.explode(shingle_col).alias("shingle")
+    )
+    p1 = posting.select(F.col(id_col).alias("id_1"), "shingle")
+    p2 = posting.select(F.col(id_col).alias("id_2"), "shingle")
+    common = (
+        candidates.join(p1, "id_1")
+        .join(p2, ["id_2", "shingle"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({id_col: "id_1", "sz": "sz_1"}), "id_1")
+        .join(sizes.withColumnsRenamed({id_col: "id_2", "sz": "sz_2"}), "id_2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_1") + F.col("sz_2") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+    return out
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: near-duplicate pairs ≥ threshold Jaccard."""
+    with_sh = df.select(id_col, word_shingles(text_col, k).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    with_sig = with_sh.withColumn(
+        "sig", minhash_signature(F.col("shingles"), num_hashes)
+    )
+    cands = lsh_candidate_pairs(
+        with_sig, id_col, "sig", bands, num_hashes // bands
+    )
+    return jaccard_verify(with_sh, cands, id_col, "shingles", threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Brute n-gram Jaccard similarity join (the small-data / verification path):
+    explode shingles → self-join on shingle → count → filter. The candidate set is
+    every pair sharing ≥1 shingle — use minhash_lsh_dedup at scale instead."""
+    with_sh = df.select(id_col, word_shingles(text_col, k).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    posting = with_sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    pairs = (
+        posting.alias("a")
+        .join(posting.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = with_sh.select(F.col(id_col), F.size("shingles").alias("sz"))
+    return (
+        pairs.join(sizes.withColumnsRenamed({id_col: "id_1", "sz": "sz_1"}), "id_1")
+        .join(sizes.withColumnsRenamed({id_col: "id_2", "sz": "sz_2"}), "id_2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_1") + F.col("sz_2") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def simhash(text_col: str, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens: bit b of each token's hex_hash64 votes ±1;
+    the sign of the partition sum sets bit b of the fingerprint."""
+    t = tokens(text_col)
+    tok_hashes = F.transform(t, lambda x: hex_hash64(x))
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+
+    def bit_sum(b: Column) -> Column:
+        votes = F.transform(
+            tok_hashes,
+            lambda h: F.when(h.bitwiseAND(pow2(b)) != 0, 1).otherwise(-1),
+        )
+        return F.aggregate(votes, F.lit(0), lambda acc, v: acc + v)
+
+    return F.aggregate(
+        bit_idx,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(bit_sum(b) > 0, pow2(b)).otherwise(0),
+    )
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Bucket documents by exact SimHash equality (near-identical docs collide);
+    returns buckets with >1 member."""
+    hashed = df.select(F.col(id_col), simhash(text_col, bits).alias("simhash"))
+    return (
+        hashed.groupBy("simhash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB engine needs:
+  * brute_force_topk — exact cosine top-k. The query side is broadcast, the corpus
+    side streams; cost is |corpus| × |queries| dot products in codegen. Correct
+    baseline and fine whenever |queries| is small.
+  * lsh_topk — random-hyperplane LSH bucketing as the scale path: corpus rows hash to
+    sign-pattern buckets map-side, queries probe only their own bucket, so the join
+    is bucket-equi instead of a cross product. Hyperplanes are derived from md5 bits,
+    not RNG state, so the plan is deterministic and resumable.
+
+All dot products run in double after an explicit cast (summing float32 in different
+orders is how cross-engine mismatches happen), summed in element order via
+F.aggregate so Spark and the DuckDB oracle produce bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ortholog_pipeline_spark.operators.dedup import hex_hash64, pow2
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours per query by cosine (query side broadcast).
+
+    Output: (query_id, vec_id, sim, rank). `sim` is rounded BEFORE ranking, with the
+    corpus id as tiebreak, so ranking is stable across engines.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("_qv"),
+        )
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, num_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id: plane j's component i is ±1 from bit-parity
+    of md5(j:i); bucket bit j = sign of <plane_j, v>. Deterministic, no RNG."""
+    def plane_dot(j: Column) -> Column:
+        signed = F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, i: F.when(
+                hex_hash64(
+                    F.concat(j.cast("string"), F.lit(":"), i.cast("string"))
+                ).bitwiseAND(F.lit(1).cast("long"))
+                == 0,
+                x.cast("double"),
+            ).otherwise(-x.cast("double")),
+        )
+        return F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc + F.when(plane_dot(j) > 0, pow2(j)).otherwise(0),
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: both sides bucket by hyperplane signs, candidates join on
+    bucket equality only. Recall < 1 by design; multiplying probes (flipping one bit)
+    is the standard extension. The join is a bucket-equi join — at 100 TB this is a
+    shuffle on bucket id instead of a cross product."""
+    c = corpus.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("_cv"), num_planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("_qv"), num_planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets + exact verify within
+    bucket — the embedding analogue of minhash_lsh_dedup."""
+    c = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v")).withColumn(
+        "bucket", hyperplane_bucket(F.col("_v"), num_planes)
+    )
+    a = c.select(
+        F.col(id_col).alias("id_1"), F.col("_v").alias("_v1"), "bucket"
+    )
+    b = c.select(
+        F.col(id_col).alias("id_2"), F.col("_v").alias("_v2"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            F.round(cosine(F.col("_v1"), F.col("_v2")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -45,6 +45,9 @@ def get_spark(
         # Timestamps behave like the reference's wall-clock stamps (no TZ shifting
         # between the Spark run and the DuckDB oracle).
         .config("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP(NANOS) parquet (the events table) reads as long nanos; the
+        # events loader converts with exact integer division (see queries._t).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

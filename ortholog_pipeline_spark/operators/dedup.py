@@ -63,17 +63,45 @@ def word_shingles(text_col: str, k: int = 3) -> Column:
     )
 
 
+#: Affine-rehash constants: one md5 per shingle, then num_hashes cheap integer
+#: functions (A_h·x + B_h) mod P over its 31-bit residue. A/B are deterministic
+#: odd-multiplier literals; P = 2^61 − 1 (Mersenne), so A_h·x + B_h < 2^62 + 2^31
+#: never overflows a signed 64-bit int even under ANSI mode.
+MINHASH_P = (1 << 61) - 1
+MINHASH_M31 = 1 << 31
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        (
+            ((h * 0x9E3779B1 + 0x7F4A7C15) % MINHASH_M31) | 1,
+            (h * 0x85EBCA77 + 7) % MINHASH_M31,
+        )
+        for h in range(num_hashes)
+    ]
+
+
+def shingle_hash31(shingles: Column) -> Column:
+    """31-bit integer hash per shingle — the ONE md5 pass; everything downstream is
+    integer arithmetic."""
+    return F.transform(shingles, lambda s: F.pmod(hex_hash64(s), F.lit(MINHASH_M31)))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for hash function h, min over shingles of
-    hex_hash64(h || ':' || shingle). Pure array expressions — computed map-side."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda h: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: hex_hash64(F.concat(h.cast("string"), F.lit(":"), s)),
-            )
-        ),
+    """MinHash signature via single-md5 + affine rehash: sig[h] = min over shingles of
+    (A_h·hash31(s) + B_h) mod P. Pure array expressions — computed map-side, and ~16×
+    cheaper than md5-per-(h, shingle)."""
+    h31 = shingle_hash31(shingles)
+
+    def affine(a: int, b: int):
+        # closure factory: PySpark counts lambda default-args as lambda params
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(h31, affine(a, b)))
+            for a, b in minhash_params(num_hashes)
+        ]
     )
 
 
@@ -165,17 +193,40 @@ def minhash_lsh_dedup(
     bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash→LSH→verify pipeline: near-duplicate pairs ≥ threshold Jaccard."""
-    with_sh = df.select(id_col, word_shingles(text_col, k).alias("shingles")).filter(
-        F.size("shingles") > 0
+    """Full MinHash→LSH→verify pipeline: near-duplicate pairs ≥ threshold Jaccard.
+
+    Scale shape: tokenize+md5 runs ONCE — documents are reduced to distinct 31-bit
+    shingle hashes up front and persisted (int arrays, ~100× smaller than text), then
+    the signature, banding, and verification branches all reuse that frame instead of
+    re-tokenizing per branch. Jaccard is computed over hashed shingles (standard LSH
+    practice; 31-bit collisions are vanishingly rare at document scale)."""
+    hashed = (
+        df.select(
+            id_col,
+            F.array_distinct(
+                shingle_hash31(word_shingles(text_col, k))
+            ).alias("h31"),
+        )
+        .filter(F.size("h31") > 0)
+        .persist()
     )
-    with_sig = with_sh.withColumn(
-        "sig", minhash_signature(F.col("shingles"), num_hashes)
+
+    def affine(a: int, b: int):
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
+
+    with_sig = hashed.withColumn(
+        "sig",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("h31"), affine(a, b)))
+                for a, b in minhash_params(num_hashes)
+            ]
+        ),
     )
     cands = lsh_candidate_pairs(
         with_sig, id_col, "sig", bands, num_hashes // bands
     )
-    return jaccard_verify(with_sh, cands, id_col, "shingles", threshold)
+    return jaccard_verify(hashed, cands, id_col, "h31", threshold)
 
 
 def ngram_jaccard_pairs(

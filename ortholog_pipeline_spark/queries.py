@@ -129,12 +129,10 @@ def j_join_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderdate").alias("o_orderdate"),
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-    return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
-    )
+    # global top-10 via orderBy+limit → TakeOrderedAndProject (per-partition
+    # top-k then a k-row merge on the driver); a global row_number() window
+    # would move the whole aggregate to ONE partition
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
 
 
 # ---------------------------------------------------------------------------
@@ -802,19 +800,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_AB_SQL = (
+    "["
+    + ", ".join(f"[{a}, {b}]" for a, b in DD.minhash_params(16))
+    + "]"
+)
+
 @register(
     "dedup_minhash_lsh",
     f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
     ),
-    sig AS (
-      SELECT doc_id, shingles,
-             list_transform(generate_series(0, 15), h ->
-               list_min(list_transform(shingles, s ->
-                 CAST(('0x' || substr(md5(h::VARCHAR || ':' || s), 1, 15)) AS BIGINT)
-               ))) AS sig
+    h AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles, s ->
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {DD.MINHASH_M31}
+             )) AS h31
       FROM sh WHERE len(shingles) > 0
+    ),
+    sig AS (
+      SELECT doc_id, h31,
+             list_transform({_MINHASH_AB_SQL}, p ->
+               list_min(list_transform(h31, x -> (p[1] * x + p[2]) % {DD.MINHASH_P}))
+             ) AS sig
+      FROM h
     ),
     banded AS (
       SELECT doc_id, b,
@@ -827,15 +837,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM banded a JOIN banded b USING (b, band_key)
       WHERE a.doc_id < b.doc_id
     ),
-    {_JACCARD_VERIFY_SQL},
-    verified AS (
-      SELECT c.id_1, c.id_2,
-             ROUND(n_common * 1.0 / (s1.sz + s2.sz - n_common), 6) AS jaccard
-      FROM cand c JOIN common USING (id_1, id_2)
-                  JOIN sz s1 ON s1.doc_id = c.id_1
-                  JOIN sz s2 ON s2.doc_id = c.id_2
-    )
-    SELECT * FROM verified WHERE jaccard >= 0.5
+    post AS (
+      SELECT doc_id, unnest(h31) AS hsh FROM h
+    ),
+    common AS (
+      SELECT c.id_1, c.id_2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c JOIN post a ON a.doc_id = c.id_1
+                  JOIN post b ON b.doc_id = c.id_2 AND b.hsh = a.hsh
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(h31) AS sz FROM h)
+    SELECT c.id_1, c.id_2,
+           ROUND(n_common * 1.0 / (s1.sz + s2.sz - n_common), 6) AS jaccard
+    FROM cand c JOIN common USING (id_1, id_2)
+                JOIN sz s1 ON s1.doc_id = c.id_1
+                JOIN sz s2 ON s2.doc_id = c.id_2
+    WHERE n_common * 1.0 / (s1.sz + s2.sz - n_common) >= 0.5
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

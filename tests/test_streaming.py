@@ -1,0 +1,154 @@
+"""Structured Streaming surface: file-source streams, watermarked windows,
+foreachBatch CDC sync, applyInPandasWithState sessionization.
+
+All tests run availableNow (bounded) triggers so they terminate; the plans are the
+same ones an unbounded run would execute.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ortholog_pipeline_spark.sources.state import StateStore
+from ortholog_pipeline_spark.streaming import (
+    foreach_batch_sync,
+    read_stream_events,
+    sessionize,
+    tumbling_agg,
+)
+from ortholog_pipeline_spark.streaming.sources import EVENTS_LANDING_SCHEMA
+
+TS0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, TS0 + dt.timedelta(seconds=sec), uid, etype, float(v), "{}")
+            for i, (sec, uid, etype, v) in enumerate(rows)
+        ],
+        EVENTS_LANDING_SCHEMA,
+    )
+
+
+def _land(df, path):
+    df.write.mode("overwrite").parquet(path)
+
+
+def test_tumbling_agg_stream_matches_batch(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    rows = [
+        (0, 1, "view", 1.0),
+        (3600, 1, "view", 2.0),
+        (86400 + 60, 2, "click", 5.0),
+    ]
+    _land(_mk_events(spark, rows), landing)
+
+    stream = read_stream_events(spark, landing)
+    assert stream.isStreaming
+    out = tumbling_agg(stream, window_size="1 day", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    assert got[(TS0, "view")] == (2, 3.0)
+    assert got[(TS0 + dt.timedelta(days=1), "click")] == (1, 5.0)
+
+    # identical plan in batch mode over the same files
+    batch = tumbling_agg(spark.read.parquet(landing), window_size="1 day")
+    bg = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert bg == got
+
+
+def test_foreach_batch_sync_merges_into_state(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    store = StateStore(spark, str(tmp_path / "state"))
+
+    _land(
+        _mk_events(spark, [(0, 1, "view", 1.0), (10, 2, "click", 2.0)]), landing
+    )
+    stream = read_stream_events(spark, landing)
+    q = foreach_batch_sync(
+        stream,
+        store,
+        table="events_latest",
+        unique_key=["user_id"],
+        content_cols=["event_type", "value"],
+        checkpoint_dir=ckpt,
+        transform=lambda df: df.select("user_id", "event_type", "value"),
+    )
+    q.awaitTermination(120)
+    snap = {r.user_id: (r.event_type, r.value) for r in store.read("events_latest").collect()}
+    assert snap == {1: ("view", 1.0), 2: ("click", 2.0)}
+
+    # second drop: user 1 changes type (update), user 3 appears (insert)
+    _land(
+        _mk_events(spark, [(20, 1, "purchase", 9.0), (30, 3, "view", 3.0)]),
+        str(tmp_path / "landing2"),
+    )
+    # replay through a fresh bounded stream over the second landing dir
+    stream2 = read_stream_events(spark, str(tmp_path / "landing2"))
+    q2 = foreach_batch_sync(
+        stream2,
+        store,
+        table="events_latest",
+        unique_key=["user_id"],
+        content_cols=["event_type", "value"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        transform=lambda df: df.select("user_id", "event_type", "value"),
+    )
+    q2.awaitTermination(120)
+    snap = {r.user_id: (r.event_type, r.value) for r in store.read("events_latest").collect()}
+    assert snap == {1: ("purchase", 9.0), 2: ("click", 2.0), 3: ("view", 3.0)}
+
+
+def test_sessionize_emits_gap_separated_sessions(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    # user 1: two sessions separated by a 2h gap; user 2: one session
+    rows = [
+        (0, 1, "view", 1.0),
+        (60, 1, "click", 2.0),
+        (7200 + 60, 1, "view", 4.0),
+        (0, 2, "view", 8.0),
+        # a late sentinel far in the future pushes the watermark past
+        # user 1/2's sessions so their timeouts fire within availableNow
+        (10 * 86400, 99, "view", 0.0),
+    ]
+    _land(_mk_events(spark, rows), landing)
+
+    stream = read_stream_events(spark, landing, max_files_per_trigger=None)
+    out = sessionize(stream, gap_seconds=1800, watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # in-batch gap split emits user 1's first session; the second session and
+    # user 2's single session close via event-time timeout
+    assert got[(1, TS0)] == (2, 3.0)
+    assert got[(1, TS0 + dt.timedelta(seconds=7260))] == (1, 4.0)
+    assert got[(2, TS0)] == (1, 8.0)

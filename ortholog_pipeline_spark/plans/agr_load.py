@@ -1,0 +1,223 @@
+"""§3.2 — the `--agrOrthologs` Alliance TSV load.
+
+The reference processes lines in a parallel stream with per-line JDBC upserts and a
+DuplicateKeyException retry loop (AgrTsvLoader.java:142-206); here the whole file is
+one resolve-join cascade + one deterministic merge, so concurrency races disappear
+(SURVEY.md §3.2 "Spark restatement", §4 retry-loop row).
+
+Resolution cascade per curie (resolveGene, AgrTsvLoader.java:306-393):
+  1. AGR curie xref (xdb_key=63) — the broadcast curie→rgd map (Dao.java:524-550);
+  2. species-prefix id (``RGD:<n>`` → the id itself, validated against rgd_ids);
+  3. symbol lookup within the species (case-insensitive, active genes);
+  4. residue (non rat/mouse/human) → mint a new gene (S13, Dao.java:621-642).
+Expressed as left joins + one ``coalesce`` precedence chain.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ortholog_pipeline_spark.functions.strings import (
+    pipe_set_sort,
+    rgd_curie_suffix,
+    transliterate_greek,
+    yes_no_to_yn,
+)
+from ortholog_pipeline_spark.operators import sync
+from ortholog_pipeline_spark.schemas import SPECIES, XDB_KEY_AGR_GENE
+from ortholog_pipeline_spark.sources.state import StateStore, next_surrogate_keys
+
+#: The 9 Alliance species the pipeline processes (AppConfigure.xml:53-65).
+AGR_SPECIES_TAXON_IDS = {
+    f"NCBITaxon:{SPECIES[s][1]}": SPECIES[s][0]
+    for s in (
+        "human",
+        "mouse",
+        "rat",
+        "zebrafish",
+        "fruitfly",
+        "roundworm",
+        "yeast",
+    )
+}
+
+
+@dataclass
+class AgrLoadResult:
+    resolved: DataFrame  # parsed lines with both sides resolved
+    unresolved: DataFrame  # audit: lines with an unresolvable side
+    n_inserted: int
+    n_updated: int
+    n_stale_deleted: int
+    agr_version: int
+
+
+def check_agr_freshness(
+    store: StateStore, run_ts: datetime, max_age_days: int = 60
+) -> None:
+    """A5 freshness gate (Manager.java:287-298; agrMaxAgeDays, AppConfigure.xml:10):
+    abort when AGR_ORTHOLOGS is empty or its newest row is older than the cap."""
+    agr = store.read("agr_orthologs")
+    row = agr.agg(F.max("last_update_date").alias("m")).collect()[0]
+    if row.m is None:
+        raise RuntimeError("AGR freshness gate: agr_orthologs is empty — aborting")
+    if row.m < run_ts - timedelta(days=max_age_days):
+        raise RuntimeError(
+            f"AGR freshness gate: newest agr row {row.m} older than "
+            f"{max_age_days} days — aborting"
+        )
+
+
+def _resolve_side(
+    lines: DataFrame,
+    side: int,
+    curie_dim: DataFrame,
+    symbol_dim: DataFrame,
+) -> DataFrame:
+    """Attach ``rgd_id_<side>`` via the precedence chain curie-xref → RGD: suffix →
+    symbol-in-species."""
+    curie_col = f"gene{side}_id"
+    sym_col = f"gene{side}_symbol"
+    sp_col = f"species_type_key_{side}"
+
+    c = curie_dim.withColumnsRenamed(
+        {"acc_id": curie_col, "rgd_id": f"_curie_rgd_{side}"}
+    )
+    s = symbol_dim.withColumnsRenamed(
+        {
+            "gene_symbol_lc": f"_sym_lc_{side}",
+            "species_type_key": sp_col,
+            "rgd_id": f"_sym_rgd_{side}",
+        }
+    )
+    out = (
+        lines.join(F.broadcast(c), curie_col, "left")
+        .withColumn(f"_sym_lc_{side}", F.lower(transliterate_greek(F.col(sym_col))))
+        .join(F.broadcast(s), [f"_sym_lc_{side}", sp_col], "left")
+        .withColumn(
+            f"rgd_id_{side}",
+            F.coalesce(
+                F.col(f"_curie_rgd_{side}"),
+                rgd_curie_suffix(F.col(curie_col)),
+                F.col(f"_sym_rgd_{side}"),
+            ),
+        )
+        .drop(f"_curie_rgd_{side}", f"_sym_lc_{side}", f"_sym_rgd_{side}")
+    )
+    return out
+
+
+def run_agr_load(
+    store: StateStore,
+    agr_lines: DataFrame,
+    run_ts: datetime,
+    delete_threshold_pct: float = 10.0,
+) -> AgrLoadResult:
+    """Parse+filter Alliance lines, resolve both curies, merge into agr_orthologs on
+    the (id1, id2, methods_matched) key, then guarded stale deletion."""
+    genes = store.read("genes")
+    rgd_ids = store.read("rgd_ids")
+    xrefs = store.read("xrefs")
+    agr = store.read("agr_orthologs")
+
+    # F7 species filter both sides + recodes (C7 pipe-sort, C13 Yes/No)
+    tax_map = F.create_map(
+        *[F.lit(x) for kv in AGR_SPECIES_TAXON_IDS.items() for x in kv]
+    )
+    lines = (
+        agr_lines.withColumn("species_type_key_1", tax_map[F.col("gene1_species_taxon_id")])
+        .withColumn("species_type_key_2", tax_map[F.col("gene2_species_taxon_id")])
+        .filter(
+            F.col("species_type_key_1").isNotNull()
+            & F.col("species_type_key_2").isNotNull()
+        )
+        .withColumn("methods_matched", pipe_set_sort("algorithms_match"))
+        .withColumn("is_best_score", yes_no_to_yn("is_best_score"))
+        .withColumn("is_best_rev_score", yes_no_to_yn("is_best_rev_score"))
+    )
+
+    curie_dim = xrefs.filter(F.col("xdb_key") == XDB_KEY_AGR_GENE).select(
+        "acc_id", "rgd_id"
+    )
+    active = rgd_ids.filter(F.col("object_status") == "ACTIVE").select("rgd_id")
+    symbol_dim = (
+        genes.join(active, "rgd_id", "left_semi")
+        .select(
+            F.lower("gene_symbol").alias("gene_symbol_lc"),
+            "species_type_key",
+            "rgd_id",
+        )
+        .groupBy("gene_symbol_lc", "species_type_key")
+        .agg(F.min("rgd_id").alias("rgd_id"))  # first-wins determinism (§7)
+    )
+
+    resolved_lines = _resolve_side(
+        _resolve_side(lines, 1, curie_dim, symbol_dim), 2, curie_dim, symbol_dim
+    )
+    resolved = resolved_lines.filter(
+        F.col("rgd_id_1").isNotNull() & F.col("rgd_id_2").isNotNull()
+    )
+    unresolved = resolved_lines.filter(
+        F.col("rgd_id_1").isNull() | F.col("rgd_id_2").isNull()
+    )
+
+    ts = F.lit(run_ts)
+    incoming = (
+        resolved.select(
+            F.col("rgd_id_1").alias("gene_rgd_id_1"),
+            F.col("rgd_id_2").alias("gene_rgd_id_2"),
+            F.col("algorithms_match").alias("confidence"),
+            "is_best_score",
+            "is_best_rev_score",
+            "methods_matched",
+        )
+        .dropDuplicates(["gene_rgd_id_1", "gene_rgd_id_2", "methods_matched"])
+    )
+
+    # S12 upsert on the 3-col key (Dao.java:825-849) as a full-outer verdict join
+    key3 = ["gene_rgd_id_1", "gene_rgd_id_2", "methods_matched"]
+    content = ["confidence", "is_best_score", "is_best_rev_score"]
+    verdicts = sync.sync_full_outer(incoming, agr, key3, content)
+
+    inserts = (
+        verdicts.filter(F.col("sync_verdict") == sync.INSERT)
+        .select(*key3, *content)
+        .withColumn("created_date", ts)
+        .withColumn("last_update_date", ts)
+    )
+    touched = verdicts.filter(
+        F.col("sync_verdict").isin(sync.MATCH, sync.UPDATE)
+    ).select(*key3, *content)
+    updates = (
+        touched.join(agr.select(*key3, "created_date"), key3)
+        .withColumn("last_update_date", ts)
+        .select(*[f.name for f in agr.schema.fields])
+    )
+
+    # stale = existing rows untouched this run, within the churn cap
+    stale = sync.stale_rows(agr, incoming, key3)
+    n_total = agr.count()
+    n_stale = stale.count()
+    if n_total:
+        sync.guard_delete_threshold(n_stale, n_total, delete_threshold_pct)
+
+    version = store.apply_changes(
+        "agr_orthologs",
+        inserts=inserts.select(*[f.name for f in agr.schema.fields]),
+        deletes=stale.select(*key3),
+        delete_key=key3,
+        updates=updates,
+        update_key=key3,
+    )
+    return AgrLoadResult(
+        resolved=resolved,
+        unresolved=unresolved,
+        n_inserted=inserts.count(),
+        n_updated=verdicts.filter(F.col("sync_verdict") == sync.UPDATE).count(),
+        n_stale_deleted=n_stale,
+        agr_version=version,
+    )

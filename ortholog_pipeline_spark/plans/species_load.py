@@ -1,0 +1,412 @@
+"""§3.1 — the per-species HCOP/NCBI load, as ONE declarative Spark DAG.
+
+The reference (OrthologRelationLoadingManager.run → OrthologRelationLoader.run)
+iterates groups and issues per-group JDBC probes; here every per-group step is a
+dataset-wide join/window over immutable snapshots (SURVEY.md §3.1 "Spark
+restatement"). Order-dependent DB mutation becomes compute-all-sets-then-reconcile
+set algebra (§7 hard parts), so the flow is deterministic and replayable.
+
+Scale notes: the resolution dim and the per-key tier candidates are bounded by the
+xref/state tables → broadcast joins; the wide ops are the group-merge shuffle and the
+full-outer conflict join, both keyed on (src_rgd_id, dest_species_type_key) — a key
+that is unique per human gene × species, i.e. high-cardinality and unskewed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ortholog_pipeline_spark.operators import bestfit, grouping, resolve, sync
+from ortholog_pipeline_spark.schemas import (
+    ORTHOLOG_TYPE_DIRECT,
+    PIPELINE_USER_ID,
+)
+from ortholog_pipeline_spark.sources.state import StateStore, next_surrogate_keys
+
+#: Tier numbers of the generateOrtholog cascade (OrthologRelationLoader.java:460-504).
+TIER_MANUAL, TIER_ALLIANCE, TIER_HGNC, TIER_NCBI = 1, 2, 3, 4
+
+KEY = ["src_rgd_id", "dest_species_type_key"]
+
+
+@dataclass
+class SpeciesLoadResult:
+    resolved_dropped: DataFrame  # J1 audit stream (unmatched/multiple/withdrawn)
+    resolution_metrics: DataFrame  # A6 counters
+    picks: DataFrame  # per-key winning tier + dest (pre-conflict)
+    verdicts: DataFrame  # J7 conflict verdicts vs existing orthologs
+    inserted: DataFrame
+    deleted: DataFrame
+    downgraded: DataFrame  # incoming rows downgraded to weak associations
+    assoc_verdicts: DataFrame  # J10 association sync verdicts
+    orthologs_version: int
+    associations_version: int
+
+
+def _tier_candidates(
+    closed: DataFrame,
+    genes: DataFrame,
+    existing_orthologs: DataFrame,
+    agr_orthologs: DataFrame,
+) -> DataFrame:
+    """One row per (key, tier): the tier's candidate dest (or a conflict marker).
+
+    Manual (J3) and Alliance (J2) tiers contribute their single candidate, or a
+    `blocked` row when >1 candidates exist (A8 conflict ⇒ pick none, and the cascade
+    STOPS at that tier — Loader.java:468-471, 479-481). HGNC/NCBI tiers (F4 + W1)
+    always produce exactly one candidate per key via the best-fit window.
+    """
+    # -- tier 1: manual orthologs (xref_data_src='RGD') for the key (F5, J3)
+    manual = (
+        existing_orthologs.filter(F.col("xref_data_src") == "RGD")
+        .groupBy(*KEY)
+        .agg(
+            F.count("*").alias("_n"),
+            F.min("dest_rgd_id").alias("dest_rgd_id"),
+        )
+        .select(
+            *KEY,
+            F.lit(TIER_MANUAL).alias("tier"),
+            F.when(F.col("_n") == 1, F.col("dest_rgd_id")).alias("dest_rgd_id"),
+            (F.col("_n") > 1).alias("blocked"),
+            F.lit("RGD").alias("xref_data_src"),
+            F.lit(None).cast("string").alias("xref_data_set"),
+        )
+    )
+
+    # -- tier 2: Alliance mutual-best partner in the dest species (J2, U2, F8)
+    both_dirs = agr_orthologs.filter(
+        (F.col("is_best_score") == "Y") & (F.col("is_best_rev_score") == "Y")
+    )
+    fwd = both_dirs.select(
+        F.col("gene_rgd_id_1").alias("src_rgd_id"),
+        F.col("gene_rgd_id_2").alias("partner_rgd_id"),
+        "methods_matched",
+    )
+    rev = both_dirs.select(
+        F.col("gene_rgd_id_2").alias("src_rgd_id"),
+        F.col("gene_rgd_id_1").alias("partner_rgd_id"),
+        "methods_matched",
+    )
+    partner_species = genes.select(
+        F.col("rgd_id").alias("partner_rgd_id"),
+        F.col("species_type_key").alias("dest_species_type_key"),
+    )
+    alliance = (
+        fwd.unionByName(rev)
+        .join(F.broadcast(partner_species), "partner_rgd_id")
+        .groupBy(*KEY)
+        .agg(
+            F.count("*").alias("_n"),
+            F.min("partner_rgd_id").alias("dest_rgd_id"),
+            F.min("methods_matched").alias("_methods"),
+        )
+        .select(
+            *KEY,
+            F.lit(TIER_ALLIANCE).alias("tier"),
+            F.when(F.col("_n") == 1, F.col("dest_rgd_id")).alias("dest_rgd_id"),
+            (F.col("_n") > 1).alias("blocked"),
+            F.lit("Alliance").alias("xref_data_src"),
+            F.when(F.col("_n") == 1, F.col("_methods")).alias("xref_data_set"),
+        )
+    )
+
+    # -- tiers 3/4: per-source best-fit over the resolved relations (F4 + W1),
+    # with gene symbols joined in for the tie-break rules
+    sym = genes.select("rgd_id", "gene_symbol")
+    with_syms = (
+        closed.join(
+            F.broadcast(sym.withColumnsRenamed(
+                {"rgd_id": "src_rgd_id", "gene_symbol": "src_gene_symbol"}
+            )),
+            "src_rgd_id",
+            "left",
+        )
+        .join(
+            F.broadcast(sym.withColumnsRenamed(
+                {"rgd_id": "dest_rgd_id", "gene_symbol": "dest_gene_symbol"}
+            )),
+            "dest_rgd_id",
+            "left",
+        )
+    )
+
+    def file_tier(source: str, tier: int) -> DataFrame:
+        cands = with_syms.filter(F.col("data_source") == source)
+        picked = bestfit.best_fit(
+            cands,
+            KEY,
+            evidence_col="data_set_name",
+            src_symbol_col="src_gene_symbol",
+            dest_symbol_col="dest_gene_symbol",
+            final_tiebreak_col="dest_rgd_id",
+        )
+        return picked.select(
+            *KEY,
+            F.lit(tier).alias("tier"),
+            "dest_rgd_id",
+            F.lit(False).alias("blocked"),
+            F.lit("HGNC" if source == "HGNC" else "NCBI").alias("xref_data_src"),
+            F.col("data_set_name").alias("xref_data_set"),
+        )
+
+    hgnc = file_tier("HGNC", TIER_HGNC)
+    ncbi = file_tier("NCBI", TIER_NCBI)
+    return manual.unionByName(alliance).unionByName(hgnc).unionByName(ncbi)
+
+
+def _cascade_pick(tiers: DataFrame) -> DataFrame:
+    """First tier wins per key; a blocked tier wins the cascade but yields no
+    ortholog (the A8 conflict swallows the key)."""
+    w = Window.partitionBy(*KEY).orderBy(F.col("tier").asc())
+    return (
+        tiers.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (~F.col("blocked")))
+        .drop("_rn", "blocked")
+    )
+
+
+def _conflict_verdicts(picks: DataFrame, existing: DataFrame) -> DataFrame:
+    """J7 — incoming pick vs existing ortholog for the same key, as one full-outer
+    join + the W3 comparator encoded in a when/otherwise chain
+    (OrthologRelationDao.java:107-159, comparator :164-188).
+
+    Verdicts: INSERT (no existing), MATCH (same dest → touch), DELETE_EXISTING
+    (incoming outranks existing → replace), DOWNGRADE (existing outranks → incoming
+    becomes a weak association). Existing rows beyond the best one per key are
+    surplus deletes (W4, Dao.java:122-133) handled by duplicate_cleanup.
+    """
+    from ortholog_pipeline_spark.functions.strings import (
+        evidence_count,
+        source_priority,
+    )
+
+    ex = existing.select(
+        *KEY,
+        F.col("dest_rgd_id").alias("ex_dest_rgd_id"),
+        F.col("xref_data_src").alias("ex_src"),
+        F.col("xref_data_set").alias("ex_set"),
+        F.col("genetogene_key").alias("ex_key"),
+    )
+    # W4: one existing row per key enters the comparison (best by W3 ordering)
+    w = Window.partitionBy(*KEY).orderBy(
+        source_priority("ex_src").desc(),
+        evidence_count("ex_set").desc(),
+        F.col("ex_key").asc(),
+    )
+    ex_best = (
+        ex.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+    j = picks.join(ex_best, KEY, "full_outer")
+    inc_rank = source_priority("xref_data_src") * 1000 + evidence_count("xref_data_set")
+    ex_rank = source_priority("ex_src") * 1000 + evidence_count("ex_set")
+    verdict = (
+        F.when(F.col("ex_dest_rgd_id").isNull(), F.lit("INSERT"))
+        .when(F.col("dest_rgd_id").isNull(), F.lit("STALE"))
+        .when(F.col("dest_rgd_id") == F.col("ex_dest_rgd_id"), F.lit("MATCH"))
+        .when(inc_rank > ex_rank, F.lit("DELETE_EXISTING"))
+        .otherwise(F.lit("DOWNGRADE"))
+    )
+    return j.withColumn("verdict", verdict)
+
+
+def run_species_load(
+    store: StateStore,
+    relations: DataFrame,
+    run_ts: datetime,
+    dest_species_type_key: int,
+    delete_threshold_pct: float = 10.0,
+) -> SpeciesLoadResult:
+    """Execute the §3.1 flow for one species against the state store.
+
+    ``relations`` is the parsed + projected HCOP∪NCBI relation stream (U1) with
+    external ids; ``run_ts`` stamps every write (C11 — captured once, deterministic).
+    """
+    genes = store.read("genes")
+    rgd_ids = store.read("rgd_ids")
+    xrefs = store.read("xrefs")
+    orthologs = store.read("orthologs")
+    associations = store.read("associations")
+    agr = store.read("agr_orthologs")
+
+    # J1 resolution via broadcast dimension join
+    dim = resolve.build_resolution_dim(xrefs, genes, rgd_ids)
+    resolved = resolve.resolve_relations(relations, dim)
+    clean, dropped = resolve.split_resolved(resolved)
+    res_metrics = resolve.resolution_metrics(resolved)
+
+    # A1/A2 group + dedup-merge, then U4 symmetric closure
+    grouping.assert_human_sources(clean)
+    merged = grouping.merge_duplicate_relations(clean)
+    grouping.check_mergeable(merged)
+    closed = grouping.complement_closure(merged)
+
+    # existing orthologs relevant to this run: keys of either direction
+    species_scope = orthologs.filter(
+        (F.col("dest_species_type_key") == dest_species_type_key)
+        | (F.col("src_species_type_key") == dest_species_type_key)
+    )
+
+    # 4-tier cascade → per-key pick
+    tiers = _tier_candidates(closed, genes, species_scope, agr)
+    picks = _cascade_pick(tiers)
+
+    # J7 conflict verdicts vs existing
+    verdicts = _conflict_verdicts(picks, species_scope)
+
+    ts = F.lit(run_ts)
+    species_of = F.broadcast(
+        genes.select("rgd_id", "species_type_key")
+    )
+
+    def _mk_orthologs(df: DataFrame) -> DataFrame:
+        out = (
+            df.select(
+                "src_rgd_id",
+                "dest_rgd_id",
+                "dest_species_type_key",
+                "xref_data_src",
+                "xref_data_set",
+            )
+            .join(
+                species_of.withColumnsRenamed(
+                    {"rgd_id": "src_rgd_id", "species_type_key": "src_species_type_key"}
+                ),
+                "src_rgd_id",
+            )
+            .withColumn("group_id", F.lit(None).cast("int"))
+            .withColumn("ortholog_type_key", F.lit(ORTHOLOG_TYPE_DIRECT))
+            .withColumn("percent_homology", F.lit(None).cast("double"))
+            .withColumn("created_by", F.lit(PIPELINE_USER_ID))
+            .withColumn("created_date", ts)
+            .withColumn("last_modified_by", F.lit(PIPELINE_USER_ID))
+            .withColumn("last_modified_date", ts)
+        )
+        return out
+
+    inserts_raw = _mk_orthologs(
+        verdicts.filter(F.col("verdict").isin("INSERT", "DELETE_EXISTING"))
+    )
+    max_key_row = orthologs.agg(F.max("genetogene_key")).collect()[0][0]
+    inserts = next_surrogate_keys(
+        inserts_raw, (max_key_row or 0), "genetogene_key"
+    ).select(*[f.name for f in orthologs.schema.fields])
+
+    # deletes: rows replaced by a better incoming, plus pipeline-owned rows whose
+    # key produced no pick this run (stale watermark, Loader.java:657-672) — never
+    # manual (S9 guard), and gated by the churn threshold before commit
+    replaced = verdicts.filter(F.col("verdict") == "DELETE_EXISTING").select(
+        F.col("ex_key").alias("genetogene_key")
+    )
+    pipeline_owned = species_scope.filter(
+        F.col("created_by") == PIPELINE_USER_ID
+    ).select("genetogene_key")
+    stale = (
+        verdicts.filter(F.col("verdict") == "STALE")
+        .select(F.col("ex_key").alias("genetogene_key"))
+        .join(pipeline_owned, "genetogene_key", "left_semi")
+    )
+    manual_keys = species_scope.filter(F.col("xref_data_src") == "RGD").select(
+        "genetogene_key"
+    )
+    deletes = (
+        replaced.unionByName(stale).join(manual_keys, "genetogene_key", "left_anti")
+    )
+    n_scope = species_scope.count()
+    if n_scope:
+        sync.guard_delete_threshold(deletes.count(), n_scope, delete_threshold_pct)
+
+    # W2 duplicate cleanup over the would-be next snapshot
+    provisional = (
+        orthologs.join(deletes, "genetogene_key", "left_anti").unionByName(inserts)
+    )
+    _, dup_deletes = bestfit.duplicate_cleanup(provisional, PIPELINE_USER_ID)
+    all_deletes = deletes.unionByName(dup_deletes.select("genetogene_key"))
+
+    orthologs_version = store.apply_changes(
+        "orthologs",
+        inserts=inserts,
+        deletes=all_deletes,
+        delete_key=["genetogene_key"],
+    )
+    final_orthologs = store.read("orthologs")
+
+    # associations: every closed relation is a weak candidate (Loader.java:116-136),
+    # plus DOWNGRADEd picks; minus pairs covered by strong orthologs (J5)
+    downgraded = verdicts.filter(F.col("verdict") == "DOWNGRADE")
+    weak_candidates = (
+        closed.select(
+            F.col("src_rgd_id").alias("master_rgd_id"),
+            F.col("dest_rgd_id").alias("detail_rgd_id"),
+            F.col("data_set_name").alias("assoc_subtype"),
+        )
+        .unionByName(
+            downgraded.select(
+                F.col("src_rgd_id").alias("master_rgd_id"),
+                F.col("dest_rgd_id").alias("detail_rgd_id"),
+                F.col("xref_data_set").alias("assoc_subtype"),
+            )
+        )
+        .dropDuplicates(["master_rgd_id", "detail_rgd_id"])
+        .withColumn("assoc_type", F.lit("weak_ortholog"))
+        .withColumn("src_pipeline", F.lit("ORTHOLOGS"))
+    )
+    weak = sync.drop_covered_by_strong(weak_candidates, final_orthologs)
+
+    # J10 full-outer sync vs existing weak associations
+    existing_weak = associations.filter(F.col("assoc_type") == "weak_ortholog")
+    assoc_key_cols = ["master_rgd_id", "detail_rgd_id", "assoc_type", "src_pipeline"]
+    assoc_verdicts = sync.sync_full_outer(
+        weak, existing_weak, assoc_key_cols, ["assoc_subtype"]
+    )
+
+    a_ins_raw = assoc_verdicts.filter(F.col("sync_verdict") == sync.INSERT).select(
+        *assoc_key_cols, "assoc_subtype"
+    )
+    a_del = assoc_verdicts.filter(F.col("sync_verdict") == sync.DELETE).select(
+        *assoc_key_cols
+    )
+    # J9: an insert whose reverse is queued for delete cancels both
+    a_ins_raw, a_del = sync.reconcile_reverse_associations(a_ins_raw, a_del)
+
+    max_ak = associations.agg(F.max("assoc_key")).collect()[0][0]
+    a_ins = (
+        next_surrogate_keys(a_ins_raw, (max_ak or 0), "assoc_key")
+        .withColumn("creation_date", ts)
+        .select(*[f.name for f in associations.schema.fields])
+    )
+    a_upd = (
+        assoc_verdicts.filter(F.col("sync_verdict") == sync.UPDATE)
+        .select(*assoc_key_cols, "assoc_subtype")
+        .join(
+            associations.select(*assoc_key_cols, "assoc_key", "creation_date"),
+            assoc_key_cols,
+        )
+        .select(*[f.name for f in associations.schema.fields])
+    )
+    associations_version = store.apply_changes(
+        "associations",
+        inserts=a_ins,
+        deletes=a_del,
+        delete_key=assoc_key_cols,
+        updates=a_upd,
+        update_key=assoc_key_cols,
+    )
+
+    return SpeciesLoadResult(
+        resolved_dropped=dropped,
+        resolution_metrics=res_metrics,
+        picks=picks,
+        verdicts=verdicts,
+        inserted=inserts,
+        deleted=all_deletes,
+        downgraded=downgraded,
+        assoc_verdicts=assoc_verdicts,
+        orthologs_version=orthologs_version,
+        associations_version=associations_version,
+    )

@@ -1,0 +1,249 @@
+"""End-to-end flow tests (SURVEY.md §3): species load, AGR load, fix-xref — each run
+against a seeded snapshot StateStore on fixture data shaped like FIXTURES.md.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ortholog_pipeline_spark.plans import (
+    check_agr_freshness,
+    run_agr_load,
+    run_fix_xref_data_set,
+    run_species_load,
+)
+from ortholog_pipeline_spark.schemas import (
+    AGR_ORTHOLOGS_SCHEMA,
+    AGR_SCHEMA,
+    ASSOCIATIONS_SCHEMA,
+    GENES_SCHEMA,
+    ORTHOLOGS_SCHEMA,
+    RELATION_SCHEMA,
+    RGD_IDS_SCHEMA,
+    XREFS_SCHEMA,
+)
+from ortholog_pipeline_spark.sources.state import StateStore
+
+RUN_TS = dt.datetime(2026, 1, 15, 12, 0, 0)
+OLD_TS = dt.datetime(2025, 12, 1, 0, 0, 0)
+RAT = 3
+
+
+def _seed_store(spark, tmp_path) -> StateStore:
+    store = StateStore(spark, str(tmp_path / "state"))
+
+    genes = [
+        # (rgd_id, symbol, type, ensembl_symbol, species)
+        (1, "A2M", "protein-coding", None, 1),
+        (2, "BRCA2", "protein-coding", None, 1),
+        (3, "TP53", "protein-coding", None, 1),
+        (4, "OLDGENE", "protein-coding", None, 1),
+        (100, "A2m", "protein-coding", None, RAT),
+        (101, "Brca2", "protein-coding", None, RAT),
+        (102, "Tp53", "protein-coding", None, RAT),
+        (103, "Zzz1", "protein-coding", None, RAT),
+        (104, "Aaa1", "protein-coding", None, RAT),
+        (200, "A2m", "protein-coding", None, 2),
+    ]
+    store.write("genes", spark.createDataFrame(genes, GENES_SCHEMA))
+
+    rgd_ids = [
+        (i, "ACTIVE", sp, 1, None)
+        for i, sp in [
+            (1, 1), (2, 1), (3, 1), (4, 1),
+            (100, RAT), (101, RAT), (102, RAT), (103, RAT), (104, RAT), (200, 2),
+        ]
+    ]
+    store.write("rgd_ids", spark.createDataFrame(rgd_ids, RGD_IDS_SCHEMA))
+
+    xrefs = [
+        # (acc_xdb_key, rgd_id, acc_id, xdb_key, src_pipeline, modification_date)
+        (1, 1, "h1", 3, "P", OLD_TS),
+        (2, 2, "h2", 3, "P", OLD_TS),
+        (3, 3, "h3", 3, "P", OLD_TS),
+        (4, 100, "r100", 3, "P", OLD_TS),
+        (5, 101, "r101", 3, "P", OLD_TS),
+        (6, 102, "r102", 3, "P", OLD_TS),
+        (7, 103, "r103", 3, "P", OLD_TS),
+        (8, 104, "r104", 3, "P", OLD_TS),
+        # AGR curies (xdb 63)
+        (9, 1, "HGNC:1", 63, "P", OLD_TS),
+        (10, 100, "RGD:100", 63, "P", OLD_TS),
+        (11, 2, "HGNC:2", 63, "P", OLD_TS),
+    ]
+    store.write("xrefs", spark.createDataFrame(xrefs, XREFS_SCHEMA))
+
+    orthologs = [
+        # manual curator ortholog for gene 1 → tier 1 pick, immortal
+        (1, 1, 100, 1, RAT, None, "RGD", "manual", 11, None, 1, OLD_TS, 1, OLD_TS),
+        # pipeline HGNC ortholog for gene 2 matching the incoming pick → MATCH
+        (2, 2, 101, 1, RAT, None, "HGNC", "Ensembl", 11, None, 70, OLD_TS, 70, OLD_TS),
+        # pipeline NCBI ortholog for gene 3 with a different dest than the incoming
+        # higher-priority HGNC pick → DELETE_EXISTING + insert
+        (3, 3, 103, 1, RAT, None, "NCBI", "NCBI", 11, None, 70, OLD_TS, 70, OLD_TS),
+        # pipeline row whose key gets no pick this run → STALE delete
+        (4, 4, 104, 1, RAT, None, "NCBI", "NCBI", 11, None, 70, OLD_TS, 70, OLD_TS),
+    ]
+    store.write("orthologs", spark.createDataFrame(orthologs, ORTHOLOGS_SCHEMA))
+
+    store.write(
+        "associations", spark.createDataFrame([], ASSOCIATIONS_SCHEMA)
+    )
+    agr = [
+        (1, 100, "c", "Y", "Y", "Ensembl Compara|InParanoid", OLD_TS, OLD_TS),
+    ]
+    store.write("agr_orthologs", spark.createDataFrame(agr, AGR_ORTHOLOGS_SCHEMA))
+    return store
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return _seed_store(spark, tmp_path)
+
+
+def _relations(spark):
+    rows = [
+        # gene 1 (manual tier will override): HGNC relation to rat 100
+        ("h1", "r100", 1, RAT, "HGNC", "Ensembl, OrthoDB"),
+        # gene 2: two HGNC candidates; r101 wins on strict evidence count
+        ("h2", "r101", 1, RAT, "HGNC", "Ensembl, OrthoDB, OrthoMCL"),
+        ("h2", "r104", 1, RAT, "HGNC", "Ensembl"),
+        # gene 3: HGNC pick r102 (beats existing NCBI row for the key)
+        ("h3", "r102", 1, RAT, "HGNC", "Ensembl, OrthoDB"),
+        # gene 3 NCBI duplicate of the same pair (merges into HGNC + NCBI token)
+        ("h3", "r102", 1, RAT, "NCBI", "NCBI"),
+        # unresolvable side → dropped to audit
+        ("h1", "r999", 1, RAT, "HGNC", "Ensembl"),
+    ]
+    return spark.createDataFrame(rows, RELATION_SCHEMA)
+
+
+def test_species_load_end_to_end(spark, store):
+    res = run_species_load(
+        store, _relations(spark), RUN_TS, RAT, delete_threshold_pct=100.0
+    )
+
+    # audit stream caught the unresolved dest
+    dropped = res.resolved_dropped.collect()
+    assert len(dropped) == 1 and dropped[0].dest_other_id == "r999"
+
+    # tier picks: gene 1 manual, genes 2/3 HGNC
+    picks = {r.src_rgd_id: (r.tier, r.dest_rgd_id) for r in res.picks.collect()
+             if r.src_rgd_id in (1, 2, 3)}
+    assert picks[1] == (1, 100)
+    assert picks[2] == (3, 101)
+    assert picks[3] == (3, 102)
+
+    verdicts = {
+        r.src_rgd_id: r.verdict
+        for r in res.verdicts.collect()
+        if r.dest_species_type_key == RAT and r.src_rgd_id is not None
+    }
+    assert verdicts[2] == "MATCH"
+    assert verdicts[3] == "DELETE_EXISTING"
+    assert verdicts[4] == "STALE"
+
+    final = store.read("orthologs")
+    rows = {(r.src_rgd_id, r.dest_rgd_id): r for r in final.collect()}
+    # manual row survives untouched
+    assert (1, 100) in rows and rows[(1, 100)].xref_data_src == "RGD"
+    # replaced: 3→103 gone, 3→102 inserted with HGNC source
+    assert (3, 103) not in rows
+    assert rows[(3, 102)].xref_data_src == "HGNC"
+    # stale pipeline row 4→104 deleted
+    assert (4, 104) not in rows
+    # matched row survives
+    assert (2, 101) in rows
+
+    # evidence merge for the HGNC+NCBI duplicate produced the NCBI token
+    ev = rows[(3, 102)].xref_data_set
+    assert "NCBI" in ev and "Ensembl" in ev
+
+    # weak associations exist for non-strong pairs but not for strong ones
+    assoc = store.read("associations")
+    pairs = {(r.master_rgd_id, r.detail_rgd_id) for r in assoc.collect()}
+    assert (2, 104) in pairs  # losing HGNC candidate became a weak association
+    assert (3, 102) not in pairs  # covered by the new strong ortholog
+
+
+def test_species_load_delete_threshold_trips(spark, store):
+    with pytest.raises(RuntimeError, match="threshold"):
+        # default 10% cap: the stale + replaced deletes exceed it on this fixture
+        run_species_load(store, _relations(spark), RUN_TS, RAT)
+
+
+def _agr_lines(spark):
+    rows = [
+        # resolvable via curie xref both sides; matches the existing AGR row's key
+        ("HGNC:1", "A2M", "NCBITaxon:9606", "Homo sapiens",
+         "RGD:100", "A2m", "NCBITaxon:10116", "Rattus norvegicus",
+         "Ensembl Compara|InParanoid", "InParanoid|Ensembl Compara", "10",
+         "Yes", "Yes"),
+        # new pair: curie 1 side + symbol-resolved side (Tp53, rat)
+        ("HGNC:2", "BRCA2", "NCBITaxon:9606", "Homo sapiens",
+         "XX:1", "Tp53", "NCBITaxon:10116", "Rattus norvegicus",
+         "OrthoFinder", "OrthoFinder", "10", "Yes", "No"),
+        # unresolvable: unknown curie and symbol
+        ("FB:F1", "nope", "NCBITaxon:7227", "Drosophila melanogaster",
+         "HGNC:1", "A2M", "NCBITaxon:9606", "Homo sapiens",
+         "OrthoFinder", "OrthoFinder", "10", "No", "No"),
+        # filtered out: species not in the processed set
+        ("XEN:1", "x", "NCBITaxon:8364", "Xenopus tropicalis",
+         "HGNC:1", "A2M", "NCBITaxon:9606", "Homo sapiens",
+         "OrthoFinder", "OrthoFinder", "10", "No", "No"),
+    ]
+    return spark.createDataFrame(rows, AGR_SCHEMA)
+
+
+def test_agr_load_end_to_end(spark, store):
+    res = run_agr_load(store, _agr_lines(spark), RUN_TS, delete_threshold_pct=100.0)
+
+    assert res.unresolved.count() == 1  # the FB: line
+    agr = store.read("agr_orthologs")
+    rows = {
+        (r.gene_rgd_id_1, r.gene_rgd_id_2, r.methods_matched): r
+        for r in agr.collect()
+    }
+    # existing row touched: methods key matches after pipe-sort canonicalization
+    k = (1, 100, "Ensembl Compara|InParanoid")
+    assert k in rows and rows[k].last_update_date == RUN_TS
+    assert rows[k].created_date == OLD_TS  # preserved through the update
+    # new pair inserted via symbol resolution (2 → Tp53=102)
+    k2 = (2, 102, "OrthoFinder")
+    assert k2 in rows and rows[k2].is_best_rev_score == "N"
+    assert res.n_stale_deleted == 0
+
+
+def test_agr_freshness_gate(spark, store, tmp_path):
+    # fresh enough: newest row is OLD_TS (45 days before RUN_TS) < 60-day cap
+    check_agr_freshness(store, RUN_TS)
+    with pytest.raises(RuntimeError, match="older"):
+        check_agr_freshness(store, RUN_TS + dt.timedelta(days=120))
+    empty_store = StateStore(spark, str(tmp_path / "state2"))
+    from ortholog_pipeline_spark.schemas import AGR_ORTHOLOGS_SCHEMA as S
+
+    empty_store.write("agr_orthologs", spark.createDataFrame([], S))
+    with pytest.raises(RuntimeError, match="empty"):
+        check_agr_freshness(empty_store, RUN_TS)
+
+
+def test_fix_xref_data_set(spark, store):
+    # plant a denormalized evidence set
+    orth = store.read("orthologs")
+    dirty = orth.withColumn(
+        "xref_data_set",
+        F.when(
+            F.col("genetogene_key") == 2, F.lit("OrthoDB,Ensembl,OrthoDB")
+        ).otherwise(F.col("xref_data_set")),
+    )
+    store.write("orthologs", dirty)
+
+    res = run_fix_xref_data_set(store)
+    assert res.n_orthologs_fixed == 1
+    fixed = {
+        r.genetogene_key: r.xref_data_set for r in store.read("orthologs").collect()
+    }
+    assert fixed[2] == "Ensembl, OrthoDB"

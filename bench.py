@@ -24,7 +24,9 @@ HEADLINE = [
     "j1_resolution_verdict",
     "w1_best_fit_pick",
     "w2_duplicate_cleanup",
+    "j7_conflict_verdict",
     "j10_cdc_sync",
+    "a2_merge_dup_relations",
     "u4_complement_closure",
     "j8_missing_reverse",
     "j12_no_orthologs_report",

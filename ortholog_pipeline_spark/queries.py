@@ -968,3 +968,466 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim") >= 0.45)
     )
+
+
+# ---------------------------------------------------------------------------
+# J7 — conflict-verdict full-outer join (incoming pick vs existing row)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j7_conflict_verdict",
+    """
+    WITH incoming AS (
+      SELECT l_orderkey, l_partkey, l_quantity FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_quantity DESC, l_partkey ASC) AS rn
+        FROM lineitem WHERE l_linestatus = 'O'
+      ) WHERE rn = 1
+    ), existing AS (
+      SELECT l_orderkey, l_partkey, l_quantity FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_quantity DESC, l_partkey ASC) AS rn
+        FROM lineitem WHERE l_linestatus = 'F'
+      ) WHERE rn = 1
+    )
+    SELECT CASE WHEN e.l_orderkey IS NULL THEN 'INSERT'
+                WHEN i.l_orderkey IS NULL THEN 'STALE'
+                WHEN i.l_partkey = e.l_partkey THEN 'MATCH'
+                WHEN i.l_quantity > e.l_quantity THEN 'DELETE_EXISTING'
+                ELSE 'DOWNGRADE' END AS verdict,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM incoming i FULL OUTER JOIN existing e USING (l_orderkey)
+    GROUP BY 1
+    """,
+)
+def j7_conflict_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (OrthologRelationDao.java:107-159): incoming pick vs best existing row per
+    key, one full-outer join + a comparator when/otherwise chain producing
+    INSERT/MATCH/DELETE_EXISTING/DOWNGRADE/STALE verdicts."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def top1(status: str) -> DataFrame:
+        w = Window.partitionBy("l_orderkey").orderBy(
+            F.col("l_quantity").desc(), F.col("l_partkey").asc()
+        )
+        return (
+            li.filter(F.col("l_linestatus") == status)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("l_orderkey", "l_partkey", "l_quantity")
+        )
+
+    inc = top1("O").withColumnsRenamed(
+        {"l_partkey": "i_part", "l_quantity": "i_qty"}
+    )
+    exi = top1("F").withColumnsRenamed(
+        {"l_partkey": "e_part", "l_quantity": "e_qty"}
+    )
+    j = inc.join(exi, "l_orderkey", "full_outer")
+    verdict = (
+        F.when(F.col("e_part").isNull(), "INSERT")
+        .when(F.col("i_part").isNull(), "STALE")
+        .when(F.col("i_part") == F.col("e_part"), "MATCH")
+        .when(F.col("i_qty") > F.col("e_qty"), "DELETE_EXISTING")
+        .otherwise("DOWNGRADE")
+    )
+    return j.groupBy(verdict.alias("verdict")).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# W3/W4 — comparator rank + keep-one-of-multiple
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w3_w4_keep_best_existing",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey, l_partkey
+               ORDER BY CASE l_returnflag WHEN 'R' THEN 4 WHEN 'A' THEN 3
+                                          ELSE 1 END DESC,
+                        l_quantity DESC,
+                        CAST(l_shipdate AS VARCHAR) DESC,
+                        l_linenumber ASC
+             ) AS rn
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM ranked WHERE rn = 1 GROUP BY l_returnflag
+    """,
+)
+def w3_w4_keep_best_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 comparator ordering (priority -> evidence -> DESCENDING case-insensitive
+    final key, OrthologRelationDao.java:164-188) + W4 keep-one (rank 1 survives)."""
+    li = _t(spark, sf_dir, "lineitem")
+    prio = (
+        F.when(F.col("l_returnflag") == "R", 4)
+        .when(F.col("l_returnflag") == "A", 3)
+        .otherwise(1)
+    )
+    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy(
+        prio.desc(),
+        F.col("l_quantity").desc(),
+        F.col("l_shipdate").cast("string").desc(),
+        F.col("l_linenumber").asc(),
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — duplicate-relation merge with the HGNC+NCBI evidence rule
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_merge_dup_relations",
+    """
+    WITH rel AS (
+      SELECT CAST(l_partkey % 97 AS INT) AS src_rgd_id,
+             CAST(l_suppkey % 89 AS INT) AS dest_rgd_id,
+             CASE WHEN l_returnflag = 'R' THEN 'HGNC' ELSE 'NCBI' END AS data_source,
+             'T' || CAST(l_linenumber % 4 AS VARCHAR) AS token
+      FROM lineitem
+    ), merged AS (
+      SELECT src_rgd_id, dest_rgd_id,
+             list_sort(list_distinct(list(DISTINCT data_source))) AS sources,
+             list_sort(list_distinct(list(token) FILTER (WHERE data_source = 'HGNC')))
+               AS hgnc_ev,
+             list_sort(list_distinct(list(token))) AS all_ev
+      FROM rel GROUP BY 1, 2
+    )
+    SELECT src_rgd_id, dest_rgd_id,
+           CASE WHEN len(sources) = 1 THEN sources[1] ELSE 'HGNC' END AS data_source,
+           CASE WHEN len(sources) = 2
+                THEN array_to_string(list_sort(list_distinct(
+                       list_append(hgnc_ev, 'NCBI'))), ', ')
+                ELSE array_to_string(all_ev, ', ') END AS data_set_name
+    FROM merged
+    """,
+)
+def a2_merge_dup_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 via the engine's merge_duplicate_relations (OrthologGroup.java:20-60):
+    same-source rows union evidence; an {HGNC, NCBI} pair keeps HGNC + appends the
+    literal 'NCBI' token."""
+    from ortholog_pipeline_spark.operators import grouping as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    rel = li.select(
+        (F.col("l_partkey") % 97).cast("int").alias("src_rgd_id"),
+        (F.col("l_suppkey") % 89).cast("int").alias("dest_rgd_id"),
+        F.lit(1).alias("src_species_type_key"),
+        F.lit(3).alias("dest_species_type_key"),
+        F.when(F.col("l_returnflag") == "R", "HGNC")
+        .otherwise("NCBI")
+        .alias("data_source"),
+        F.concat(F.lit("T"), (F.col("l_linenumber") % 4).cast("string")).alias("data_set_name"),
+    )
+    return G.merge_duplicate_relations(rel).select(
+        "src_rgd_id", "dest_rgd_id", "data_source", "data_set_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/A8 — distinct-explode count + duplicate detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a7_distinct_entity_count",
+    """
+    SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS n_distinct FROM (
+      SELECT l_partkey AS x FROM lineitem
+      UNION ALL
+      SELECT l_suppkey AS x FROM lineitem
+    )
+    """,
+)
+def a7_distinct_entity_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (AgrTsvLoader.java:91, 131-136): distinct count over BOTH sides of every
+    pair — explode(array(c1, c2)) then distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.explode(F.array(F.col("l_partkey"), F.col("l_suppkey"))).alias("x")
+        )
+        .agg(F.count_distinct("x").alias("n_distinct"))
+    )
+
+
+@register(
+    "a8_duplicate_detection",
+    """
+    SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM (
+      SELECT l_orderkey, l_partkey, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1, 2
+    ) GROUP BY 1
+    """,
+)
+def a8_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (OrthologRelationDao.java:798-819 precondition): per-natural-key row counts
+    histogram — keys with n>1 are the duplicate-cleanup inputs."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.count("*").alias("n_rows")
+    )
+    return per_key.groupBy("n_rows").agg(F.count("*").alias("n_keys"))
+
+
+# ---------------------------------------------------------------------------
+# C5 — Greek transliteration (incl. the preserved eta->lambda reference bug)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c5_greek_transliteration",
+    """
+    SELECT CASE CAST(p_partkey % 5 AS INT)
+             WHEN 0 THEN p_name || '-alpha'
+             WHEN 1 THEN p_name || '-beta'
+             WHEN 2 THEN p_name || '-lambda'
+             WHEN 3 THEN p_name || '-DELTA'
+             ELSE p_name || '-theta' END AS symbol,
+           CAST(p_partkey AS BIGINT) AS p_partkey
+    FROM part
+    """,
+)
+def c5_greek_transliteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 (AgrTsvLoader.java:437-486) via the engine's regexp-chain transliteration.
+    Codepoint 951 (eta) maps to 'lambda' — the reference's apparent upstream bug,
+    mirrored for byte-compatibility (index 2 here exercises it)."""
+    from ortholog_pipeline_spark.functions.strings import transliterate_greek
+
+    p = _t(spark, sf_dir, "part")
+    greek = F.element_at(
+        F.array(F.lit("α"), F.lit("β"), F.lit("η"), F.lit("Δ"), F.lit("θ")),
+        (F.col("p_partkey") % 5 + 1).cast("int"),
+    )
+    raw = F.concat(F.col("p_name"), F.lit("-"), greek)
+    return p.select(
+        transliterate_greek(raw).alias("symbol"),
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4/J6 — semi-join existence probes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j4_semi_join_exists",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_with_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def j4_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J6 (areGenesOrthologous / areGenesAssociated scalar probes,
+    OrthologRelationDao.java:210-228) as ONE dataset-wide left-semi join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(o, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J13 — all-pairs within group (deprecated HomoloGene flow)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j13_all_pairs_within_group",
+    """
+    WITH members AS (
+      SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+    )
+    SELECT a.l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_directed_pairs
+    FROM members a JOIN members b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    GROUP BY a.l_orderkey
+    """,
+)
+def j13_all_pairs_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 (HomologeneLoader.java:306-343): per-group all-pairs self-join with an
+    index inequality; count of i<j pairs per group (both directions = 2x)."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.select("l_orderkey", "l_linenumber")
+    a = m.withColumnsRenamed({"l_linenumber": "ln_a"})
+    b = m.withColumnsRenamed({"l_linenumber": "ln_b"})
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ln_a") < F.col("ln_b"))
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_directed_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J14 — report join with prefer-best subset
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j14_report_join_prefer_best",
+    """
+    WITH flagged AS (
+      SELECT n.n_name, r.r_name, s.s_name, s.s_acctbal,
+             CASE WHEN s.s_acctbal > 5000 THEN 1 ELSE 0 END AS best,
+             MAX(CASE WHEN s.s_acctbal > 5000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY n.n_nationkey) AS any_best
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                      JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT n_name, r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM flagged WHERE any_best = 0 OR best = 1
+    GROUP BY n_name, r_name
+    """,
+)
+def j14_report_join_prefer_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 (OrthoTool.java:126-166): 3-table equi-join + the W5 prefer-best window
+    filter, dimension sides broadcast."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    best = F.when(F.col("s_acctbal") > 5000, 1).otherwise(0)
+    w = Window.partitionBy("n_nationkey")
+    return (
+        j.withColumn("best", best)
+        .withColumn("any_best", F.max("best").over(w))
+        .filter((F.col("any_best") == 0) | (F.col("best") == 1))
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O5/C7 — canonical token-set sort; C9/C13 recodes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o5_pipe_token_sort",
+    """
+    SELECT p_partkey,
+           array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(p_type, ' '))), '|') AS sorted_tokens
+    FROM part
+    """,
+)
+def o5_pipe_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/C7 (sortAlgorithmsStr, AgrTsvLoader.java:225-229): dedup + ASCII-sort a
+    token set into the canonical '|'-packed form."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.col("p_type"), " "))), "|"
+        ).alias("sorted_tokens"),
+    )
+
+
+@register(
+    "c9_c13_recodes",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_new,
+             CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_old
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           printf('%+d', n_new - n_old) AS delta,
+           CASE WHEN n_new > n_old THEN 'Y' ELSE 'N' END AS grew
+    FROM agg
+    """,
+)
+def c9_c13_recodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 signed-diff formatting (Manager.java:145-148) + C13 boolean recode to
+    'Y'/'N' (Dao.java:827-828)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_linestatus") == "O", 1)).alias("n_new"),
+        F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("n_old"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.format_string("%+d", F.col("n_new") - F.col("n_old")).alias("delta"),
+        F.when(F.col("n_new") > F.col("n_old"), "Y").otherwise("N").alias("grew"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-family — filter + projection pushdown demo
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_filter_projection_pushdown",
+    """
+    SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+    GROUP BY 1
+    """,
+)
+def f_filter_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: predicate + projection narrow enough that the parquet scan reads 2
+    columns with pushed filters (verified by the explain-plan audit test)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+        )
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("ship_month")
+        )
+        .agg(F.count("*").alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (rows-only: codec stubs are not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+@register("mm_image_features")  # rows-only
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: synthesize media from documents, decode image features
+    via Arrow-batched mapInPandas (codec stubbed — deterministic fake)."""
+    from ortholog_pipeline_spark import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.synthesize_media_from_documents(docs)
+    return MM.decode_image_features(media)
+
+
+@register("mm_frame_sample")  # rows-only
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over binary payloads via mapInPandas (stubbed decode)."""
+    from ortholog_pipeline_spark import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.synthesize_media_from_documents(docs)
+    return MM.sample_frames(media, every_nth=10)

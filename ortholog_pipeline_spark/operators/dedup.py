@@ -87,6 +87,45 @@ def shingle_hash31(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.pmod(hex_hash64(s), F.lit(MINHASH_M31)))
 
 
+#: Polynomial combine constants for hashed k-grams (products stay < 2^52).
+SHINGLE_A = 1000003
+SHINGLE_B = 1009
+
+
+def token_hashes31(text_col: str) -> Column:
+    """31-bit hash per whitespace token — the single md5 pass."""
+    return F.transform(
+        tokens(text_col), lambda t: F.pmod(hex_hash64(t), F.lit(MINHASH_M31))
+    )
+
+
+def hashed_shingles31(text_col: str, k: int = 3) -> Column:
+    """Distinct 31-bit trigram shingle hashes WITHOUT materializing shingle strings:
+    md5-hash each token, then combine 3 consecutive token hashes polynomially
+    ((h_i·A + h_{i+1}·B + h_{i+2}) mod 2^31; products < 2^52, ANSI-safe).
+
+    Built from ``zip_with`` over shifted slices, NOT ``element_at(th, i)`` inside a
+    ``transform`` lambda: zip_with evaluates its array operands once per ROW, while
+    an array expression referenced inside a per-element lambda is re-inlined by
+    CollapseProject and re-evaluated per ELEMENT — measured O(n²) blowup (10×
+    slower at sf0.1). Only k=3 (polynomial unrolled for codegen)."""
+    if k != 3:
+        raise ValueError("hashed_shingles31 supports k=3 only")
+    th = token_hashes31(text_col)
+    n = F.size(th)
+    ab = F.zip_with(
+        th,
+        F.slice(th, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: x * F.lit(SHINGLE_A) + y * F.lit(SHINGLE_B),
+    )
+    abc = F.zip_with(
+        ab,
+        F.slice(th, 3, F.greatest(n - 2, F.lit(0))),
+        lambda xy, z: F.pmod(xy + z, F.lit(MINHASH_M31)),
+    )
+    return F.array_distinct(F.filter(abc, lambda x: x.isNotNull()))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """MinHash signature via single-md5 + affine rehash: sig[h] = min over shingles of
     (A_h·hash31(s) + B_h) mod P. Pure array expressions — computed map-side, and ~16×
@@ -201,12 +240,7 @@ def minhash_lsh_dedup(
     re-tokenizing per branch. Jaccard is computed over hashed shingles (standard LSH
     practice; 31-bit collisions are vanishingly rare at document scale)."""
     hashed = (
-        df.select(
-            id_col,
-            F.array_distinct(
-                shingle_hash31(word_shingles(text_col, k))
-            ).alias("h31"),
-        )
+        df.select(id_col, hashed_shingles31(text_col, k).alias("h31"))
         .filter(F.size("h31") > 0)
         .persist()
     )

@@ -809,15 +809,21 @@ _MINHASH_AB_SQL = (
 @register(
     "dedup_minhash_lsh",
     f"""
-    WITH sh AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+    WITH th AS (
+      SELECT doc_id,
+             list_transform({_TOKS_SQL}, t ->
+               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {DD.MINHASH_M31}
+             ) AS th
+      FROM documents
     ),
     h AS (
       SELECT doc_id,
-             list_distinct(list_transform(shingles, s ->
-               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {DD.MINHASH_M31}
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(th) - 2, 0)),
+               i -> (th[i] * {DD.SHINGLE_A} + th[i+1] * {DD.SHINGLE_B} + th[i+2])
+                    % {DD.MINHASH_M31}
              )) AS h31
-      FROM sh WHERE len(shingles) > 0
+      FROM th WHERE len(th) >= 3
     ),
     sig AS (
       SELECT doc_id, h31,

@@ -1,0 +1,56 @@
+"""Physical-plan audit: the scale properties the engine promises must be visible in
+the optimized plans — pushed filters, pruned scans, broadcast dimension joins,
+distributed top-k. A regression here is a 100TB problem long before it is a
+correctness problem.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ortholog_pipeline_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = Q.queries()[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = _plan(spark, "f_filter_projection_pushdown")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    assert "LessThanOrEqual(l_discount,0.07)" in plan
+    # column pruning: the lineitem scan reads exactly the two used columns
+    assert "ReadSchema: struct<l_discount:double,l_shipdate:timestamp_ntz>" in plan
+
+
+def test_global_topk_is_take_ordered_not_window(spark):
+    plan = _plan(spark, "j_join_group_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan  # a global window would single-partition the data
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "j14_report_join_prefer_best")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_best_fit_window_is_partitioned(spark):
+    plan = _plan(spark, "w1_best_fit_pick")
+    # the W1 windows must carry a partition spec (no whole-table single partition)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "l_orderkey" in line
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = _plan(spark, "a4_pricing_summary")
+    # map-side combine: partial aggregates run before the exchange, so the shuffle
+    # moves one row per (group × partition), not the raw table
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") < plan.index("Exchange") or "HashAggregate" in plan

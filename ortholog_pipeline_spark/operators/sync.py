@@ -142,6 +142,24 @@ def stale_rows(
     return stale
 
 
+def touch_last_modified(
+    existing: DataFrame,
+    touched_keys: DataFrame,
+    key_cols: list[str],
+    run_ts,
+    modified_by: int,
+) -> DataFrame:
+    """S10 — rows matched this run get their last-modified stamp refreshed
+    (``updateLastModified``, OrthologRelationDao.java:498-500): a semi-join selects
+    the touched rows, two withColumns restamp them. The result feeds
+    ``StateStore.apply_changes(updates=...)``."""
+    return (
+        existing.join(touched_keys.select(*key_cols).dropDuplicates(), key_cols, "left_semi")
+        .withColumn("last_modified_by", F.lit(modified_by))
+        .withColumn("last_modified_date", F.lit(run_ts))
+    )
+
+
 def guard_delete_threshold(
     n_delete: int, n_total: int, threshold_pct: float = 10.0
 ) -> None:

@@ -158,6 +158,93 @@ def run_agr_load(
     resolved_lines = _resolve_side(
         _resolve_side(lines, 1, curie_dim, symbol_dim), 2, curie_dim, symbol_dim
     )
+
+    # S13 — cascade step 4 (insertAgrGene, Dao.java:621-642): an unresolvable side
+    # whose species is NOT rat/mouse/human gets a newly minted gene (id + gene row +
+    # curie xref appended to the snapshots); rat/mouse/human residues stay
+    # unresolved (audit stream), matching AgrTsvLoader.java:377-392.
+    mintable_species = [
+        k for k in AGR_SPECIES_TAXON_IDS.values() if k not in (1, 2, 3)
+    ]
+    to_mint = (
+        resolved_lines.filter(
+            F.col("rgd_id_1").isNull()
+            & F.col("species_type_key_1").isin(mintable_species)
+        )
+        .select(
+            F.col("gene1_id").alias("curie"),
+            transliterate_greek(F.col("gene1_symbol")).alias("gene_symbol"),
+            F.col("species_type_key_1").alias("species_type_key"),
+        )
+        .unionByName(
+            resolved_lines.filter(
+                F.col("rgd_id_2").isNull()
+                & F.col("species_type_key_2").isin(mintable_species)
+            ).select(
+                F.col("gene2_id").alias("curie"),
+                transliterate_greek(F.col("gene2_symbol")).alias("gene_symbol"),
+                F.col("species_type_key_2").alias("species_type_key"),
+            )
+        )
+        .dropDuplicates(["curie"])
+    )
+    max_rgd = rgd_ids.agg(F.max("rgd_id")).collect()[0][0] or 0
+    minted = (
+        next_surrogate_keys(to_mint, max_rgd, "rgd_id")
+        .withColumn("rgd_id", F.col("rgd_id").cast("int"))  # match snapshot schema
+        .persist()
+    )
+    if minted.limit(1).count():
+        ts0 = F.lit(run_ts)
+        store.apply_changes(
+            "genes",
+            inserts=minted.select(
+                "rgd_id",
+                "gene_symbol",
+                F.lit("gene").alias("gene_type_lc"),
+                F.lit(None).cast("string").alias("ensembl_gene_symbol"),
+                "species_type_key",
+            ),
+        )
+        store.apply_changes(
+            "rgd_ids",
+            inserts=minted.select(
+                "rgd_id",
+                F.lit("ACTIVE").alias("object_status"),
+                "species_type_key",
+                F.lit(1).alias("object_key"),
+                F.lit(None).cast("int").alias("replaced_by_rgd_id"),
+            ),
+        )
+        max_xref = xrefs.agg(F.max("acc_xdb_key")).collect()[0][0] or 0
+        new_xrefs = next_surrogate_keys(
+            minted.select(
+                "rgd_id",
+                F.col("curie").alias("acc_id"),
+                F.lit(XDB_KEY_AGR_GENE).alias("xdb_key"),
+                F.lit("AGR").alias("src_pipeline"),
+                ts0.alias("modification_date"),
+            ),
+            max_xref,
+            "acc_xdb_key",
+        ).withColumn("acc_xdb_key", F.col("acc_xdb_key").cast("int"))
+        store.apply_changes(
+            "xrefs", inserts=new_xrefs.select(*[f.name for f in xrefs.schema.fields])
+        )
+        mint_dim_1 = minted.select(
+            F.col("curie").alias("gene1_id"), F.col("rgd_id").alias("_mint_1")
+        )
+        mint_dim_2 = minted.select(
+            F.col("curie").alias("gene2_id"), F.col("rgd_id").alias("_mint_2")
+        )
+        resolved_lines = (
+            resolved_lines.join(F.broadcast(mint_dim_1), "gene1_id", "left")
+            .join(F.broadcast(mint_dim_2), "gene2_id", "left")
+            .withColumn("rgd_id_1", F.coalesce("rgd_id_1", "_mint_1"))
+            .withColumn("rgd_id_2", F.coalesce("rgd_id_2", "_mint_2"))
+            .drop("_mint_1", "_mint_2")
+        )
+
     resolved = resolved_lines.filter(
         F.col("rgd_id_1").isNotNull() & F.col("rgd_id_2").isNotNull()
     )

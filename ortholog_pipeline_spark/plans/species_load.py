@@ -328,11 +328,20 @@ def run_species_load(
     _, dup_deletes = bestfit.duplicate_cleanup(provisional, PIPELINE_USER_ID)
     all_deletes = deletes.unionByName(dup_deletes.select("genetogene_key"))
 
+    # S10: matched rows get their last-modified stamp refreshed
+    matched_keys = verdicts.filter(F.col("verdict") == "MATCH").select(
+        F.col("ex_key").alias("genetogene_key")
+    )
+    touched = sync.touch_last_modified(
+        orthologs, matched_keys, ["genetogene_key"], run_ts, PIPELINE_USER_ID
+    )
     orthologs_version = store.apply_changes(
         "orthologs",
         inserts=inserts,
         deletes=all_deletes,
         delete_key=["genetogene_key"],
+        updates=touched,
+        update_key=["genetogene_key"],
     )
     final_orthologs = store.read("orthologs")
 

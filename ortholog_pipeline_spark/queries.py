@@ -1437,3 +1437,43 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = MM.synthesize_media_from_documents(docs)
     return MM.sample_frames(media, every_nth=10)
+
+
+# ---------------------------------------------------------------------------
+# C-family scalar bundle: evidence count, curie suffix, quote strip, case-insens
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c_scalar_functions",
+    r"""
+    SELECT c_custkey,
+           len(regexp_split_to_array(c_name, '0')) AS evidence_count,
+           TRY_CAST(regexp_extract(c_name, '^Customer#0*(\d+)$', 1) AS INT)
+             AS curie_suffix,
+           trim(regexp_replace(trim('"' || c_mktsegment || '"'), '^"(.*)"$', '\1'))
+             AS stripped,
+           CASE WHEN LOWER(c_mktsegment) = 'building' THEN 'Y' ELSE 'N' END
+             AS ci_match
+    FROM customer
+    """,
+)
+def c_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 evidence count (commas+1), C6 curie numeric suffix, C8 quote strip, C4
+    case-insensitive equality — the engine's Catalyst-only scalar helpers."""
+    from ortholog_pipeline_spark.functions.strings import strip_quotes
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.size(F.split(F.col("c_name"), "0")).alias("evidence_count"),
+        F.regexp_extract(F.col("c_name"), r"^Customer#0*(\d+)$", 1)
+        .try_cast("int")
+        .alias("curie_suffix"),
+        strip_quotes(
+            F.concat(F.lit('"'), F.col("c_mktsegment"), F.lit('"'))
+        ).alias("stripped"),
+        F.when(F.lower(F.col("c_mktsegment")) == "building", "Y")
+        .otherwise("N")
+        .alias("ci_match"),
+    )

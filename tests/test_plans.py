@@ -201,7 +201,16 @@ def _agr_lines(spark):
 def test_agr_load_end_to_end(spark, store):
     res = run_agr_load(store, _agr_lines(spark), RUN_TS, delete_threshold_pct=100.0)
 
-    assert res.unresolved.count() == 1  # the FB: line
+    # the FB: fly side is MINTED (S13 new-gene creation), not left unresolved
+    assert res.unresolved.count() == 0
+    minted = {
+        r.acc_id: r.rgd_id
+        for r in store.read("xrefs").filter(F.col("acc_id") == "FB:F1").collect()
+    }
+    assert "FB:F1" in minted and minted["FB:F1"] > 200  # fresh id past the max
+    new_gene = store.read("genes").filter(F.col("rgd_id") == minted["FB:F1"]).collect()
+    assert len(new_gene) == 1 and new_gene[0].species_type_key == 10  # fruitfly
+
     agr = store.read("agr_orthologs")
     rows = {
         (r.gene_rgd_id_1, r.gene_rgd_id_2, r.methods_matched): r
@@ -214,6 +223,9 @@ def test_agr_load_end_to_end(spark, store):
     # new pair inserted via symbol resolution (2 → Tp53=102)
     k2 = (2, 102, "OrthoFinder")
     assert k2 in rows and rows[k2].is_best_rev_score == "N"
+    # the minted fly gene's pair landed too
+    k3 = (minted["FB:F1"], 1, "OrthoFinder")
+    assert k3 in rows
     assert res.n_stale_deleted == 0
 
 

@@ -19,9 +19,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ortholog_pipeline_spark.operators.dedup import hex_hash64, pow2
-
-
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -77,28 +74,37 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, num_planes: int = 8) -> Column:
-    """Random-hyperplane LSH bucket id: plane j's component i is ±1 from bit-parity
-    of md5(j:i); bucket bit j = sign of <plane_j, v>. Deterministic, no RNG."""
-    def plane_dot(j: Column) -> Column:
-        signed = F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda x, i: F.when(
-                hex_hash64(
-                    F.concat(j.cast("string"), F.lit(":"), i.cast("string"))
-                ).bitwiseAND(F.lit(1).cast("long"))
-                == 0,
-                x.cast("double"),
-            ).otherwise(-x.cast("double")),
-        )
-        return F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+def plane_signs(num_planes: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane components from md5 bit-parity of "j:i" — computed ONCE on the
+    driver (they are row-constants; an expression form would re-hash planes×dim md5s
+    per row) and embedded as literals."""
+    import hashlib
 
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(num_planes - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc + F.when(plane_dot(j) > 0, pow2(j)).otherwise(0),
-    )
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(num_planes)
+    ]
+
+
+def hyperplane_bucket(vec: Column, num_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: bucket bit j = sign of <plane_j, v>.
+    Deterministic (md5-derived planes, no RNG state) and pure multiply-add at run
+    time — the sign matrix is a literal."""
+    signs = plane_signs(num_planes, dim)
+    bucket = F.lit(0).cast("long")
+    for j in range(num_planes):
+        plane = F.array(*[F.lit(s) for s in signs[j]])
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    return bucket
 
 
 def lsh_topk(

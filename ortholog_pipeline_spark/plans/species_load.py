@@ -240,11 +240,14 @@ def run_species_load(
     clean, dropped = resolve.split_resolved(resolved)
     res_metrics = resolve.resolution_metrics(resolved)
 
-    # A1/A2 group + dedup-merge, then U4 symmetric closure
+    # A1/A2 group + dedup-merge, then U4 symmetric closure. ``closed`` feeds the
+    # tier cascade AND the weak-association candidates AND (via picks) the conflict
+    # join — persist it so the parse→resolve→merge lineage computes once, not once
+    # per downstream action.
     grouping.assert_human_sources(clean)
     merged = grouping.merge_duplicate_relations(clean)
     grouping.check_mergeable(merged)
-    closed = grouping.complement_closure(merged)
+    closed = grouping.complement_closure(merged).persist()
 
     # existing orthologs relevant to this run: keys of either direction
     species_scope = orthologs.filter(
@@ -256,8 +259,10 @@ def run_species_load(
     tiers = _tier_candidates(closed, genes, species_scope, agr)
     picks = _cascade_pick(tiers)
 
-    # J7 conflict verdicts vs existing
-    verdicts = _conflict_verdicts(picks, species_scope)
+    # J7 conflict verdicts vs existing — consumed by inserts, deletes, stale, touch,
+    # downgrades and the result object: persist to stop 6× recomputation of the
+    # cascade + full-outer join lineage
+    verdicts = _conflict_verdicts(picks, species_scope).persist()
 
     ts = F.lit(run_ts)
     species_of = F.broadcast(

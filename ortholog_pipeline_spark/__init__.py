@@ -17,6 +17,7 @@ Layout:
                 complement closure, best-fit windows, CDC sync, dedup, similarity
     plans/      end-to-end flows (species load, AGR load, fix-xref maintenance)
     streaming/  Structured Streaming wrappers over the batch graph
+    multimodal  binary media columns over Arrow-batched mapInPandas (stub codecs)
 """
 
 __version__ = "0.1.0"

@@ -155,9 +155,11 @@ def run_agr_load(
         .agg(F.min("rgd_id").alias("rgd_id"))  # first-wins determinism (§7)
     )
 
+    # consumed by minting (2 branches), resolved, unresolved, and the merge input —
+    # persist so parse+resolution runs once, not per downstream action
     resolved_lines = _resolve_side(
         _resolve_side(lines, 1, curie_dim, symbol_dim), 2, curie_dim, symbol_dim
-    )
+    ).persist()
 
     # S13 — cascade step 4 (insertAgrGene, Dao.java:621-642): an unresolvable side
     # whose species is NOT rat/mouse/human gets a newly minted gene (id + gene row +

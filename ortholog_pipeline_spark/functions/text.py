@@ -98,3 +98,16 @@ def fingerprint(col: Column | str) -> Column:
     """Document fingerprint = md5 of the normalized text (md5 is identical in Spark
     and DuckDB, unlike murmur `hash()`)."""
     return F.md5(normalize_text(col))
+
+
+#: BPE-ish pre-tokenization pattern: letter runs, digit runs, and single
+#: non-alnum marks each count as one token — the GPT-2-style pre-tokenizer shape
+#: without the merge table (token COUNTING, not encoding).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish pre-tokenizer — a closer proxy for LLM token
+    budgets than whitespace counting (punctuation and digit runs count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))

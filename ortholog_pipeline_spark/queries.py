@@ -1477,3 +1477,72 @@ def c_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("N")
         .alias("ci_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text: BPE-ish token counting + winnowing fingerprint (rolling hash)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_token_count",
+    r"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')))
+             AS BIGINT) AS sum_bpe_tokens,
+           ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))), 4)
+             AS avg_bpe_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under the BPE-ish pre-tokenizer (letter runs / digit runs /
+    single marks) — the LLM-token-budget proxy, vs whitespace counting."""
+    d = _t(spark, sf_dir, "documents")
+    n = TXT.bpe_ish_token_count("text")
+    return d.groupBy("lang").agg(
+        F.sum(n).cast("long").alias("sum_bpe_tokens"),
+        F.round(F.avg(n), 4).alias("avg_bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint_winnow",
+    f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform({_TOKS_SQL}, t ->
+               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {DD.MINHASH_M31}
+             ) AS th
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_min(list_transform(
+               generate_series(1, greatest(len(th) - 2, 0)),
+               i -> (th[i] * {DD.SHINGLE_A} + th[i+1] * {DD.SHINGLE_B} + th[i+2])
+                    % {DD.MINHASH_M31}
+             )) AS fp
+      FROM th WHERE len(th) >= 3
+    )
+    SELECT CAST(fp AS BIGINT) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM fp GROUP BY 1
+    """,
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing/min-sampling shape): the minimum
+    trigram rolling hash per document — near-identical docs collide."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", DD.hashed_shingles31("text", 3).alias("h31")
+    ).filter(F.size("h31") > 0)
+    return (
+        h.select("doc_id", F.array_min("h31").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )

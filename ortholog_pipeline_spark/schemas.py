@@ -193,3 +193,12 @@ XDB_KEY_AGR_GENE = 63
 PIPELINE_USER_ID = 70  # created_by for pipeline-owned rows (AppConfigure.xml:17)
 ORTHOLOG_TYPE_DIRECT = 11
 ORTHOLOG_TYPE_TRANSITIVE = 13
+
+#: HomoloGene homologene.data (deprecated flow, HomologeneLoader.java:70-95).
+HOMOLOGENE_SCHEMA = T.StructType(
+    [
+        T.StructField("homologene_id", T.IntegerType()),
+        T.StructField("tax_id", T.StringType()),
+        T.StructField("gene_id", T.StringType()),
+    ]
+)

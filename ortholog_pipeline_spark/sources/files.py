@@ -107,3 +107,55 @@ def check_sanity_floor(relations: DataFrame, minimum: int = 5000) -> int:
             f"sanity floor: parsed only {n} relations (< {minimum}) — aborting run"
         )
     return n
+
+
+def read_homologene(spark: SparkSession, path: str) -> DataFrame:
+    """S5 — HomoloGene ``homologene.data`` scan (deprecated flow,
+    HomologeneLoader.java:21-23, 70-95): 3 used columns of the tab file —
+    group id, taxonomic id, gene id."""
+    from ortholog_pipeline_spark.schemas import HOMOLOGENE_SCHEMA
+
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", "false")
+        .schema(HOMOLOGENE_SCHEMA)
+        .csv(path)
+    )
+
+
+def homologene_to_relations(homologene: DataFrame, tax_to_species: dict[str, int]) -> DataFrame:
+    """J13 — each HomoloGene group expands to all n·(n−1) directed member pairs
+    (HomologeneLoader.java:306-343): a per-group self-join on the group id with an
+    index inequality, then both directions via union. ``tax_to_species`` maps
+    taxonomic ids to species keys; unmapped rows are dropped (the reference skips
+    unsupported species)."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in tax_to_species.items() for x in kv]
+    )
+    members = homologene.select(
+        "homologene_id",
+        F.col("gene_id"),
+        mapping[F.col("tax_id")].alias("species_type_key"),
+    ).filter(F.col("species_type_key").isNotNull())
+
+    a = members.select(
+        "homologene_id",
+        F.col("gene_id").alias("src_other_id"),
+        F.col("species_type_key").alias("src_species_type_key"),
+    )
+    b = members.select(
+        "homologene_id",
+        F.col("gene_id").alias("dest_other_id"),
+        F.col("species_type_key").alias("dest_species_type_key"),
+    )
+    pairs = a.join(b, "homologene_id").filter(
+        F.col("src_other_id") != F.col("dest_other_id")
+    )
+    return pairs.select(
+        "src_other_id",
+        "dest_other_id",
+        "src_species_type_key",
+        "dest_species_type_key",
+        F.lit("HomoloGene").alias("data_source"),
+        F.concat(F.lit("homologene:"), F.col("homologene_id")).alias("data_set_name"),
+    )

@@ -74,3 +74,33 @@ def test_read_stream_tsv_matches_batch_parser(spark, tmp_path):
     assert len(rows) == 1
     assert (rows[0].src_other_id, rows[0].dest_other_id) == ("34", "24152")
     assert rows[0].data_source == "NCBI"
+
+
+def test_homologene_scan_and_all_pairs(spark, tmp_path):
+    import gzip as _gz
+
+    from ortholog_pipeline_spark.sources.files import (
+        homologene_to_relations,
+        read_homologene,
+    )
+
+    p = tmp_path / "homologene.data.gz"
+    lines = [
+        "1\t9606\tg_h1",
+        "1\t10116\tg_r1",
+        "1\t10090\tg_m1",
+        "2\t9606\tg_h2",
+        "1\t9999\tg_x",  # unmapped species — dropped
+    ]
+    with _gz.open(p, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+
+    hg = read_homologene(spark, str(p))
+    rel = homologene_to_relations(
+        hg, {"9606": 1, "10116": 3, "10090": 2}
+    )
+    pairs = {(r.src_other_id, r.dest_other_id) for r in rel.collect()}
+    # group 1 has 3 mapped members -> 6 directed pairs; group 2 is a singleton
+    assert len(pairs) == 6
+    assert ("g_h1", "g_r1") in pairs and ("g_r1", "g_h1") in pairs
+    assert not any("g_x" in p_ for pair in pairs for p_ in pair)

@@ -148,24 +148,63 @@ def lsh_topk(
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    num_planes: int = 8,
+    bands: int = 4,
+    planes_per_band: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets + exact verify within
-    bucket — the embedding analogue of minhash_lsh_dedup."""
+    """Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH + exact
+    verify — the embedding analogue of minhash_lsh_dedup.
+
+    A single bucket of r planes has collision probability (1−θ/π)^r, which decays
+    too fast for moderate thresholds; banding ORs over ``bands`` independent
+    buckets: p = 1−(1−(1−θ/π)^r)^B (e.g. cos≈0.45, r=3, B=4 → ~0.7 recall vs
+    ~0.27 single-band). Candidates are deduped across bands before the exact
+    cosine verify, so verification cost is bounded by distinct colliding pairs."""
+    total_planes = bands * planes_per_band
     c = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v")).withColumn(
-        "bucket", hyperplane_bucket(F.col("_v"), num_planes)
+        "_sig", hyperplane_bucket(F.col("_v"), total_planes, dim)
     )
-    a = c.select(
-        F.col(id_col).alias("id_1"), F.col("_v").alias("_v1"), "bucket"
+    # band key b = bits [b*r, (b+1)*r) of the sign pattern
+    mask = (1 << planes_per_band) - 1
+    banded = c.select(
+        id_col,
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("_sig"), b * planes_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select(id_col, "_v", F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key"))
+
+    a = banded.select(
+        F.col(id_col).alias("id_1"), F.col("_v").alias("_v1"), "band", "band_key"
     )
-    b = c.select(
-        F.col(id_col).alias("id_2"), F.col("_v").alias("_v2"), "bucket"
+    b = banded.select(F.col(id_col).alias("id_2"), "band", "band_key")
+    cands = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .dropDuplicates()
+    )
+    v1 = df.select(
+        F.col(id_col).alias("id_1"), as_double(F.col(vec_col)).alias("_v1")
+    )
+    v2 = df.select(
+        F.col(id_col).alias("id_2"), as_double(F.col(vec_col)).alias("_v2")
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_1") < F.col("id_2"))
+        cands.join(v1, "id_1")
+        .join(v2, "id_2")
         .select(
             "id_1",
             "id_2",

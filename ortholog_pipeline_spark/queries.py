@@ -1546,3 +1546,12 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
         )
     )
+
+
+@register("dedup_embedding_cosine_lsh")  # rows-only: hyperplane buckets, scale path
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (the scale path of
+    dedup_embedding_cosine): hyperplane buckets bound the candidate set, exact
+    cosine verifies within bucket."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_near_dup_pairs(emb, threshold=0.45, bands=4, planes_per_band=3)

@@ -63,13 +63,25 @@ def brute_force_topk(
             "query_id",
             id_col,
             F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+            # two-stage top-k: local rank within (query, input partition) first —
+            # a single-stage window on query_id alone would funnel the ENTIRE
+            # scored corpus for each query through one partition
+            F.spark_partition_id().alias("_part"),
         )
+    )
+    w_local = Window.partitionBy("query_id", "_part").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        scored.withColumn("_lrank", F.row_number().over(w_local))
+        .filter(F.col("_lrank") <= k)  # ≤ k × n_partitions rows reach the merge
+        .drop("_lrank", "_part")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

@@ -347,6 +347,8 @@ def run_species_load(
         delete_key=["genetogene_key"],
         updates=touched,
         update_key=["genetogene_key"],
+        # hot filter of every species run (species_scope) → partition pruning
+        partition_by=["dest_species_type_key"],
     )
     final_orthologs = store.read("orthologs")
 

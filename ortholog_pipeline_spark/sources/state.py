@@ -79,10 +79,12 @@ class StateStore:
         updates: DataFrame | None = None,
         update_key: list[str] | None = None,
         schema: T.StructType | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """next = ((current − deletes) updated-by updates) ∪ inserts, one shuffle per
         set — the snapshot-algebra equivalent of the reference's batched DML
-        (S8/S9/S11/S12)."""
+        (S8/S9/S11/S12). ``partition_by`` lays the new snapshot out for partition
+        pruning on its hot filter column (e.g. orthologs by species)."""
         cur = self.read(table, schema)
         nxt = cur
         if deletes is not None:
@@ -96,7 +98,7 @@ class StateStore:
             nxt = keep.unionByName(updates.select(*nxt.columns))
         if inserts is not None:
             nxt = nxt.unionByName(inserts.select(*nxt.columns))
-        return self.write(table, nxt)
+        return self.write(table, nxt, partition_by=partition_by)
 
 
 def next_surrogate_keys(

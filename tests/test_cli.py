@@ -1,0 +1,65 @@
+"""CLI entry point (§3 process entry): fix-xref flow end-to-end through
+``__main__.main`` and arg validation. Load flows are covered by test_plans; here we
+pin the dispatch + landing discovery glue."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+
+import pytest
+
+from ortholog_pipeline_spark.__main__ import _latest_landing, _species_relations, main
+from ortholog_pipeline_spark.schemas import ASSOCIATIONS_SCHEMA, ORTHOLOGS_SCHEMA
+from ortholog_pipeline_spark.sources.state import StateStore
+
+OLD_TS = dt.datetime(2025, 12, 1)
+
+
+def test_fix_xref_via_cli(spark, tmp_path, capsys):
+    store = StateStore(spark, str(tmp_path / "state"))
+    orthologs = [
+        (1, 1, 100, 1, 3, None, "HGNC", "OrthoDB,Ensembl,OrthoDB", 11, None,
+         70, OLD_TS, 70, OLD_TS),
+    ]
+    store.write("orthologs", spark.createDataFrame(orthologs, ORTHOLOGS_SCHEMA))
+    store.write("associations", spark.createDataFrame([], ASSOCIATIONS_SCHEMA))
+
+    rc = main(["--fix-xref-data-set", "--state-dir", str(tmp_path / "state")])
+    assert rc == 0
+    assert "1 orthologs" in capsys.readouterr().out
+    row = store.read("orthologs").collect()[0]
+    assert row.xref_data_set == "Ensembl, OrthoDB"
+
+
+def test_latest_landing_picks_newest(tmp_path):
+    for d in ("dt=2026-01-01", "dt=2026-02-01"):
+        (tmp_path / "hcop" / d).mkdir(parents=True)
+    assert _latest_landing(str(tmp_path), "hcop").endswith("dt=2026-02-01")
+    assert _latest_landing(str(tmp_path), "ncbi") is None
+
+
+def test_species_relations_union_of_sources(spark, tmp_path):
+    hcop_dir = tmp_path / "hcop" / "dt=2026-01-01"
+    hcop_dir.mkdir(parents=True)
+    ncbi_dir = tmp_path / "ncbi" / "dt=2026-01-01"
+    ncbi_dir.mkdir(parents=True)
+    hcop_cols = ["10116", "34"] + [""] * 6 + ["24152"] + [""] * 7
+    hcop_cols[15] = "Ensembl,OrthoDB"
+    with gzip.open(hcop_dir / "hcop.txt.gz", "wt") as f:
+        f.write("\t".join(hcop_cols) + "\n")
+    with gzip.open(ncbi_dir / "gene_orthologs.gz", "wt") as f:
+        f.write("#header\n9606\t35\tOrtholog\t10116\t24153\n")
+
+    rel = _species_relations(spark, str(tmp_path), "rat")
+    rows = {(r.src_other_id, r.dest_other_id, r.data_source) for r in rel.collect()}
+    assert rows == {("34", "24152", "HGNC"), ("35", "24153", "NCBI")}
+
+
+def test_cli_rejects_unknown_species(spark, tmp_path):
+    (tmp_path / "state").mkdir()
+    with pytest.raises(SystemExit):
+        main(
+            ["--species", "unicorn", "--state-dir", str(tmp_path / "state"),
+             "--landing-dir", str(tmp_path), "--skip-freshness-gate"]
+        )

@@ -1,0 +1,78 @@
+"""StateStore versioning semantics: atomic publish, time-travel by version dir,
+merge algebra, partitioned layout; plus the sliding-window streaming op in batch
+mode."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ortholog_pipeline_spark.sources.state import StateStore
+from ortholog_pipeline_spark.streaming import sliding_counts
+
+
+def test_versioned_publish_and_time_travel(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path))
+    assert store.current_version("t") == -1
+
+    df1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    assert store.write("t", df1) == 0
+    df2 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    assert store.write("t", df2) == 1
+    assert store.current_version("t") == 1
+    assert store.read("t").count() == 2
+    # prior version stays on disk — time travel by reading its directory
+    old = spark.read.parquet(os.path.join(str(tmp_path), "t", "v=0"))
+    assert old.count() == 1
+
+
+def test_apply_changes_algebra(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path))
+    store.write(
+        "t", spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    )
+    store.apply_changes(
+        "t",
+        inserts=spark.createDataFrame([(4, "d")], "k int, v string"),
+        deletes=spark.createDataFrame([(1,)], "k int"),
+        delete_key=["k"],
+        updates=spark.createDataFrame([(2, "B")], "k int, v string"),
+        update_key=["k"],
+    )
+    got = {r.k: r.v for r in store.read("t").collect()}
+    assert got == {2: "B", 3: "c", 4: "d"}
+
+
+def test_partitioned_snapshot_prunes(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path))
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("sp")
+    )
+    store.write("t", df, partition_by=["sp"])
+    back = store.read("t")
+    assert back.count() == 100
+    plan = back.filter(F.col("sp") == 2)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # partition pruning: the scan reports a partition filter on sp
+    assert "PartitionFilters" in plan and "sp" in plan.split("PartitionFilters")[1][:100]
+
+
+def test_sliding_counts_batch(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 5), 1),
+        (dt.datetime(2024, 1, 1, 0, 20), 1),
+        (dt.datetime(2024, 1, 1, 1, 40), 2),
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = sliding_counts(ev, window_size="1 hour", slide="30 minutes")
+    got = {
+        (r.window_start, r.user_id): r.n_events for r in out.collect()
+    }
+    # both user-1 events fall in the [23:30, 00:30) and [00:00, 01:00) windows
+    assert got[(dt.datetime(2024, 1, 1, 0, 0), 1)] == 2
+    assert got[(dt.datetime(2023, 12, 31, 23, 30), 1)] == 2
+    assert got[(dt.datetime(2024, 1, 1, 1, 30), 2)] == 1

@@ -293,3 +293,20 @@ def test_audit_outputs_and_driver_loop(spark, store, tmp_path):
     # audit tables are real parquet, readable back
     back = spark.read.parquet(str(tmp_path / "audit" / "r1" / "unmatched"))
     assert back.count() == 1
+
+
+def test_species_load_is_deterministic(spark, tmp_path):
+    """Engine policy (SURVEY §7): identical inputs → identical snapshots, surrogate
+    keys included (bucketed minting is order-free)."""
+    snaps = []
+    for run in ("a", "b"):
+        store = _seed_store(spark, tmp_path / run)
+        run_species_load(
+            store, _relations(spark), RUN_TS, RAT, delete_threshold_pct=100.0
+        )
+        orth = sorted(
+            map(tuple, store.read("orthologs").collect())
+        )
+        assoc = sorted(map(tuple, store.read("associations").collect()))
+        snaps.append((orth, assoc))
+    assert snaps[0] == snaps[1]

@@ -50,6 +50,7 @@ AGR_SPECIES_TAXON_IDS = {
 class AgrLoadResult:
     resolved: DataFrame  # parsed lines with both sides resolved
     unresolved: DataFrame  # audit: lines with an unresolvable side
+    symbol_qc: DataFrame  # audit: human symbols disagreeing with the DB (validateGeneSymbol)
     n_inserted: int
     n_updated: int
     n_stale_deleted: int
@@ -254,6 +255,33 @@ def run_agr_load(
         F.col("rgd_id_1").isNull() | F.col("rgd_id_2").isNull()
     )
 
+    # validateGeneSymbol QC (AgrTsvLoader.java:395-435): resolved HUMAN-side lines
+    # whose file symbol (transliterated, case-insensitive) matches neither the DB
+    # gene symbol nor the ensembl symbol — audit stream, not a drop.
+    db_syms = F.broadcast(
+        genes.select(
+            F.col("rgd_id").alias("rgd_id_1"),
+            F.lower("gene_symbol").alias("_db_sym"),
+            F.lower("ensembl_gene_symbol").alias("_db_ens"),
+        )
+    )
+    human_side = resolved.filter(F.col("species_type_key_1") == 1).withColumn(
+        "_file_sym", F.lower(transliterate_greek(F.col("gene1_symbol")))
+    )
+    symbol_qc = (
+        human_side.join(db_syms, "rgd_id_1", "left")
+        .filter(
+            ~F.col("_file_sym").eqNullSafe(F.col("_db_sym"))
+            & ~F.col("_file_sym").eqNullSafe(F.col("_db_ens"))
+        )
+        .select(
+            "gene1_id",
+            F.col("gene1_symbol").alias("file_symbol"),
+            F.col("rgd_id_1").alias("rgd_id"),
+            F.col("_db_sym").alias("db_symbol"),
+        )
+    )
+
     ts = F.lit(run_ts)
     incoming = (
         resolved.select(
@@ -305,6 +333,7 @@ def run_agr_load(
     return AgrLoadResult(
         resolved=resolved,
         unresolved=unresolved,
+        symbol_qc=symbol_qc,
         n_inserted=inserts.count(),
         n_updated=verdicts.filter(F.col("sync_verdict") == sync.UPDATE).count(),
         n_stale_deleted=n_stale,

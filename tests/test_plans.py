@@ -310,3 +310,17 @@ def test_species_load_is_deterministic(spark, tmp_path):
         assoc = sorted(map(tuple, store.read("associations").collect()))
         snaps.append((orth, assoc))
     assert snaps[0] == snaps[1]
+
+
+def test_agr_symbol_qc_flags_disagreement(spark, store):
+    # gene1_symbol 'WRONGNAME' resolves via curie but disagrees with DB 'A2M'
+    rows = [
+        ("HGNC:1", "WRONGNAME", "NCBITaxon:9606", "Homo sapiens",
+         "RGD:100", "A2m", "NCBITaxon:10116", "Rattus norvegicus",
+         "OrthoFinder", "OrthoFinder", "10", "Yes", "Yes"),
+    ]
+    lines = spark.createDataFrame(rows, AGR_SCHEMA)
+    res = run_agr_load(store, lines, RUN_TS, delete_threshold_pct=100.0)
+    qc = res.symbol_qc.collect()
+    assert len(qc) == 1
+    assert qc[0].file_symbol == "WRONGNAME" and qc[0].db_symbol == "a2m"

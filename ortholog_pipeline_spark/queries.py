@@ -29,11 +29,16 @@ _ORACLES: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects
+        # ([PARQUET_TYPE_ILLEGAL]).  nanosAsLong is a runtime-settable SQL conf,
+        # so force it here rather than relying on the session factory — the
+        # correctness harness builds its own default SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (session nanosAsLong): convert to a real
-        # timestamp via exact integer division (a double division would lose
-        # precision above 2^53 ns).
+        # Nanos read as long: convert to a real timestamp via exact integer
+        # division (a double division would lose precision above 2^53 ns).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

@@ -136,7 +136,10 @@ def run_agr_load(
             F.col("species_type_key_1").isNotNull()
             & F.col("species_type_key_2").isNotNull()
         )
-        .withColumn("methods_matched", pipe_set_sort("algorithms_match"))
+        # methods_matched comes from the Algorithms pipe list (file col 8), NOT the
+        # AlgorithmsMatch count (col 9) — sortAlgorithmsStr(cols[8]),
+        # AgrTsvLoader.java:124,180.
+        .withColumn("methods_matched", pipe_set_sort("algorithms"))
         .withColumn("is_best_score", yes_no_to_yn("is_best_score"))
         .withColumn("is_best_rev_score", yes_no_to_yn("is_best_rev_score"))
     )
@@ -287,7 +290,8 @@ def run_agr_load(
         resolved.select(
             F.col("rgd_id_1").alias("gene_rgd_id_1"),
             F.col("rgd_id_2").alias("gene_rgd_id_2"),
-            F.col("algorithms_match").alias("confidence"),
+            # the reference hardcodes confidence (AgrTsvLoader.java:178)
+            F.lit("stringent").alias("confidence"),
             "is_best_score",
             "is_best_rev_score",
             "methods_matched",

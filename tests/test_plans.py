@@ -176,24 +176,27 @@ def test_species_load_delete_threshold_trips(spark, store):
 
 
 def _agr_lines(spark):
+    # col 8 (algorithms) is the pipe list; col 9 (algorithms_match) is a COUNT —
+    # a real Alliance file never repeats the list there, so keeping the count here
+    # makes the test catch any regression that reads the wrong column.
     rows = [
         # resolvable via curie xref both sides; matches the existing AGR row's key
         ("HGNC:1", "A2M", "NCBITaxon:9606", "Homo sapiens",
          "RGD:100", "A2m", "NCBITaxon:10116", "Rattus norvegicus",
-         "Ensembl Compara|InParanoid", "InParanoid|Ensembl Compara", "10",
+         "InParanoid|Ensembl Compara", "2", "10",
          "Yes", "Yes"),
         # new pair: curie 1 side + symbol-resolved side (Tp53, rat)
         ("HGNC:2", "BRCA2", "NCBITaxon:9606", "Homo sapiens",
          "XX:1", "Tp53", "NCBITaxon:10116", "Rattus norvegicus",
-         "OrthoFinder", "OrthoFinder", "10", "Yes", "No"),
+         "OrthoFinder", "1", "10", "Yes", "No"),
         # unresolvable: unknown curie and symbol
         ("FB:F1", "nope", "NCBITaxon:7227", "Drosophila melanogaster",
          "HGNC:1", "A2M", "NCBITaxon:9606", "Homo sapiens",
-         "OrthoFinder", "OrthoFinder", "10", "No", "No"),
+         "OrthoFinder", "1", "10", "No", "No"),
         # filtered out: species not in the processed set
         ("XEN:1", "x", "NCBITaxon:8364", "Xenopus tropicalis",
          "HGNC:1", "A2M", "NCBITaxon:9606", "Homo sapiens",
-         "OrthoFinder", "OrthoFinder", "10", "No", "No"),
+         "OrthoFinder", "1", "10", "No", "No"),
     ]
     return spark.createDataFrame(rows, AGR_SCHEMA)
 
@@ -223,6 +226,8 @@ def test_agr_load_end_to_end(spark, store):
     # new pair inserted via symbol resolution (2 → Tp53=102)
     k2 = (2, 102, "OrthoFinder")
     assert k2 in rows and rows[k2].is_best_rev_score == "N"
+    # confidence is the hardcoded constant (AgrTsvLoader.java:178), never the count
+    assert rows[k2].confidence == "stringent"
     # the minted fly gene's pair landed too
     k3 = (minted["FB:F1"], 1, "OrthoFinder")
     assert k3 in rows

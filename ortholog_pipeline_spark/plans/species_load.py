@@ -170,49 +170,108 @@ def _cascade_pick(tiers: DataFrame) -> DataFrame:
     )
 
 
-def _conflict_verdicts(picks: DataFrame, existing: DataFrame) -> DataFrame:
+def _conflict_verdicts(
+    picks: DataFrame, existing: DataFrame, genes: DataFrame
+) -> tuple[DataFrame, DataFrame]:
     """J7 — incoming pick vs existing ortholog for the same key, as one full-outer
     join + the W3 comparator encoded in a when/otherwise chain
     (OrthologRelationDao.java:107-159, comparator :164-188).
 
+    The full comparator has four stages (compareOrthologs): source priority
+    (RGD > Alliance > HGNC > NCBI), evidence count, src-symbol-matches-dest-symbol,
+    then descending case-insensitive dest symbol. The symbol stages break
+    priority+evidence ties both between in-DB rows (the ex-best window) and between
+    the surviving in-DB row and the incoming candidate (the verdict chain).
+
     Verdicts: INSERT (no existing), MATCH (same dest → touch), DELETE_EXISTING
     (incoming outranks existing → replace), DOWNGRADE (existing outranks → incoming
-    becomes a weak association). Existing rows beyond the best one per key are
-    surplus deletes (W4, Dao.java:122-133) handled by duplicate_cleanup.
+    becomes a weak association), STALE (existing with no incoming pick).
+
+    Returns ``(verdicts, ex_ranked)``: ``ex_ranked`` carries every existing row with
+    its per-key comparator rank ``_rn`` (1 = best) plus ownership flags, so the
+    caller can emit surplus deletes (rank > 1 of picked keys, Dao.java:121-133) and
+    REQUIREMENT-2-guarded stale deletes (Dao.java:92-99).
     """
     from ortholog_pipeline_spark.functions.strings import (
         evidence_count,
         source_priority,
     )
 
-    ex = existing.select(
-        *KEY,
-        F.col("dest_rgd_id").alias("ex_dest_rgd_id"),
-        F.col("xref_data_src").alias("ex_src"),
-        F.col("xref_data_set").alias("ex_set"),
-        F.col("genetogene_key").alias("ex_key"),
+    sym = F.broadcast(
+        genes.select("rgd_id", F.lower("gene_symbol").alias("_sym_lc"))
     )
-    # W4: one existing row per key enters the comparison (best by W3 ordering)
+    ex = (
+        existing.select(
+            *KEY,
+            F.col("dest_rgd_id").alias("ex_dest_rgd_id"),
+            F.col("xref_data_src").alias("ex_src"),
+            F.col("xref_data_set").alias("ex_set"),
+            F.col("genetogene_key").alias("ex_key"),
+            F.col("created_by").alias("ex_created_by"),
+        )
+        .join(
+            sym.withColumnsRenamed({"rgd_id": "src_rgd_id", "_sym_lc": "_src_sym"}),
+            "src_rgd_id",
+            "left",
+        )
+        .join(
+            sym.withColumnsRenamed(
+                {"rgd_id": "ex_dest_rgd_id", "_sym_lc": "_ex_dest_sym"}
+            ),
+            "ex_dest_rgd_id",
+            "left",
+        )
+    )
+    # W4: rank existing rows per key by the full W3 comparator; rank 1 enters the
+    # conflict join, the rest are surplus (Dao.java:121-133 sorts and keeps one)
     w = Window.partitionBy(*KEY).orderBy(
         source_priority("ex_src").desc(),
         evidence_count("ex_set").desc(),
+        F.col("_ex_dest_sym").eqNullSafe(F.col("_src_sym")).desc(),
+        F.col("_ex_dest_sym").desc_nulls_last(),
         F.col("ex_key").asc(),
     )
-    ex_best = (
-        ex.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    ex_ranked = ex.withColumn("_rn", F.row_number().over(w))
+    ex_best = ex_ranked.filter(F.col("_rn") == 1).drop(
+        "_rn", "ex_created_by", "_src_sym"
     )
 
-    j = picks.join(ex_best, KEY, "full_outer")
+    inc = picks.join(
+        sym.withColumnsRenamed({"rgd_id": "dest_rgd_id", "_sym_lc": "_inc_dest_sym"}),
+        "dest_rgd_id",
+        "left",
+    ).join(
+        sym.withColumnsRenamed({"rgd_id": "src_rgd_id", "_sym_lc": "_src_sym"}),
+        "src_rgd_id",
+        "left",
+    )
+    j = inc.join(ex_best, KEY, "full_outer")
     inc_rank = source_priority("xref_data_src") * 1000 + evidence_count("xref_data_set")
     ex_rank = source_priority("ex_src") * 1000 + evidence_count("ex_set")
+    # symbol tie-break (compareOrthologs, Dao.java:180-188): existing-dest-matches-src
+    # wins first, then incoming-dest-matches-src, then larger (case-insensitive)
+    # dest symbol wins
+    ex_sym_match = F.col("_ex_dest_sym").eqNullSafe(F.col("_src_sym"))
+    inc_sym_match = F.col("_inc_dest_sym").eqNullSafe(F.col("_src_sym"))
     verdict = (
         F.when(F.col("ex_dest_rgd_id").isNull(), F.lit("INSERT"))
         .when(F.col("dest_rgd_id").isNull(), F.lit("STALE"))
         .when(F.col("dest_rgd_id") == F.col("ex_dest_rgd_id"), F.lit("MATCH"))
         .when(inc_rank > ex_rank, F.lit("DELETE_EXISTING"))
+        .when(inc_rank < ex_rank, F.lit("DOWNGRADE"))
+        .when(ex_sym_match, F.lit("DOWNGRADE"))
+        .when(inc_sym_match, F.lit("DELETE_EXISTING"))
+        .when(
+            F.coalesce(F.col("_inc_dest_sym"), F.lit(""))
+            > F.coalesce(F.col("_ex_dest_sym"), F.lit("")),
+            F.lit("DELETE_EXISTING"),
+        )
         .otherwise(F.lit("DOWNGRADE"))
     )
-    return j.withColumn("verdict", verdict)
+    verdicts = j.withColumn("verdict", verdict).drop(
+        "_src_sym", "_inc_dest_sym", "_ex_dest_sym"
+    )
+    return verdicts, ex_ranked
 
 
 def run_species_load(
@@ -262,7 +321,9 @@ def run_species_load(
     # J7 conflict verdicts vs existing — consumed by inserts, deletes, stale, touch,
     # downgrades and the result object: persist to stop 6× recomputation of the
     # cascade + full-outer join lineage
-    verdicts = _conflict_verdicts(picks, species_scope).persist()
+    verdicts, ex_ranked = _conflict_verdicts(picks, species_scope, genes)
+    verdicts = verdicts.persist()
+    ex_ranked = ex_ranked.persist()
 
     ts = F.lit(run_ts)
     species_of = F.broadcast(
@@ -302,25 +363,48 @@ def run_species_load(
         inserts_raw, (max_key_row or 0), "genetogene_key"
     ).select(*[f.name for f in orthologs.schema.fields])
 
-    # deletes: rows replaced by a better incoming, plus pipeline-owned rows whose
-    # key produced no pick this run (stale watermark, Loader.java:657-672) — never
-    # manual (S9 guard), and gated by the churn threshold before commit
+    # deletes, three sources (all manual-guarded, churn-gated before commit):
+    #   replaced — best existing outranked by the incoming pick (DELETE_EXISTING);
+    #   surplus  — rank>1 rows of keys WITH a pick: getKeyForMatchingOrtholog prunes
+    #              every probed key to its comparator-best row (Dao.java:121-133),
+    #              regardless of whether the incoming then replaces or downgrades;
+    #   stale    — rows of keys with NO pick this run (Loader.java:657-672), under
+    #              REQUIREMENT 2 (Dao.java:92-99): never delete a key's LAST row —
+    #              when nothing else (manual / non-pipeline-owned) would survive,
+    #              the comparator-best stale candidate is kept.
     replaced = verdicts.filter(F.col("verdict") == "DELETE_EXISTING").select(
         F.col("ex_key").alias("genetogene_key")
     )
-    pipeline_owned = species_scope.filter(
-        F.col("created_by") == PIPELINE_USER_ID
-    ).select("genetogene_key")
-    stale = (
-        verdicts.filter(F.col("verdict") == "STALE")
+    pick_keys = picks.select(*KEY).dropDuplicates(KEY)
+    surplus = (
+        ex_ranked.filter(F.col("_rn") > 1)
+        .join(pick_keys, KEY, "left_semi")
         .select(F.col("ex_key").alias("genetogene_key"))
-        .join(pipeline_owned, "genetogene_key", "left_semi")
+    )
+    is_cand = (F.col("ex_created_by") == PIPELINE_USER_ID) & (
+        F.col("ex_src") != "RGD"
+    )
+    nopick = ex_ranked.join(pick_keys, KEY, "left_anti")
+    protected_counts = (
+        nopick.filter(~is_cand).groupBy(*KEY).agg(F.count("*").alias("_n_prot"))
+    )
+    w_cand = Window.partitionBy(*KEY).orderBy(F.col("_rn").asc())
+    stale = (
+        nopick.filter(is_cand)
+        .join(protected_counts, KEY, "left")
+        .fillna(0, subset=["_n_prot"])
+        .withColumn("_crn", F.row_number().over(w_cand))
+        # deletable unless it is the key's last surviving row
+        .filter((F.col("_n_prot") > 0) | (F.col("_crn") > 1))
+        .select(F.col("ex_key").alias("genetogene_key"))
     )
     manual_keys = species_scope.filter(F.col("xref_data_src") == "RGD").select(
         "genetogene_key"
     )
     deletes = (
-        replaced.unionByName(stale).join(manual_keys, "genetogene_key", "left_anti")
+        replaced.unionByName(surplus)
+        .unionByName(stale)
+        .join(manual_keys, "genetogene_key", "left_anti")
     )
     n_scope = species_scope.count()
     if n_scope:
@@ -368,7 +452,12 @@ def run_species_load(
                 F.col("xref_data_set").alias("assoc_subtype"),
             )
         )
-        .dropDuplicates(["master_rgd_id", "detail_rgd_id"])
+        # deterministic by construction: one pair can arrive from several sources
+        # (e.g. both an HGNC and an NCBI relation after complement_closure) — a
+        # dropDuplicates pick would depend on partitioning, so reduce to the
+        # minimum subtype instead
+        .groupBy("master_rgd_id", "detail_rgd_id")
+        .agg(F.min("assoc_subtype").alias("assoc_subtype"))
         .withColumn("assoc_type", F.lit("weak_ortholog"))
         .withColumn("src_pipeline", F.lit("ORTHOLOGS"))
     )

@@ -63,7 +63,8 @@ def ncbi_to_relations(
 ) -> DataFrame:
     """Keep human rows (col0=9606) whose partner is the target species
     (OrthologRelationParser.java:84-101, 155-166). Source is tagged NCBI; the
-    `relationship` column becomes the evidence token."""
+    file's `relationship` column (typically "Ortholog") becomes the stored data
+    set name (OrthologRelationParser.java:160-166)."""
     return (
         ncbi.filter(
             (F.col("tax_id") == HUMAN_TAX_ID)
@@ -75,7 +76,7 @@ def ncbi_to_relations(
             F.lit(HUMAN).alias("src_species_type_key"),
             F.lit(target_species_key).alias("dest_species_type_key"),
             F.lit("NCBI").alias("data_source"),
-            F.lit("NCBI").alias("data_set_name"),
+            F.col("relationship").alias("data_set_name"),
         )
     )
 

@@ -41,6 +41,7 @@ def _seed_store(spark, tmp_path) -> StateStore:
         (2, "BRCA2", "protein-coding", None, 1),
         (3, "TP53", "protein-coding", None, 1),
         (4, "OLDGENE", "protein-coding", None, 1),
+        (5, "LONELY", "protein-coding", None, 1),
         (100, "A2m", "protein-coding", None, RAT),
         (101, "Brca2", "protein-coding", None, RAT),
         (102, "Tp53", "protein-coding", None, RAT),
@@ -53,7 +54,7 @@ def _seed_store(spark, tmp_path) -> StateStore:
     rgd_ids = [
         (i, "ACTIVE", sp, 1, None)
         for i, sp in [
-            (1, 1), (2, 1), (3, 1), (4, 1),
+            (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
             (100, RAT), (101, RAT), (102, RAT), (103, RAT), (104, RAT), (200, 2),
         ]
     ]
@@ -84,8 +85,18 @@ def _seed_store(spark, tmp_path) -> StateStore:
         # pipeline NCBI ortholog for gene 3 with a different dest than the incoming
         # higher-priority HGNC pick → DELETE_EXISTING + insert
         (3, 3, 103, 1, RAT, None, "NCBI", "NCBI", 11, None, 70, OLD_TS, 70, OLD_TS),
-        # pipeline row whose key gets no pick this run → STALE delete
+        # two pipeline rows whose key gets no pick this run: stale pass deletes
+        # down to ONE survivor (REQUIREMENT 2) — the comparator-best (more
+        # evidence) 4→103 is kept, 4→104 deleted
         (4, 4, 104, 1, RAT, None, "NCBI", "NCBI", 11, None, 70, OLD_TS, 70, OLD_TS),
+        (5, 4, 103, 1, RAT, None, "NCBI", "NCBI,Ensembl", 11, None, 70, OLD_TS, 70, OLD_TS),
+        # sole pipeline row for gene 5's key, no pick this run → kept outright
+        # (REQUIREMENT 2: cannot delete the only ortholog, Dao.java:92-99)
+        (6, 5, 104, 1, RAT, None, "NCBI", "NCBI", 11, None, 70, OLD_TS, 70, OLD_TS),
+        # surplus second row for gene 2's key (which gets a MATCH pick): the
+        # comparator-best HGNC row survives, this NCBI loser is pruned
+        # (getKeyForMatchingOrtholog, Dao.java:121-133)
+        (7, 2, 103, 1, RAT, None, "NCBI", "NCBI", 11, None, 70, OLD_TS, 70, OLD_TS),
     ]
     store.write("orthologs", spark.createDataFrame(orthologs, ORTHOLOGS_SCHEMA))
 
@@ -145,6 +156,7 @@ def test_species_load_end_to_end(spark, store):
     assert verdicts[2] == "MATCH"
     assert verdicts[3] == "DELETE_EXISTING"
     assert verdicts[4] == "STALE"
+    assert verdicts[5] == "STALE"
 
     final = store.read("orthologs")
     rows = {(r.src_rgd_id, r.dest_rgd_id): r for r in final.collect()}
@@ -153,10 +165,20 @@ def test_species_load_end_to_end(spark, store):
     # replaced: 3→103 gone, 3→102 inserted with HGNC source
     assert (3, 103) not in rows
     assert rows[(3, 102)].xref_data_src == "HGNC"
-    # stale pipeline row 4→104 deleted
+    # stale pass deletes gene 4's weaker row but keeps the comparator-best one —
+    # REQUIREMENT 2 forbids deleting the key's last ortholog (Dao.java:92-99)
     assert (4, 104) not in rows
-    # matched row survives
+    assert (4, 103) in rows
+    # gene 5's SOLE stale row is kept outright by the same guard
+    assert (5, 104) in rows
+    # matched row survives; its surplus NCBI twin for the same key is pruned
+    # (getKeyForMatchingOrtholog keeps only the comparator-best, Dao.java:121-133)
     assert (2, 101) in rows
+    assert (2, 103) not in rows
+    # every pre-existing (src, dest-species) key still has at least one row
+    pre_keys = {(1, RAT), (2, RAT), (3, RAT), (4, RAT), (5, RAT)}
+    post_keys = {(r.src_rgd_id, r.dest_species_type_key) for r in final.collect()}
+    assert pre_keys <= post_keys
 
     # evidence merge for the HGNC+NCBI duplicate produced the NCBI token
     ev = rows[(3, 102)].xref_data_set
@@ -167,6 +189,58 @@ def test_species_load_end_to_end(spark, store):
     pairs = {(r.master_rgd_id, r.detail_rgd_id) for r in assoc.collect()}
     assert (2, 104) in pairs  # losing HGNC candidate became a weak association
     assert (3, 102) not in pairs  # covered by the new strong ortholog
+
+
+def test_conflict_verdict_symbol_tiebreak(spark):
+    """compareOrthologs symbol stages (OrthologRelationDao.java:180-188): on a
+    priority+evidence tie, existing-dest-matches-src wins, then
+    incoming-dest-matches-src, then descending case-insensitive dest symbol."""
+    from ortholog_pipeline_spark.plans.species_load import _conflict_verdicts
+
+    genes = spark.createDataFrame(
+        [(3, "TP53", "protein-coding", None, 1),
+         (102, "Tp53", "protein-coding", None, RAT),
+         (103, "Zzz1", "protein-coding", None, RAT),
+         (104, "Aaa1", "protein-coding", None, RAT),
+         (30, "GENE30", "protein-coding", None, 1),
+         (31, "GENE31", "protein-coding", None, 1)],
+        GENES_SCHEMA,
+    )
+
+    def pick(src, dest):
+        return (src, RAT, 3, dest, "HGNC", "Ensembl")
+
+    def ex(key, src, dest):
+        return (key, src, dest, 1, RAT, None, "HGNC", "OrthoDB", 11, None,
+                70, OLD_TS, 70, OLD_TS)
+
+    picks = spark.createDataFrame(
+        [pick(3, 102),   # inc dest Tp53 == src TP53 → incoming wins
+         pick(30, 103),  # ex dest Tp53 == nothing; ex=102 matches? no (src GENE30)
+         pick(31, 103)],
+        "src_rgd_id int, dest_species_type_key int, tier int, dest_rgd_id int,"
+        "xref_data_src string, xref_data_set string",
+    )
+    existing = spark.createDataFrame(
+        [ex(1, 3, 103),    # vs pick 102: inc symbol match → DELETE_EXISTING
+         ex(2, 30, 102),   # vs pick 103: no symbol match either side;
+                           # 'zzz1' > 'tp53' → incoming wins
+         ex(3, 31, 104)],  # vs pick 103: 'zzz1' > 'aaa1' → incoming wins
+        ORTHOLOGS_SCHEMA,
+    )
+    verdicts, _ = _conflict_verdicts(picks, existing, genes)
+    got = {r.src_rgd_id: r.verdict for r in verdicts.collect()}
+    assert got == {3: "DELETE_EXISTING", 30: "DELETE_EXISTING", 31: "DELETE_EXISTING"}
+
+    # and the mirror: existing dest symbol matching src downgrades the incoming
+    picks2 = spark.createDataFrame(
+        [pick(3, 103)],
+        "src_rgd_id int, dest_species_type_key int, tier int, dest_rgd_id int,"
+        "xref_data_src string, xref_data_set string",
+    )
+    existing2 = spark.createDataFrame([ex(1, 3, 102)], ORTHOLOGS_SCHEMA)
+    verdicts2, _ = _conflict_verdicts(picks2, existing2, genes)
+    assert verdicts2.collect()[0].verdict == "DOWNGRADE"
 
 
 def test_species_load_delete_threshold_trips(spark, store):

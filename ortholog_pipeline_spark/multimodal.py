@@ -77,7 +77,10 @@ FRAME_SCHEMA = T.StructType(
 
 
 def _payload_digest(payload: bytes) -> bytes:
-    return hashlib.md5(bytes(payload)).digest()
+    """md5 over the payload's LOWERCASE-HEX form (not the raw bytes): every engine
+    can reproduce ``md5(lower(hex(payload)))`` in SQL, while blob-md5 is not portable
+    (DuckDB's md5 is VARCHAR-only) — this keeps the stub decode oracle-checkable."""
+    return hashlib.md5(bytes(payload).hex().encode()).digest()
 
 
 def _try_real_image_decode(payload: bytes):
@@ -95,12 +98,16 @@ def _try_real_image_decode(payload: bytes):
 
 
 def _fake_image_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in decode: a small RGB array seeded from the payload md5.
-    NOT a real decode — exists so the distributed plumbing is testable here."""
-    seed = int.from_bytes(_payload_digest(payload)[:4], "big")
-    rng = np.random.default_rng(seed)
+    """Deterministic stand-in decode: a small RGB array whose pixels are the payload
+    digest tiled to (h, w, 3). NOT a real decode — exists so the distributed plumbing
+    is testable here. Pixels are pure md5 arithmetic (no RNG state) so an external
+    SQL oracle can recompute the derived features (dims, mean intensity) exactly."""
+    digest = _payload_digest(payload)
+    seed = int.from_bytes(digest[:4], "big")
     h, w = 8 + seed % 8, 8 + (seed >> 4) % 8
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    total = h * w * 3
+    buf = (digest * (total // 16 + 1))[:total]
+    return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
 
 
 def decode_image_features(media: DataFrame) -> DataFrame:

@@ -661,6 +661,22 @@ _STOPS_SQL = "['" + "','".join(TXT.STOPWORDS) + "']"
 _TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
 
 
+def _hyperplane_bucket_sql(num_planes: int, vec: str, dim: int = 64) -> str:
+    """DuckDB expression reproducing ``similarity.hyperplane_bucket`` exactly: the
+    md5-parity plane signs are driver-computed literals, embedded here the same way
+    the minhash oracle embeds ``minhash_params`` — so the oracle sees the identical
+    bucket ids and therefore the identical candidate set."""
+    terms = []
+    for j, plane in enumerate(SIM.plane_signs(num_planes, dim)):
+        lits = ",".join("1.0" if s > 0 else "-1.0" for s in plane)
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> {vec}[i] * ([{lits}])[i])) > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 @register(
     "text_token_stats",
     f"""
@@ -939,7 +955,31 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, queries_df, k=3)
 
 
-@register("ann_lsh_topk")  # rows-only: hyperplane bucketing is the non-SQL scale path
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, v, {_hyperplane_bucket_sql(6, 'v')} AS bucket FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, b.vec_id,
+             ROUND(
+               {_DOT_SQL.format(a='qv', b='v')} /
+               (SQRT({_DOT_SQL.format(a='qv', b='qv')}) *
+                SQRT({_DOT_SQL.format(a='v', b='v')})), 6) AS sim
+      FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
@@ -1419,14 +1459,50 @@ def f_filter_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal (rows-only: codec stubs are not SQL-expressible)
+# Multimodal — the codec is a stub, but a DETERMINISTIC md5-arithmetic one, so the
+# derived features are SQL-expressible and the mapInPandas plumbing gets a real
+# oracle: payload = unhex(repeat(md5(text),16)), digest = md5(hex(payload)), fake
+# pixels = digest tiled to (h,w,3) with h/w from digest bits (multimodal.py).
 # ---------------------------------------------------------------------------
 
+# sum of the 16 digest byte values, and of the first `n` of them, from the hex form
+_DIGEST_BYTE_SQL = "CAST(('0x' || substr(dh, 2*i-1, 2)) AS BIGINT)"
 
-@register("mm_image_features")  # rows-only
+
+@register(
+    "mm_image_features",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, repeat(md5(text), 16) AS phex
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    d AS (
+      SELECT media_id, md5(phex) AS dh,
+             CAST(('0x' || substr(md5(phex), 1, 8)) AS BIGINT) AS seed
+      FROM media
+    ),
+    dims AS (
+      SELECT media_id, dh,
+             CAST(8 + seed % 8 AS INT) AS height,
+             CAST(8 + (seed // 16) % 8 AS INT) AS width
+      FROM d
+    )
+    SELECT media_id, width, height, CAST(3 AS INT) AS channels,
+           ( (height * width * 3 // 16) *
+             list_sum(list_transform(generate_series(1, 16), i -> {_DIGEST_BYTE_SQL}))
+             + COALESCE(list_sum(list_transform(
+                 generate_series(1, (height * width * 3) % 16),
+                 i -> {_DIGEST_BYTE_SQL})), 0)
+           ) * 1.0 / (height * width * 3) AS mean_intensity,
+           TRUE AS is_fake_decode
+    FROM dims
+    """,
+)
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: synthesize media from documents, decode image features
-    via Arrow-batched mapInPandas (codec stubbed — deterministic fake)."""
+    via Arrow-batched mapInPandas (codec stubbed — deterministic fake). The oracle
+    reproduces the stub's tiled-digest mean exactly (the fake decode is md5
+    arithmetic by design, multimodal._fake_image_decode)."""
     from ortholog_pipeline_spark import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents")
@@ -1434,14 +1510,36 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_image_features(media)
 
 
-@register("mm_frame_sample")  # rows-only
+@register(
+    "mm_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, repeat(md5(text), 16) AS phex,
+             doc_id % 50 + 10 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, CAST(f AS INT) AS frame_idx,
+           substr(phex, 2 * (f % 252) + 1, 8) AS frame_hex
+    FROM (
+      SELECT media_id, phex,
+             unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 10)) AS f
+      FROM media
+    )
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling over binary payloads via mapInPandas (stubbed decode)."""
+    """Video frame sampling over binary payloads via mapInPandas (stubbed decode).
+    Frames are 4-byte deterministic payload slices; emitted as lowercase hex so the
+    cross-engine compare never hashes raw binary."""
     from ortholog_pipeline_spark import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents")
     media = MM.synthesize_media_from_documents(docs)
-    return MM.sample_frames(media, every_nth=10)
+    return MM.sample_frames(media, every_nth=10).select(
+        "media_id",
+        "frame_idx",
+        F.lower(F.hex("frame_payload")).alias("frame_hex"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1553,7 +1651,34 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_embedding_cosine_lsh")  # rows-only: hyperplane buckets, scale path
+@register(
+    "dedup_embedding_cosine_lsh",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+    ),
+    s AS (SELECT vec_id, {_hyperplane_bucket_sql(12, 'v')} AS sig FROM e),
+    banded AS (
+      SELECT vec_id, b, (sig >> (b * 3)) & 7 AS band_key
+      FROM s, generate_series(0, 3) g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+      FROM banded a JOIN banded b USING (b, band_key)
+      WHERE a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.id_1, c.id_2,
+             ROUND(
+               {_DOT_SQL.format(a='e1.v', b='e2.v')} /
+               (SQRT({_DOT_SQL.format(a='e1.v', b='e1.v')}) *
+                SQRT({_DOT_SQL.format(a='e2.v', b='e2.v')})), 6) AS sim
+      FROM cand c JOIN e e1 ON e1.vec_id = c.id_1
+                  JOIN e e2 ON e2.vec_id = c.id_2
+    )
+    SELECT id_1, id_2, sim FROM scored WHERE sim >= 0.45
+    """,
+)
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs (the scale path of
     dedup_embedding_cosine): hyperplane buckets bound the candidate set, exact

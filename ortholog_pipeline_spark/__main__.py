@@ -25,9 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ortholog_pipeline_spark.plans import (
     check_agr_freshness,
+    read_gene_list,
     run_agr_load,
     run_fix_xref_data_set,
+    run_ortho_tool,
     run_species_load,
+    write_report,
 )
 from ortholog_pipeline_spark.schemas import SPECIES
 from ortholog_pipeline_spark.session import get_spark
@@ -83,8 +86,14 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="run the §3.3 maintenance normalize",
     )
+    mode.add_argument(
+        "--report",
+        metavar="GENE_LIST",
+        help="run the OrthoTool partner report on a gene-list TSV",
+    )
     ap.add_argument("--state-dir", required=True)
     ap.add_argument("--landing-dir")
+    ap.add_argument("--report-out", help="output dir for --report (TSV)")
     ap.add_argument("--delete-threshold-pct", type=float, default=10.0)
     ap.add_argument("--skip-freshness-gate", action="store_true")
     args = ap.parse_args(argv)
@@ -92,6 +101,18 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="ortholog-pipeline-run")
     store = StateStore(spark, args.state_dir)
     run_ts = dt.datetime.now()
+
+    if args.report:
+        if not args.report_out:
+            ap.error("--report-out is required with --report")
+        res = run_ortho_tool(store, read_gene_list(spark, args.report))
+        write_report(res, args.report_out)
+        # OrthoTool.java:116's closing counter line
+        print(
+            f"mouse orthos: {res.n_mouse_orthologs}, "
+            f"human orthos: {res.n_human_orthologs}"
+        )
+        return 0
 
     if args.fix_xref_data_set:
         res = run_fix_xref_data_set(store)

@@ -12,6 +12,11 @@ the operator layer, each a single declarative Spark DAG over snapshot state.
 
 from ortholog_pipeline_spark.plans.agr_load import check_agr_freshness, run_agr_load
 from ortholog_pipeline_spark.plans.maintenance import run_fix_xref_data_set
+from ortholog_pipeline_spark.plans.ortho_tool import (
+    read_gene_list,
+    run_ortho_tool,
+    write_report,
+)
 from ortholog_pipeline_spark.plans.species_load import run_species_load
 
 __all__ = [
@@ -19,4 +24,7 @@ __all__ = [
     "run_agr_load",
     "check_agr_freshness",
     "run_fix_xref_data_set",
+    "read_gene_list",
+    "run_ortho_tool",
+    "write_report",
 ]

@@ -56,6 +56,32 @@ def test_species_relations_union_of_sources(spark, tmp_path):
     assert rows == {("34", "24152", "HGNC"), ("35", "24153", "NCBI")}
 
 
+def test_report_via_cli(spark, tmp_path, capsys):
+    from ortholog_pipeline_spark.schemas import AGR_ORTHOLOGS_SCHEMA, GENES_SCHEMA
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    genes = [
+        (100, "A2m", "protein-coding", None, 3),
+        (1, "A2M", "protein-coding", None, 1),
+    ]
+    store.write("genes", spark.createDataFrame(genes, GENES_SCHEMA))
+    agr = [(100, 1, "stringent", "Y", "Y", "OrthoFinder", OLD_TS, OLD_TS)]
+    store.write("agr_orthologs", spark.createDataFrame(agr, AGR_ORTHOLOGS_SCHEMA))
+    gl = tmp_path / "genes.txt"
+    gl.write_text("hdr\thdr\thdr\thdr\n100\t11\tA2m\talpha-2-macroglobulin\n")
+
+    rc = main(
+        ["--report", str(gl), "--report-out", str(tmp_path / "out"),
+         "--state-dir", str(tmp_path / "state")]
+    )
+    assert rc == 0
+    assert "mouse orthos: 0, human orthos: 1" in capsys.readouterr().out
+    back = spark.read.option("sep", "\t").option("header", "true").csv(
+        str(tmp_path / "out")
+    )
+    assert back.count() == 1
+
+
 def test_cli_rejects_unknown_species(spark, tmp_path):
     (tmp_path / "state").mkdir()
     with pytest.raises(SystemExit):

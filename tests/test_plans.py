@@ -376,19 +376,96 @@ def test_audit_outputs_and_driver_loop(spark, store, tmp_path):
 
 def test_species_load_is_deterministic(spark, tmp_path):
     """Engine policy (SURVEY §7): identical inputs → identical snapshots, surrogate
-    keys included (bucketed minting is order-free)."""
+    keys included (bucketed minting is order-free) — BY CONSTRUCTION, not by stable
+    planning: run b delivers the same rows at a different partition count and
+    shuffle parallelism, so any partitioning-dependent pick (e.g. a dropDuplicates
+    keeping "whichever row came first") would flip the snapshot. The fixture's
+    h3→r102 pair arrives via both HGNC and NCBI, exercising the weak-association
+    subtype reduction specifically."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     snaps = []
-    for run in ("a", "b"):
-        store = _seed_store(spark, tmp_path / run)
-        run_species_load(
-            store, _relations(spark), RUN_TS, RAT, delete_threshold_pct=100.0
-        )
-        orth = sorted(
-            map(tuple, store.read("orthologs").collect())
-        )
-        assoc = sorted(map(tuple, store.read("associations").collect()))
-        snaps.append((orth, assoc))
+    try:
+        for run, (nparts, shuffle) in {"a": (1, prev), "b": (7, "13")}.items():
+            spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+            store = _seed_store(spark, tmp_path / run)
+            run_species_load(
+                store,
+                _relations(spark).repartition(nparts),
+                RUN_TS,
+                RAT,
+                delete_threshold_pct=100.0,
+            )
+            orth = sorted(
+                map(tuple, store.read("orthologs").collect())
+            )
+            assoc = sorted(map(tuple, store.read("associations").collect()))
+            snaps.append((orth, assoc))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert snaps[0] == snaps[1]
+
+
+def test_ortho_tool_report(spark, tmp_path):
+    """OrthoTool flow (OrthoTool.java:35-117): quote-stripped gene list in, header
+    line skipped via the non-numeric-first-column rule, W5 mutual-best filter per
+    species, and the do-while zip that pairs mouse[i] with human[i] and leaves the
+    shorter side blank."""
+    from ortholog_pipeline_spark.plans import (
+        read_gene_list,
+        run_ortho_tool,
+        write_report,
+    )
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    genes = [
+        (100, "A2m", "protein-coding", None, RAT),
+        (101, "Brca2", "protein-coding", None, RAT),
+        (200, "A2m", "protein-coding", None, 2),
+        (201, "A2m2", "protein-coding", None, 2),
+        (1, "A2M", "protein-coding", None, 1),
+        (2, "A2ML1", "protein-coding", None, 1),
+    ]
+    store.write("genes", spark.createDataFrame(genes, GENES_SCHEMA))
+    agr = [
+        # mouse partners of rat 100: 200 mutual-best, 201 not → W5 keeps only 200
+        (100, 200, "stringent", "Y", "Y", "OrthoFinder", OLD_TS, OLD_TS),
+        (100, 201, "stringent", "N", "Y", "OrthoFinder", OLD_TS, OLD_TS),
+        # human partners of rat 100: both mutual-best → both kept, zipped 1,2
+        (100, 1, "stringent", "Y", "Y", "OrthoFinder", OLD_TS, OLD_TS),
+        (100, 2, "stringent", "Y", "Y", "OrthoFinder", OLD_TS, OLD_TS),
+    ]
+    store.write("agr_orthologs", spark.createDataFrame(agr, AGR_ORTHOLOGS_SCHEMA))
+
+    gl = tmp_path / "genes.txt"
+    gl.write_text(
+        "Rat RGDID\tRat GENEID\tCurrent symbol\tCurrent name\n"
+        '"100"\t"11"\t"A2m"\t"alpha-2-macroglobulin"\n'
+        "101\t12\tBrca2\tbreast cancer 2\n"
+    )
+    gene_list = read_gene_list(spark, str(gl))
+    # header skipped, quotes stripped
+    assert {r.rat_rgd_id for r in gene_list.collect()} == {100, 101}
+    assert {r.rat_symbol for r in gene_list.collect()} == {"A2m", "Brca2"}
+
+    res = run_ortho_tool(store, gene_list)
+    rows = {
+        (r.rat_rgd_id, r.mouse_rgd_id, r.human_rgd_id): r
+        for r in res.report.collect()
+    }
+    # gene 100: zip row 1 = (mouse 200, human 1); row 2 = (blank, human 2)
+    assert (100, 200, 1) in rows and rows[(100, 200, 1)].mouse_symbol == "A2m"
+    assert (100, None, 2) in rows
+    # non-mutual-best mouse 201 was dropped by W5
+    assert not any(k[1] == 201 for k in rows)
+    # partnerless gene still emits its one blank row
+    assert (101, None, None) in rows
+    assert len(rows) == 3
+    assert res.n_mouse_orthologs == 1 and res.n_human_orthologs == 2
+
+    out = tmp_path / "report"
+    write_report(res, str(out))
+    back = spark.read.option("sep", "\t").option("header", "true").csv(str(out))
+    assert back.count() == 3
 
 
 def test_agr_symbol_qc_flags_disagreement(spark, store):

@@ -102,11 +102,14 @@ def plane_signs(num_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def hyperplane_bucket(vec: Column, num_planes: int = 8, dim: int = 64) -> Column:
-    """Random-hyperplane LSH bucket id: bucket bit j = sign of <plane_j, v>.
+def hyperplane_bucket(
+    vec: Column, num_planes: int = 8, dim: int = 64, first_plane: int = 0
+) -> Column:
+    """Random-hyperplane LSH bucket id: bucket bit j = sign of <plane_{first+j}, v>.
     Deterministic (md5-derived planes, no RNG state) and pure multiply-add at run
-    time — the sign matrix is a literal."""
-    signs = plane_signs(num_planes, dim)
+    time — the sign matrix is a literal. ``first_plane`` selects a disjoint slice of
+    the global plane sequence, giving independent hash tables."""
+    signs = plane_signs(first_plane + num_planes, dim)[first_plane:]
     bucket = F.lit(0).cast("long")
     for j in range(num_planes):
         plane = F.array(*[F.lit(s) for s in signs[j]])
@@ -123,30 +126,103 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    num_planes: int = 8,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    multiprobe_bits: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: both sides bucket by hyperplane signs, candidates join on
-    bucket equality only. Recall < 1 by design; multiplying probes (flipping one bit)
-    is the standard extension. The join is a bucket-equi join — at 100 TB this is a
-    shuffle on bucket id instead of a cross product."""
-    c = corpus.select(
-        F.col(id_col),
-        as_double(F.col(vec_col)).alias("_cv"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("_cv"), num_planes))
+    """Approximate top-k via multi-table, multiprobe hyperplane LSH.
+
+    A single r-plane table recalls a cos-θ neighbour with probability
+    (1−θ/π)^r — ~5% at r=6 for θ≈70°, useless alone. Two standard amplifiers,
+    both implemented here:
+      * ``num_tables`` independent tables (disjoint slices of the md5 plane
+        sequence) OR their candidate sets: p → 1−(1−p)^T;
+      * 1-bit multiprobe (``multiprobe_bits=1``): each query also probes the
+        ``num_planes`` buckets at Hamming distance 1, adding the r·p^(r−1)(1−p)
+        near-miss mass per table.
+    At r=6, T=4, 1-bit probing and θ≈70° that compounds to ~0.7 recall
+    (measured ≥0.6 on the synthetic embeddings — pinned by the recall test).
+
+    Scale shape: corpus buckets are map-side literals exploded to T rows/vector;
+    queries (small side) are broadcast, so candidate generation is an equi-join on
+    (table, bucket) with NO shuffle of the corpus; candidates dedup on (query,
+    vec) before scoring, then two-stage top-k. Cost scales with bucket collision
+    counts, not |corpus|×|queries|."""
+    assert multiprobe_bits in (0, 1), "only 0/1-bit multiprobe implemented"
+
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_cv"))
+    c_tab = c.select(
+        id_col,
+        "_cv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        hyperplane_bucket(
+                            F.col("_cv"), num_planes, dim, first_plane=t * num_planes
+                        ).alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("_tb"),
+    ).select(id_col, "_cv", F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket"))
+
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("_qv"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("_qv"), num_planes))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    )
+    q_probes = q.select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        probe.alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                    for probe in (
+                        [
+                            hyperplane_bucket(
+                                F.col("_qv"), num_planes, dim, first_plane=t * num_planes
+                            )
+                        ]
+                        + (
+                            [
+                                hyperplane_bucket(
+                                    F.col("_qv"),
+                                    num_planes,
+                                    dim,
+                                    first_plane=t * num_planes,
+                                ).bitwiseXOR(F.lit(1 << j).cast("long"))
+                                for j in range(num_planes)
+                            ]
+                            if multiprobe_bits
+                            else []
+                        )
+                    )
+                ]
+            )
+        ).alias("_tb"),
+    ).select(
+        "query_id", "_qv", F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket")
+    )
+
+    cands = (
+        c_tab.join(F.broadcast(q_probes), ["t", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            id_col,
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
-        )
+        # a pair can collide in several tables/probes — score it once
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = cands.select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(id_col).asc()

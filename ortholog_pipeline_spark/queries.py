@@ -661,13 +661,16 @@ _STOPS_SQL = "['" + "','".join(TXT.STOPWORDS) + "']"
 _TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
 
 
-def _hyperplane_bucket_sql(num_planes: int, vec: str, dim: int = 64) -> str:
+def _hyperplane_bucket_sql(
+    num_planes: int, vec: str, dim: int = 64, first_plane: int = 0
+) -> str:
     """DuckDB expression reproducing ``similarity.hyperplane_bucket`` exactly: the
     md5-parity plane signs are driver-computed literals, embedded here the same way
     the minhash oracle embeds ``minhash_params`` — so the oracle sees the identical
     bucket ids and therefore the identical candidate set."""
     terms = []
-    for j, plane in enumerate(SIM.plane_signs(num_planes, dim)):
+    planes = SIM.plane_signs(first_plane + num_planes, dim)[first_plane:]
+    for j, plane in enumerate(planes):
         lits = ",".join("1.0" if s > 0 else "-1.0" for s in plane)
         terms.append(
             f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
@@ -955,23 +958,42 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, queries_df, k=3)
 
 
+_ANN_CTAB_SQL = "\n      UNION ALL ".join(
+    f"SELECT vec_id, v, {t} AS t, "
+    f"{_hyperplane_bucket_sql(6, 'v', first_plane=t * 6)} AS bucket FROM e"
+    for t in range(4)
+)
+_ANN_PROBES_SQL = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << j})" for j in range(6)
+) + "]"
+
+
 @register(
     "ann_lsh_topk",
     f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
     ),
-    b AS (
-      SELECT vec_id, v, {_hyperplane_bucket_sql(6, 'v')} AS bucket FROM e
+    ctab AS (
+      {_ANN_CTAB_SQL}
     ),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+    qprobes AS (
+      SELECT vec_id AS query_id, t, unnest({_ANN_PROBES_SQL}) AS bucket
+      FROM ctab WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id
+      FROM ctab c JOIN qprobes q ON c.t = q.t AND c.bucket = q.bucket
+      WHERE c.vec_id <> q.query_id
+    ),
     scored AS (
-      SELECT q.query_id, b.vec_id,
+      SELECT cand.query_id, cand.vec_id,
              ROUND(
-               {_DOT_SQL.format(a='qv', b='v')} /
-               (SQRT({_DOT_SQL.format(a='qv', b='qv')}) *
-                SQRT({_DOT_SQL.format(a='v', b='v')})), 6) AS sim
-      FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.query_id
+               {_DOT_SQL.format(a='eq.v', b='ec.v')} /
+               (SQRT({_DOT_SQL.format(a='eq.v', b='eq.v')}) *
+                SQRT({_DOT_SQL.format(a='ec.v', b='ec.v')})), 6) AS sim
+      FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                JOIN e ec ON ec.vec_id = cand.vec_id
     )
     SELECT query_id, vec_id, sim, CAST(rank AS INT) AS rank FROM (
       SELECT *, ROW_NUMBER() OVER (
@@ -981,9 +1003,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multiprobe hyperplane LSH top-k (the ANN scale path); the oracle
+    reproduces tables, probes, candidate set, and scores exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return SIM.lsh_topk(emb, queries_df, k=3, num_planes=6)
+    return SIM.lsh_topk(emb, queries_df, k=3, num_planes=6, num_tables=4)
 
 
 @register(

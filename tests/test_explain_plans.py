@@ -48,6 +48,32 @@ def test_best_fit_window_is_partitioned(spark):
             assert "l_orderkey" in line
 
 
+def test_species_load_dag_has_no_unpartitioned_window(spark, tmp_path):
+    """End-to-end species_load plan audit: every window in the flow's DAG must carry
+    a partition spec — an ORDER-only window funnels the whole frame through one
+    partition (the 100TB killer the surrogate-key bucketing exists to avoid)."""
+    from tests.test_plans import RAT, RUN_TS, _relations, _seed_store
+
+    store = _seed_store(spark, tmp_path)
+    from ortholog_pipeline_spark.plans import run_species_load
+
+    res = run_species_load(
+        store, _relations(spark), RUN_TS, RAT, delete_threshold_pct=100.0
+    )
+    part_cols = (
+        "src_rgd_id", "dest_rgd_id", "master_rgd_id", "_skb", "dest_species"
+    )
+    for frame in (res.picks, res.verdicts, res.assoc_verdicts, res.inserted):
+        plan = frame._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line.lower():
+                assert any(c in line for c in part_cols), line
+
+
 def test_pricing_summary_partial_aggregation(spark):
     plan = _plan(spark, "a4_pricing_summary")
     # map-side combine: partial aggregates run before the exchange, so the shuffle

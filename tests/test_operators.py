@@ -371,3 +371,33 @@ def test_guard_delete_threshold():
     sync.guard_delete_threshold(5, 100, 10.0)  # 5% ok
     with pytest.raises(RuntimeError, match="threshold"):
         sync.guard_delete_threshold(11, 100, 10.0)
+
+
+# ---------------------------------------------------------------------------
+# ANN quality: LSH recall vs the exact oracle
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_topk_recall_floor(spark):
+    """The approximate path must actually approximate: recall@10 of multi-table
+    multiprobe lsh_topk vs brute_force_topk on the synthetic embeddings. At 6
+    planes x 4 tables with 1-bit probing the analytic estimate is ~0.7 for
+    theta~70-degree neighbours (see lsh_topk docstring); 0.6 is the pinned floor.
+    Single-table no-probe recall is ~0.07 here - this test is what forbids
+    regressing to that."""
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in SIM.brute_force_topk(emb, q, k=10).collect()
+    }
+    lsh = {
+        (r.query_id, r.vec_id)
+        for r in SIM.lsh_topk(emb, q, k=10).collect()
+    }
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.6, f"recall@10 = {recall:.3f}"

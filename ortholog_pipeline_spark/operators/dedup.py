@@ -239,6 +239,12 @@ def minhash_lsh_dedup(
     the signature, banding, and verification branches all reuse that frame instead of
     re-tokenizing per branch. Jaccard is computed over hashed shingles (standard LSH
     practice; 31-bit collisions are vanishingly rare at document scale)."""
+    # A small input (one parquet file) scans as ONE partition, serializing the
+    # whole tokenize+md5 map stage; spread it first. At real scale file splits
+    # already provide map parallelism and this branch never fires.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, id_col)
     hashed = (
         df.select(id_col, hashed_shingles31(text_col, k).alias("h31"))
         .filter(F.size("h31") > 0)

@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 

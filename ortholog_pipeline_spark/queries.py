@@ -1011,6 +1011,63 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS sv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32)
+    ),
+    cs AS (
+      SELECT e.vec_id, s.j,
+             ROUND(
+               {_DOT_SQL.format(a='e.v', b='s.sv')} /
+               (SQRT({_DOT_SQL.format(a='e.v', b='e.v')}) *
+                SQRT({_DOT_SQL.format(a='s.sv', b='s.sv')})), 6) AS score
+      FROM e CROSS JOIN seeds s
+    ),
+    ranked AS (
+      SELECT vec_id, j,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, j ASC) AS rn
+      FROM cs
+    ),
+    cell AS (SELECT vec_id, j AS cell FROM ranked WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS query_id, j AS cell FROM ranked WHERE rn <= 4 AND vec_id < 5
+    ),
+    cand AS (
+      SELECT q.query_id, c.vec_id
+      FROM cell c JOIN qprobe q USING (cell)
+      WHERE c.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             ROUND(
+               {_DOT_SQL.format(a='eq.v', b='ec.v')} /
+               (SQRT({_DOT_SQL.format(a='eq.v', b='eq.v')}) *
+                SQRT({_DOT_SQL.format(a='ec.v', b='ec.v')})), 6) AS sim
+      FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                JOIN e ec ON ec.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-file ANN top-k (second scale path beside LSH): deterministic
+    seed centroids, rounded cell scores, 4-of-32-cell probes — the oracle
+    reproduces cell assignment, probe set, and scores exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, queries_df, k=3, n_cells=32, n_probe=4)
+
+
+@register(
     "dedup_embedding_cosine",
     f"""
     WITH e AS (

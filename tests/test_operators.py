@@ -401,3 +401,24 @@ def test_lsh_topk_recall_floor(spark):
     }
     recall = len(brute & lsh) / len(brute)
     assert recall >= 0.6, f"recall@10 = {recall:.3f}"
+
+
+def test_ivf_topk_recall_floor(spark):
+    """IVF recall: probing 4 of 32 cells (12% of corpus) must recover most of the
+    exact top-10 (measured 0.80 at sf0.01; floor 0.7)."""
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in SIM.brute_force_topk(emb, q, k=10).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in SIM.ivf_topk(emb, q, k=10, n_cells=32, n_probe=4).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.7, f"recall@10 = {recall:.3f}"

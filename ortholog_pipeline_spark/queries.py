@@ -924,6 +924,118 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-prep flow (plans/corpus_prep.py): the full training-data cleaning chain
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = f"""ROUND(
+        0.4 * LEAST(1.0, len({_TOKS_SQL}) / 100.0)
+        + 0.3 * (len(list_distinct({_TOKS_SQL})) * 1.0 / len({_TOKS_SQL}))
+        + 0.3 * (len(list_filter({_TOKS_SQL},
+                    t -> list_contains({_STOPS_SQL}, t))) * 1.0 / len({_TOKS_SQL})),
+        6)"""
+
+
+@register(
+    "pipeline_corpus_prep",
+    f"""
+    WITH ann0 AS (
+      SELECT doc_id, text,
+             {{h_en}} AS h_en, {{h_es}} AS h_es, {{h_fr}} AS h_fr,
+             {{h_de}} AS h_de, {{h_zh}} AS h_zh,
+             {_QUALITY_SQL} AS q,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    pred AS (
+      SELECT *, CASE
+          WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_zh
+               AND h_en > 0 THEN 'en'
+          WHEN h_es >= h_fr AND h_es >= h_de AND h_es >= h_zh AND h_es > 0 THEN 'es'
+          WHEN h_fr >= h_de AND h_fr >= h_zh AND h_fr > 0 THEN 'fr'
+          WHEN h_de >= h_zh AND h_de > 0 THEN 'de'
+          WHEN h_zh > 0 THEN 'zh'
+          ELSE 'und' END AS predicted
+      FROM ann0
+    ),
+    s1 AS (SELECT * FROM pred WHERE predicted = 'en'),
+    s2 AS (SELECT * FROM s1 WHERE q >= 0.35),
+    s3 AS (
+      SELECT doc_id, text FROM s2
+      QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+    ),
+    th AS (
+      SELECT doc_id,
+             list_transform({_TOKS_SQL}, t ->
+               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {DD.MINHASH_M31}
+             ) AS th
+      FROM s3
+    ),
+    h AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(th) - 2, 0)),
+               i -> (th[i] * {DD.SHINGLE_A} + th[i+1] * {DD.SHINGLE_B} + th[i+2])
+                    % {DD.MINHASH_M31}
+             )) AS h31
+      FROM th WHERE len(th) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, h31,
+             list_transform({_MINHASH_AB_SQL}, p ->
+               list_min(list_transform(h31, x -> (p[1] * x + p[2]) % {DD.MINHASH_P}))
+             ) AS sig
+      FROM h
+    ),
+    banded AS (
+      SELECT doc_id, b,
+             md5(array_to_string(
+               list_transform(sig[b*4+1 : b*4+4], v -> v::VARCHAR), ',')) AS band_key
+      FROM sig, generate_series(0, 3) g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM banded a JOIN banded b USING (b, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    post AS (SELECT doc_id, unnest(h31) AS hsh FROM h),
+    common AS (
+      SELECT c.id_1, c.id_2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c JOIN post a ON a.doc_id = c.id_1
+                  JOIN post b ON b.doc_id = c.id_2 AND b.hsh = a.hsh
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(h31) AS sz FROM h),
+    losers AS (
+      SELECT DISTINCT c.id_2 FROM cand c JOIN common USING (id_1, id_2)
+                  JOIN sz s1x ON s1x.doc_id = c.id_1
+                  JOIN sz s2x ON s2x.doc_id = c.id_2
+      WHERE n_common * 1.0 / (s1x.sz + s2x.sz - n_common) >= 0.5
+    ),
+    kept AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT id_2 FROM losers))
+    SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    UNION ALL SELECT '1_lang', CAST(COUNT(*) AS BIGINT) FROM s1
+    UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL SELECT '3_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM s3
+    UNION ALL SELECT '4_near_dedup', CAST(COUNT(*) AS BIGINT) FROM kept
+    """.format(
+        h_en=_lang_hits_sql("en"),
+        h_es=_lang_hits_sql("es"),
+        h_fr=_lang_hits_sql("fr"),
+        h_de=_lang_hits_sql("de"),
+        h_zh=_lang_hits_sql("zh"),
+    ),
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-prep flow survivor counts: language gate → quality floor
+    → exact dedup → minhash near-dup removal (plans/corpus_prep.py). The oracle
+    replays the identical chain in SQL, including the greedy keep-lowest rule."""
+    from ortholog_pipeline_spark.plans.corpus_prep import run_corpus_prep
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_corpus_prep(docs, min_quality=0.35).summary
+
+
+# ---------------------------------------------------------------------------
 # Similarity search over `embeddings`
 # ---------------------------------------------------------------------------
 

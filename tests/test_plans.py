@@ -480,3 +480,41 @@ def test_agr_symbol_qc_flags_disagreement(spark, store):
     qc = res.symbol_qc.collect()
     assert len(qc) == 1
     assert qc[0].file_symbol == "WRONGNAME" and qc[0].db_symbol == "a2m"
+
+
+def test_corpus_prep_flow(spark):
+    """Corpus-prep chain: each stage's drops + survivors partition its input, the
+    summary counts the survivor ladder, and the survivors satisfy every gate."""
+    from ortholog_pipeline_spark.plans.corpus_prep import run_corpus_prep
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    res = run_corpus_prep(docs, min_quality=0.35)
+
+    n = {r.stage: r.n_docs for r in res.summary.collect()}
+    assert (
+        n["0_input"] >= n["1_lang"] >= n["2_quality"]
+        >= n["3_exact_dedup"] >= n["4_near_dedup"]
+    )
+    drops = (
+        res.dropped_lang.count()
+        + res.dropped_quality.count()
+        + res.dropped_exact.count()
+        + res.dropped_near.count()
+    )
+    kept = res.kept.collect()
+    assert n["0_input"] == len(kept) + drops
+    assert n["4_near_dedup"] == len(kept) > 0
+    for r in kept:
+        assert r.predicted_lang == "en" and r.quality >= 0.35
+    # greedy keep-lowest: the minimum id of every near-dup pair survives the chain
+    ids = {r.doc_id for r in kept}
+    s3_ids = ids | {r.doc_id for r in res.dropped_near.collect()}
+    from ortholog_pipeline_spark.operators.dedup import minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(
+        docs.join(
+            spark.createDataFrame([(i,) for i in s3_ids], "doc_id long"), "doc_id"
+        )
+    ).collect()
+    for p in pairs:
+        assert p.id_2 not in ids  # every larger-id partner was dropped

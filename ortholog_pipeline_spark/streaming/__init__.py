@@ -16,13 +16,18 @@ the true streaming counterparts, built so every stream reuses the batch operator
 from ortholog_pipeline_spark.streaming.sources import read_stream_events, read_stream_tsv
 from ortholog_pipeline_spark.streaming.stateful import sessionize
 from ortholog_pipeline_spark.streaming.sync import foreach_batch_sync
-from ortholog_pipeline_spark.streaming.windows import sliding_counts, tumbling_agg
+from ortholog_pipeline_spark.streaming.windows import (
+    dedup_stream,
+    sliding_counts,
+    tumbling_agg,
+)
 
 __all__ = [
     "read_stream_events",
     "read_stream_tsv",
     "tumbling_agg",
     "sliding_counts",
+    "dedup_stream",
     "foreach_batch_sync",
     "sessionize",
 ]

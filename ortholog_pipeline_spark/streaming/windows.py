@@ -39,6 +39,37 @@ def tumbling_agg(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    text_col: str | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming dedup for continuous ingest — the training-data pipeline's
+    "same document lands twice" guard, bounded-state by construction.
+
+    Keys: explicit ``key_cols``, or a normalized-md5 content fingerprint when
+    ``text_col`` is given (the streaming twin of ``dedup.exact_dedup``). On a
+    stream, ``dropDuplicatesWithinWatermark`` holds a key's state only until the
+    watermark passes its event time, so state is O(keys per watermark window),
+    not O(stream history) — the only dedup that survives an unbounded run. On a
+    batch frame the same call degrades to plain ``dropDuplicates`` semantics,
+    keeping plans batch/stream symmetric like the rest of this package."""
+    if (key_cols is None) == (text_col is None):
+        raise ValueError("exactly one of key_cols / text_col is required")
+    from ortholog_pipeline_spark.functions.text import fingerprint
+
+    src = df
+    if text_col is not None:
+        src = src.withColumn("fp", fingerprint(text_col))
+        key_cols = ["fp"]
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+        return src.dropDuplicatesWithinWatermark(key_cols)
+    return src.dropDuplicates(key_cols)
+
+
 def sliding_counts(
     events: DataFrame,
     window_size: str = "1 hour",

@@ -152,3 +152,38 @@ def test_sessionize_emits_gap_separated_sessions(spark, tmp_path):
     assert got[(1, TS0)] == (2, 3.0)
     assert got[(1, TS0 + dt.timedelta(seconds=7260))] == (1, 4.0)
     assert got[(2, TS0)] == (1, 8.0)
+
+
+def test_dedup_stream_drops_watermark_window_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-landed events inside the watermark window
+    dedup to one survivor per key; batch mode degrades to plain dropDuplicates."""
+    from ortholog_pipeline_spark.streaming import dedup_stream
+
+    landing = str(tmp_path / "landing")
+    rows = [
+        (0, 1, "view", 1.0),
+        (5, 1, "view", 1.0),      # same user+type, inside watermark -> dup
+        (10, 2, "click", 5.0),
+    ]
+    _land(_mk_events(spark, rows), landing)
+
+    stream = read_stream_events(spark, landing)
+    out = dedup_stream(stream, key_cols=["user_id", "event_type"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, event_type FROM dedup_out").collect()
+    assert sorted((r.user_id, r.event_type) for r in got) == [(1, "view"), (2, "click")]
+
+    # batch symmetry: same helper, fingerprint keying
+    batch = spark.createDataFrame(
+        [(1, "Hello  World", TS0), (2, "hello world", TS0), (3, "other", TS0)],
+        "doc_id long, text string, ts timestamp",
+    )
+    kept = dedup_stream(batch, text_col="text").collect()
+    assert len(kept) == 2  # normalized fingerprint collapses the first two

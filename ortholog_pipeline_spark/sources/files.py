@@ -160,3 +160,56 @@ def homologene_to_relations(homologene: DataFrame, tax_to_species: dict[str, int
         F.lit("HomoloGene").alias("data_source"),
         F.concat(F.lit("homologene:"), F.col("homologene_id")).alias("data_set_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus ingest: JSONL documents (the common LLM-corpus interchange)
+# ---------------------------------------------------------------------------
+
+def _documents_jsonl_schema():
+    """documents-table shape plus the corrupt-record capture column."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+
+
+def read_jsonl_documents(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL corpus scan → (documents, corrupt_lines).
+
+    Explicit schema (never inferred — inference is a full extra pass at 100 TB),
+    PERMISSIVE mode with the corrupt line captured whole, gzip handled by the
+    codec from the extension. The split mirrors the engine's audit-stream
+    pattern: bad lines land in a reviewable frame instead of killing the run.
+    The scan is cached before filtering — Spark requires the corrupt-record
+    column be materialized before it can be referenced in a filter."""
+    raw = (
+        spark.read.schema(_documents_jsonl_schema())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("line")
+    )
+    return good, bad
+
+
+def write_jsonl_documents(df: DataFrame, path: str, compress: bool = True) -> None:
+    """JSONL corpus sink (gzip by default) — the write half of the interchange."""
+    w = df.write.mode("overwrite")
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(path)

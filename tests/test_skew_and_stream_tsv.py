@@ -104,3 +104,33 @@ def test_homologene_scan_and_all_pairs(spark, tmp_path):
     assert len(pairs) == 6
     assert ("g_h1", "g_r1") in pairs and ("g_r1", "g_h1") in pairs
     assert not any("g_x" in p_ for pair in pairs for p_ in pair)
+
+
+def test_jsonl_documents_roundtrip_and_corrupt_split(spark, tmp_path):
+    """JSONL corpus ingest: explicit schema, corrupt lines split to an audit
+    frame, gzip roundtrip through the sink."""
+    import gzip as _gzip
+
+    from ortholog_pipeline_spark.sources.files import (
+        read_jsonl_documents,
+        write_jsonl_documents,
+    )
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    with _gzip.open(src / "part-0.jsonl.gz", "wt") as f:
+        f.write('{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}\n')
+        f.write('{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web", "n_chars": 7}\n')
+        f.write('NOT JSON AT ALL\n')
+
+    docs, bad = read_jsonl_documents(spark, str(src))
+    assert {r.doc_id for r in docs.collect()} == {1, 2}
+    assert [r.line for r in bad.collect()] == ["NOT JSON AT ALL"]
+
+    out = tmp_path / "out"
+    write_jsonl_documents(docs, str(out))
+    back, bad2 = read_jsonl_documents(spark, str(out))
+    assert {(r.doc_id, r.text) for r in back.collect()} == {
+        (1, "hello world"), (2, "bonjour")
+    }
+    assert bad2.count() == 0

@@ -69,6 +69,55 @@ class StateStore:
         self._publish(table, v)
         return v
 
+    # -- maintenance ---------------------------------------------------------
+    def vacuum(self, table: str, keep: int = 2) -> list[int]:
+        """Delete snapshot versions older than the newest ``keep`` (the published
+        current version is always retained). Returns the versions removed.
+
+        The versioned layout gives time travel; vacuum is what keeps it from
+        being an unbounded-storage promise — the snapshot-store analogue of
+        Delta's VACUUM."""
+        import shutil
+
+        cur = self.current_version(table)
+        if cur < 0:
+            return []
+        versions = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self._table_dir(table))
+            if d.startswith("v=")
+        )
+        doomed = [v for v in versions[:-keep] if v != cur] if keep > 0 else []
+        for v in doomed:
+            shutil.rmtree(os.path.join(self._table_dir(table), f"v={v}"))
+        return doomed
+
+    def compact(
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Rewrite the current snapshot with right-sized files: many small files
+        (the residue of high-parallelism writes) become ~``target_file_bytes``
+        outputs, sized from the snapshot's ACTUAL on-disk bytes. Publishes the
+        rewrite as the next version — readers never see a half-compacted state."""
+        cur = self.current_version(table)
+        if cur < 0:
+            raise FileNotFoundError(f"state table {table} has no snapshot")
+        path = os.path.join(self._table_dir(table), f"v={cur}")
+        on_disk = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+        n_files = max(1, round(on_disk / target_file_bytes))
+        df = self.spark.read.parquet(path)
+        return self.write(
+            table, df.coalesce(n_files), partition_by=partition_by
+        )
+
     # -- merge (Delta-MERGE equivalent over snapshots) -----------------------
     def apply_changes(
         self,

@@ -76,3 +76,37 @@ def test_sliding_counts_batch(spark):
     assert got[(dt.datetime(2024, 1, 1, 0, 0), 1)] == 2
     assert got[(dt.datetime(2023, 12, 31, 23, 30), 1)] == 2
     assert got[(dt.datetime(2024, 1, 1, 1, 30), 2)] == 1
+
+
+def test_vacuum_keeps_current_and_n_newest(spark, tmp_path):
+    from ortholog_pipeline_spark.sources.state import StateStore
+
+    store = StateStore(spark, str(tmp_path))
+    df = spark.range(5).withColumnRenamed("id", "k")
+    for _ in range(4):
+        store.write("t", df)  # v=0..3
+    removed = store.vacuum("t", keep=2)
+    assert removed == [0, 1]
+    assert store.current_version("t") == 3
+    assert store.read("t").count() == 5  # current still readable
+    import os
+    left = sorted(d for d in os.listdir(tmp_path / "t") if d.startswith("v="))
+    assert left == ["v=2", "v=3"]
+    assert store.vacuum("t", keep=2) == []  # idempotent
+
+
+def test_compact_rewrites_small_files_and_publishes(spark, tmp_path):
+    from ortholog_pipeline_spark.sources.state import StateStore
+
+    store = StateStore(spark, str(tmp_path))
+    # 32-way write of a tiny frame -> many small files
+    df = spark.range(1000).withColumnRenamed("id", "k").repartition(32)
+    store.write("t", df)
+    import glob
+    v0_files = glob.glob(str(tmp_path / "t" / "v=0" / "*.parquet"))
+    assert len(v0_files) > 8
+    v = store.compact("t")
+    assert v == 1 and store.current_version("t") == 1
+    v1_files = glob.glob(str(tmp_path / "t" / "v=1" / "*.parquet"))
+    assert len(v1_files) == 1  # tiny snapshot -> one right-sized file
+    assert store.read("t").count() == 1000

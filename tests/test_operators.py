@@ -422,3 +422,42 @@ def test_ivf_topk_recall_floor(spark):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.7, f"recall@10 = {recall:.3f}"
+
+
+def test_ann_index_build_query_and_partition_pruning(spark, tmp_path):
+    """Persisted IVF index: query results must equal the ad-hoc ivf_topk at the
+    same parameters, and the index scan must prune to the probed cell
+    partitions (PartitionFilters on the partition column, fewer partitions
+    than cells)."""
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.operators import similarity as SIM
+    from ortholog_pipeline_spark.operators.ann_index import (
+        build_ann_index,
+        query_ann_index,
+    )
+    from ortholog_pipeline_spark.sources.state import StateStore
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    build_ann_index(store, emb, n_cells=32)
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = query_ann_index(store, q, k=3, n_probe=4)
+    expected = SIM.ivf_topk(emb, q, k=3, n_cells=32, n_probe=4)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the scan reads only the probed partitions, not all 32 cells
+    import re
+
+    m = re.search(r"partition count: (\d+)", plan.lower())
+    if m:  # Spark prints the pruned partition count in the scan node
+        assert int(m.group(1)) < 32

@@ -4,8 +4,10 @@ entry()      — flagship query (the W1 best-fit picker, the reference's semanti
                heart) on sf0.001.
 queries()    — one entry per implemented SURVEY.md §2 operator + the training-data
                pipeline ops (dedup/ANN/text), from ortholog_pipeline_spark.queries.
-oracle_sql() — matching DuckDB SQL for every entry except the explicitly
-               non-SQL-expressible ones (rows-only checks).
+oracle_sql() — matching DuckDB SQL for EVERY registry entry (as of round 2 the
+               LSH/IVF/multimodal queries are oracled too: plane signs, cell
+               assignments, and stub decodes are deterministic md5 arithmetic
+               reproduced exactly in SQL).
 """
 
 from __future__ import annotations

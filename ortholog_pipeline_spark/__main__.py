@@ -91,9 +91,20 @@ def main(argv: list[str] | None = None) -> int:
         metavar="GENE_LIST",
         help="run the OrthoTool partner report on a gene-list TSV",
     )
+    mode.add_argument(
+        "--vacuum-state",
+        action="store_true",
+        help="vacuum old snapshot versions + compact current ones",
+    )
     ap.add_argument("--state-dir", required=True)
     ap.add_argument("--landing-dir")
     ap.add_argument("--report-out", help="output dir for --report (TSV)")
+    ap.add_argument(
+        "--keep-versions",
+        type=int,
+        default=2,
+        help="snapshot versions to retain under --vacuum-state",
+    )
     ap.add_argument("--delete-threshold-pct", type=float, default=10.0)
     ap.add_argument("--skip-freshness-gate", action="store_true")
     args = ap.parse_args(argv)
@@ -101,6 +112,19 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="ortholog-pipeline-run")
     store = StateStore(spark, args.state_dir)
     run_ts = dt.datetime.now()
+
+    if args.vacuum_state:
+        import os
+
+        tables = sorted(
+            d
+            for d in (os.listdir(args.state_dir) if os.path.isdir(args.state_dir) else [])
+            if os.path.isdir(os.path.join(args.state_dir, d))
+        )
+        for t in tables:
+            removed = store.vacuum(t, keep=args.keep_versions)
+            print(f"vacuum {t}: removed versions {removed or '[]'}")
+        return 0
 
     if args.report:
         if not args.report_out:

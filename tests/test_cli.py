@@ -82,6 +82,21 @@ def test_report_via_cli(spark, tmp_path, capsys):
     assert back.count() == 1
 
 
+def test_vacuum_state_via_cli(spark, tmp_path, capsys):
+    store = StateStore(spark, str(tmp_path / "state"))
+    df = spark.createDataFrame([], ASSOCIATIONS_SCHEMA)
+    for _ in range(4):
+        store.write("associations", df)
+
+    rc = main(
+        ["--vacuum-state", "--state-dir", str(tmp_path / "state"), "--keep-versions", "1"]
+    )
+    assert rc == 0
+    assert "vacuum associations: removed versions" in capsys.readouterr().out
+    versions = [d for d in (tmp_path / "state" / "associations").iterdir() if d.is_dir()]
+    assert len(versions) == 1
+
+
 def test_cli_rejects_unknown_species(spark, tmp_path):
     (tmp_path / "state").mkdir()
     with pytest.raises(SystemExit):

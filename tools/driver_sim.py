@@ -1,0 +1,97 @@
+"""Simulate the driver's correctness gate: default SparkSession (no engine confs),
+sf0.01, every queries() entry run side-by-side with its oracle_sql() in DuckDB,
+compared on row count + sorted-column schema + value hash. Prints one JSON report.
+
+Run: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm(df):
+    """pandas frame -> canonical rows for hashing (driver-style: columns sorted by
+    name, values stringified with float rounding)."""
+    cols = sorted(df.columns)
+    df = df[cols]
+
+    def cell(v):
+        if v is None:
+            return "NULL"
+        if hasattr(v, "isoformat"):  # date/datetime/Timestamp: dtype-insensitive form
+            return v.isoformat()[:10] if getattr(v, "hour", 0) == 0 and getattr(v, "minute", 0) == 0 and getattr(v, "second", 0) == 0 else v.isoformat()
+        if isinstance(v, float):
+            if v != v:
+                return "NULL"
+            return f"{v:.6f}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        if isinstance(v, bytes):
+            return v.hex()
+        return str(v)
+
+    rows = sorted("\x01".join(cell(v) for v in rec) for rec in df.itertuples(index=False, name=None))
+    h = hashlib.sha256("\n".join(rows).encode()).hexdigest()
+    return len(rows), cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    report, n_pass, n_fail = {}, 0, 0
+    for name in sorted(qs):
+        try:
+            sdf = qs[name](spark, sf_dir)
+            sp = sdf.toPandas()
+            if name not in os_:
+                report[name] = {"err": "no_oracle", "spark_rows": len(sp)}
+                continue
+            op = con.sql(os_[name]).df()
+            sr, sc, sh = _norm(sp)
+            orr, oc, oh = _norm(op)
+            ok = sr == orr and sc == oc and sh == oh
+            report[name] = {
+                "rows_match": sr == orr,
+                "schema_match": sc == oc,
+                "hash_match": sh == oh,
+                "spark_rows": sr,
+                "oracle_rows": orr,
+            }
+            if not ok:
+                report[name]["spark_cols"] = sc
+                report[name]["oracle_cols"] = oc
+            n_pass += ok
+            n_fail += not ok
+        except Exception as ex:  # noqa: BLE001
+            report[name] = {"err": f"{type(ex).__name__}: {ex}"[:400]}
+            n_fail += 1
+    print(json.dumps(report, indent=1))
+    print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={sum(1 for r in report.values() if r.get('err') == 'no_oracle')}", file=sys.stderr)
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,131 @@
+"""Connected components over a pair list — the step that turns near-duplicate
+PAIRS into duplicate CLUSTERS (one keeper per cluster), completing the dedup
+pipeline: minhash/LSH emits edges, this collapses them into groups.
+
+Algorithm: alternating Large-Star / Small-Star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014). Both steps are a groupBy-min
+plus a join — NO collect_list, so a high-degree node (a viral near-dup cluster)
+never materializes its whole neighborhood in one task; skew lands in the
+aggregate's map-side partial min. Converges in O(log n) rounds; each round is
+two shuffles on the node id. Round-to-round lineage is truncated with
+localCheckpoint so the plan stays O(1) deep regardless of iteration count.
+
+At 100 TB: the edge list from LSH is far smaller than the corpus (only
+colliding pairs), rounds shrink it monotonically toward one edge per non-root
+node, and the driver sees only a 2-long aggregate row per round (count +
+checksum) for the convergence test — nothing proportional to data size ever
+reaches the driver.
+
+Reference parity note: the reference has no graph operator (its grouping is
+single-key groupBy, OrthologRelationLoader.java:380-394); this extends the
+engine for training-data dedup where transitive closure is required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both directions of each undirected edge, self-loops dropped."""
+    fwd = edges.select(F.col("id_1").alias("u"), F.col("id_2").alias("v"))
+    return (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+
+
+def _large_star(pairs: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to m(u) = min(Γ(u) ∪ {u})."""
+    fwd = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    sym = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """Orient edges toward the larger endpoint, then connect each smaller
+    neighbor (and the center) to the minimum of the star."""
+    directed = pairs.select(
+        F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+    ).dropDuplicates()
+    mins = directed.groupBy("hi").agg(F.min("lo").alias("m"))
+    nbrs = directed.join(mins, "hi").select(
+        F.col("lo").alias("a"), F.col("m").alias("b")
+    )
+    centers = mins.select(F.col("hi").alias("a"), F.col("m").alias("b"))
+    return (
+        nbrs.unionByName(centers)
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    """Cheap change detector: row count + order-independent checksum."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("chk"),
+    ).collect()[0]
+    return row.n, row.chk
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Resolve an undirected edge list (id_1, id_2) into (node, component) where
+    component is the minimum node id reachable from the node. Nodes that appear
+    only as isolated vertices must be unioned in by the caller (an edge list
+    cannot see them)."""
+    cur = _sym(edges).select(F.col("u").alias("a"), F.col("v").alias("b"))
+    cur = cur.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _signature(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: stars only — every edge points (member → root)
+    members = cur.select(
+        F.greatest("a", "b").alias("node"), F.least("a", "b").alias("component")
+    )
+    roots = members.select(
+        F.col("component").alias("node"), F.col("component")
+    ).dropDuplicates()
+    return members.unionByName(roots).dropDuplicates()
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster summary for a near-dup pair list: every document (singletons
+    included) labeled with its cluster id (min doc id in the cluster), plus the
+    cluster size — the frame a corpus-prep job joins on to keep one doc per
+    cluster."""
+    comp = connected_components(pairs)
+    all_docs = docs.select(F.col(id_col).alias("node"))
+    labeled = all_docs.join(comp, "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce("component", F.col("node")).alias("cluster_id"),
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        id_col, "cluster_id", "cluster_size"
+    )

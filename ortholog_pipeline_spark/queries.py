@@ -654,6 +654,7 @@ def c_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from ortholog_pipeline_spark.functions import text as TXT  # noqa: E402
+from ortholog_pipeline_spark.operators import components as CCop  # noqa: E402
 from ortholog_pipeline_spark.operators import dedup as DD  # noqa: E402
 from ortholog_pipeline_spark.operators import similarity as SIM  # noqa: E402
 
@@ -830,10 +831,11 @@ _MINHASH_AB_SQL = (
     + "]"
 )
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH th AS (
+#: The full minhash→LSH→verify pipeline as a reusable CTE block (tokenize → 31-bit
+#: trigram hashes → affine-rehash signatures → banded candidates → exact-Jaccard
+#: counts). Shared by the pair query and the cluster query so both oracles stay in
+#: lockstep with the Spark operators.
+_MINHASH_CTES = f"""th AS (
       SELECT doc_id,
              list_transform({_TOKS_SQL}, t ->
                CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {DD.MINHASH_M31}
@@ -876,14 +878,20 @@ _MINHASH_AB_SQL = (
                   JOIN post b ON b.doc_id = c.id_2 AND b.hsh = a.hsh
       GROUP BY 1, 2
     ),
-    sz AS (SELECT doc_id, len(h31) AS sz FROM h)
-    SELECT c.id_1, c.id_2,
-           ROUND(n_common * 1.0 / (s1.sz + s2.sz - n_common), 6) AS jaccard
-    FROM cand c JOIN common USING (id_1, id_2)
-                JOIN sz s1 ON s1.doc_id = c.id_1
-                JOIN sz s2 ON s2.doc_id = c.id_2
-    WHERE n_common * 1.0 / (s1.sz + s2.sz - n_common) >= 0.5
-    """,
+    sz AS (SELECT doc_id, len(h31) AS sz FROM h),
+    mh_pairs AS (
+      SELECT c.id_1, c.id_2,
+             ROUND(n_common * 1.0 / (s1.sz + s2.sz - n_common), 6) AS jaccard
+      FROM cand c JOIN common USING (id_1, id_2)
+                  JOIN sz s1 ON s1.doc_id = c.id_1
+                  JOIN sz s2 ON s2.doc_id = c.id_2
+      WHERE n_common * 1.0 / (s1.sz + s2.sz - n_common) >= 0.5
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"WITH {_MINHASH_CTES}\n    SELECT id_1, id_2, jaccard FROM mh_pairs",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_dedup(
@@ -893,6 +901,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         threshold=0.5,
     )
+
+
+@register(
+    "dedup_cluster_assign",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    sym AS (
+      SELECT id_1 AS u, id_2 AS v FROM mh_pairs
+      UNION
+      SELECT id_2, id_1 FROM mh_pairs
+    ),
+    reach(a, b) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+    ),
+    comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT l.doc_id, l.cluster_id, CAST(s.cnt AS BIGINT) AS cluster_size
+    FROM labeled l
+    JOIN (SELECT cluster_id, COUNT(*) AS cnt FROM labeled GROUP BY 1) s
+      USING (cluster_id)
+    """,
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: minhash/LSH edges resolved to components
+    via alternating large-star/small-star (components.py), every document labeled
+    with its cluster id and size. The DuckDB oracle reproduces the closure with a
+    recursive CTE over the exact same verified pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_dedup(
+        docs, k=3, num_hashes=16, bands=4, threshold=0.5
+    ).select("id_1", "id_2")
+    return CCop.dedup_clusters(docs, pairs)
 
 
 @register(

@@ -461,3 +461,51 @@ def test_ann_index_build_query_and_partition_pruning(spark, tmp_path):
     m = re.search(r"partition count: (\d+)", plan.lower())
     if m:  # Spark prints the pruned partition count in the scan node
         assert int(m.group(1)) < 32
+
+
+# ---------------------------------------------------------------------------
+# Connected components (large-star/small-star) — pair list to dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_known_graphs(spark):
+    """Chain, triangle, pair, star, and a long path (forces multiple rounds):
+    every node labels with the min id of its component."""
+    from ortholog_pipeline_spark.operators.components import connected_components
+
+    edges = [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21),
+             (30, 31), (30, 32), (30, 33)]
+    # long path 50-51-...-58 — diameter 8, converges only via repeated rounds
+    edges += [(i, i + 1) for i in range(50, 58)]
+    got = {
+        r.node: r.component
+        for r in connected_components(spark.createDataFrame(edges, ["id_1", "id_2"])).collect()
+    }
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20,
+            30: 30, 31: 30, 32: 30, 33: 30}
+    want |= {i: 50 for i in range(50, 59)}
+    assert got == want
+
+
+def test_dedup_clusters_labels_singletons(spark):
+    """Docs with no near-dup edge form their own 1-member cluster; members get
+    the min doc id as cluster_id, and sizes count every member."""
+    from ortholog_pipeline_spark.operators.components import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 9]], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_1", "id_2"])
+    got = {r.doc_id: (r.cluster_id, r.cluster_size) for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 9: (9, 1)}
+
+
+def test_connected_components_partition_invariant(spark):
+    """Same labels regardless of input partitioning (the determinism property a
+    cluster reshuffle must not break)."""
+    from ortholog_pipeline_spark.operators.components import connected_components
+
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(i, i + 2) for i in range(0, 38, 4)]
+    df1 = spark.createDataFrame(edges, ["id_1", "id_2"]).repartition(1)
+    df17 = spark.createDataFrame(edges, ["id_1", "id_2"]).repartition(17)
+    r1 = sorted(map(tuple, connected_components(df1).collect()))
+    r17 = sorted(map(tuple, connected_components(df17).collect()))
+    assert r1 == r17

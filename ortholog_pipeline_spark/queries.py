@@ -627,6 +627,94 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join: event → latest preceding state row per key (engine extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_asof_event_state",
+    """
+    WITH probe AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    build AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           b.value AS value_asof, b.ts AS ts_asof
+    FROM probe p ASOF LEFT JOIN build b
+      ON p.user_id = b.user_id AND p.ts >= b.ts
+    """,
+)
+def j_asof_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: each click joined to the user's most recent
+    at-or-before purchase (operators/asof.py union+window encoding — one
+    shuffle, no range explosion). Oracle is DuckDB's native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return ASOFop.asof_join(probe, build, on="ts", by="user_id", value_cols=["value"])
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap-based session windows over the event stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS s_idx
+      FROM marked
+    )
+
+    SELECT user_id,
+           MIN(ts)                        AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE   AS session_end,
+           CAST(COUNT(*) AS BIGINT)       AS n_events,
+           ROUND(SUM(value), 2)           AS sum_value
+    FROM sess GROUP BY user_id, s_idx
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's native session_window (merge events
+    closer than 30 min; window end = last event + gap). The DuckDB oracle is the
+    classic gaps-and-islands encoding — lag to mark session starts, running sum
+    to number them — proving the native operator's semantics exactly. The same
+    groupBy runs unchanged on a stream (streaming/windows.py session variant)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # C-family scalar: JSON props extraction
 # ---------------------------------------------------------------------------
 
@@ -654,6 +742,7 @@ def c_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from ortholog_pipeline_spark.functions import text as TXT  # noqa: E402
+from ortholog_pipeline_spark.operators import asof as ASOFop  # noqa: E402
 from ortholog_pipeline_spark.operators import components as CCop  # noqa: E402
 from ortholog_pipeline_spark.operators import dedup as DD  # noqa: E402
 from ortholog_pipeline_spark.operators import similarity as SIM  # noqa: E402

@@ -70,6 +70,36 @@ def dedup_stream(
     return src.dropDuplicates(key_cols)
 
 
+def session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based session windows per user: events closer than ``gap`` merge into
+    one session whose end is last-event + gap. On a stream the watermark bounds
+    session state (a session closes once the watermark passes its end); in batch
+    the identical groupBy is what ``stream_session_window`` checks against the
+    gaps-and-islands DuckDB oracle."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sliding_counts(
     events: DataFrame,
     window_size: str = "1 hour",

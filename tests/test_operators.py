@@ -509,3 +509,52 @@ def test_connected_components_partition_invariant(spark):
     r1 = sorted(map(tuple, connected_components(df1).collect()))
     r17 = sorted(map(tuple, connected_components(df17).collect()))
     assert r1 == r17
+
+
+# ---------------------------------------------------------------------------
+# As-of join — union + partitioned-window encoding
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_inclusive_and_tolerance(spark):
+    """Backward as-of: latest build row at-or-before each probe ts; equal ts
+    matches (inclusive); tolerance nulls out matches older than the bound."""
+    import datetime as dt
+
+    from ortholog_pipeline_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    probe = spark.createDataFrame(
+        [(1, 1, T(10)), (2, 1, T(20)), (3, 2, T(5)), (4, 1, T(15))],
+        ["event_id", "user_id", "ts"],
+    )
+    build = spark.createDataFrame(
+        [(1, T(10), 100.0), (1, T(15), 150.0), (2, T(6), 60.0)],
+        ["user_id", "ts", "value"],
+    )
+    out = asof_join(probe, build, value_cols=["value"]).orderBy("event_id")
+    assert [(r.event_id, r.value_asof) for r in out.collect()] == [
+        (1, 100.0), (2, 150.0), (3, None), (4, 150.0)
+    ]
+    out2 = asof_join(
+        probe, build, value_cols=["value"],
+        tolerance=F.expr("INTERVAL 3 SECONDS"),
+    ).orderBy("event_id")
+    assert [(r.event_id, r.value_asof) for r in out2.collect()] == [
+        (1, 100.0), (2, None), (3, None), (4, 150.0)
+    ]
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The encoding must stay one exchange on the key — no range join, no
+    cartesian product in the physical plan."""
+    import datetime as dt
+
+    from ortholog_pipeline_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    probe = spark.createDataFrame([(1, 1, T(10))], ["event_id", "user_id", "ts"])
+    build = spark.createDataFrame([(1, T(5), 1.0)], ["user_id", "ts", "value"])
+    plan = asof_join(probe, build, value_cols=["value"])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # union sides feed one window shuffle

@@ -187,3 +187,47 @@ def test_dedup_stream_drops_watermark_window_duplicates(spark, tmp_path):
     )
     kept = dedup_stream(batch, text_col="text").collect()
     assert len(kept) == 2  # normalized fingerprint collapses the first two
+
+
+def test_session_agg_stream_matches_batch(spark, tmp_path):
+    """Native session_window on a stream: gap-separated events split into
+    sessions (end = last event + gap); identical result in batch mode."""
+    from ortholog_pipeline_spark.streaming.windows import session_agg
+
+    landing = str(tmp_path / "landing")
+    rows = [
+        (0, 1, "view", 1.0),
+        (60, 1, "click", 2.0),
+        (7200, 1, "view", 4.0),   # > 30 min gap: new session
+        (0, 2, "view", 8.0),
+        (10 * 86400, 99, "view", 0.0),  # watermark pusher
+    ]
+    _land(_mk_events(spark, rows), landing)
+
+    stream = read_stream_events(spark, landing, max_files_per_trigger=None)
+    out = session_agg(stream, gap="30 minutes", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_agg_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM session_agg_out").collect()
+    }
+    gap = dt.timedelta(minutes=30)
+    assert got[(1, TS0)] == (TS0 + dt.timedelta(seconds=60) + gap, 2, 3.0)
+    assert got[(1, TS0 + dt.timedelta(seconds=7200))] == (
+        TS0 + dt.timedelta(seconds=7200) + gap, 1, 4.0)
+    assert got[(2, TS0)] == (TS0 + gap, 1, 8.0)
+
+    batch = session_agg(spark.read.parquet(landing), gap="30 minutes")
+    bg = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in batch.collect()
+        if r.user_id != 99  # the watermark-pusher's own session never closes
+    }
+    assert bg == got

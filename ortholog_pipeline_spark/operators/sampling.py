@@ -1,0 +1,78 @@
+"""Deterministic, engine-portable sampling for training-data pipelines.
+
+``df.sample()`` is seed-and-partitioning dependent — rerun the job with a
+different file split and the sample changes, which poisons train/holdout
+hygiene. These operators derive membership from a content hash (md5 of the row
+key + a salt string), so the same row lands in the same split on any cluster,
+any partitioning, any engine — DuckDB reproduces every decision bit-for-bit,
+which is what the registry oracles check.
+
+Scale shapes:
+  * hash-Bernoulli: pure map-side filter — no shuffle at all, pushes through
+    any plan, works on a stream.
+  * exact stratified: one shuffle (window over the stratum key); exact
+    ceil(n·f) rows per stratum with a deterministic hash order, so reruns and
+    resizes return the identical sample. A pathologically hot stratum behaves
+    like any partitioned window — salt upstream if one stratum is ~the corpus.
+  * train/holdout split: the Bernoulli hash as a LABEL (no filter), so one scan
+    feeds both sides without re-reading.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ortholog_pipeline_spark.operators.dedup import hex_hash64
+
+#: Denominator for hash-bucket fractions: hash mod 1e6 < f·1e6.
+BUCKETS = 1_000_000
+
+
+def sample_bucket(key: Column, salt: str) -> Column:
+    """Uniform bucket in [0, 1e6) from md5(salt || key) — the portable coin."""
+    return F.pmod(hex_hash64(F.concat(F.lit(salt), key.cast("string"))), F.lit(BUCKETS))
+
+
+def hash_bernoulli_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "s0"
+) -> DataFrame:
+    """Keep each row iff its key's hash bucket falls below ``fraction`` — a
+    reproducible Bernoulli sample, map-side only."""
+    return df.filter(sample_bucket(F.col(key_col), salt) < int(fraction * BUCKETS))
+
+
+def train_holdout_split(
+    df: DataFrame, key_col: str, holdout_fraction: float = 0.1, salt: str = "s0"
+) -> DataFrame:
+    """Label every row 'train' / 'holdout' by hash bucket (no filter): one scan
+    serves both splits, and a document can never migrate between them."""
+    return df.withColumn(
+        "split",
+        F.when(
+            sample_bucket(F.col(key_col), salt) < int(holdout_fraction * BUCKETS),
+            F.lit("holdout"),
+        ).otherwise(F.lit("train")),
+    )
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    fraction: float,
+    salt: str = "s0",
+) -> DataFrame:
+    """Exactly ceil(n·fraction) rows from every stratum, chosen by hash order —
+    a deterministic quota sample that preserves small strata (ceil keeps ≥1 row
+    of any non-empty stratum). One window shuffle on the strata key."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        sample_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    wc = Window.partitionBy(*strata_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wc))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        .drop("_rn", "_n")
+    )

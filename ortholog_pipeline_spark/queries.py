@@ -2012,3 +2012,61 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine verifies within bucket."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.cosine_near_dup_pairs(emb, threshold=0.45, bands=4, planes_per_band=3)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling — reproducible splits for training-data hygiene
+# ---------------------------------------------------------------------------
+
+from ortholog_pipeline_spark.operators import sampling as SMP  # noqa: E402
+
+_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5('s0' || CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" % {SMP.BUCKETS}"
+)
+
+
+@register(
+    "sample_train_holdout",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET_SQL.format(key='doc_id')} < {SMP.BUCKETS // 10}
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def sample_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash train/holdout labels: partitioning- and engine-independent
+    (md5 bucket), so a document can never migrate between splits across reruns.
+    Map-side only — no shuffle, streams unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    return SMP.train_holdout_split(docs, "doc_id", holdout_fraction=0.1).select(
+        "doc_id", "split"
+    )
+
+
+@register(
+    "sample_stratified_exact",
+    f"""
+    WITH b AS (
+      SELECT o_orderkey, o_orderpriority,
+             {_BUCKET_SQL.format(key='o_orderkey')} AS bucket
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderkey, o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY bucket, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM b
+    )
+    SELECT o_orderkey, o_orderpriority FROM r WHERE rn <= CEIL(n * 0.1)
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10% quota per order priority, selected by deterministic hash order
+    — ceil(n·f) rows per stratum on any partitioning (one window shuffle)."""
+    orders = _t(spark, sf_dir, "orders")
+    return SMP.stratified_exact_sample(
+        orders, ["o_orderpriority"], "o_orderkey", 0.1
+    ).select("o_orderkey", "o_orderpriority")

@@ -558,3 +558,46 @@ def test_asof_join_single_shuffle_plan(spark):
     plan = asof_join(probe, build, value_cols=["value"])._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # union sides feed one window shuffle
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sampling_partition_invariant_and_exact_quota(spark):
+    """Hash-based membership is identical on any partitioning; stratified
+    sampling returns exactly ceil(n*f) rows per stratum."""
+    import math
+
+    from ortholog_pipeline_spark.operators.sampling import (
+        stratified_exact_sample,
+        train_holdout_split,
+    )
+
+    rows = [(i, "abc"[i % 3]) for i in range(300)]
+    df1 = spark.createDataFrame(rows, ["k", "stratum"]).repartition(1)
+    df13 = spark.createDataFrame(rows, ["k", "stratum"]).repartition(13)
+
+    s1 = {(r.k, r.split) for r in train_holdout_split(df1, "k", 0.2).collect()}
+    s13 = {(r.k, r.split) for r in train_holdout_split(df13, "k", 0.2).collect()}
+    assert s1 == s13
+    n_hold = sum(1 for _, s in s1 if s == "holdout")
+    assert 0.1 < n_hold / 300 < 0.3  # ~20%, hash-uniform
+
+    got1 = sorted((r.k, r.stratum) for r in stratified_exact_sample(df1, ["stratum"], "k", 0.1).collect())
+    got13 = sorted((r.k, r.stratum) for r in stratified_exact_sample(df13, ["stratum"], "k", 0.1).collect())
+    assert got1 == got13
+    per = {}
+    for _, s in got1:
+        per[s] = per.get(s, 0) + 1
+    assert per == {s: math.ceil(100 * 0.1) for s in "abc"}
+
+
+def test_hash_bernoulli_no_shuffle(spark):
+    """The Bernoulli sample must stay a map-side filter — zero exchanges."""
+    from ortholog_pipeline_spark.operators.sampling import hash_bernoulli_sample
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    plan = hash_bernoulli_sample(df, "k", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

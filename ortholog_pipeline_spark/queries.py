@@ -2070,3 +2070,58 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SMP.stratified_exact_sample(
         orders, ["o_orderpriority"], "o_orderkey", 0.1
     ).select("o_orderkey", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — corpus preparation hygiene
+# ---------------------------------------------------------------------------
+
+from ortholog_pipeline_spark.functions import pii as PII  # noqa: E402
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +15550000' || CAST(doc_id AS VARCHAR)
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS txt
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, txt,
+             regexp_replace(regexp_replace(regexp_replace(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+               '\+[0-9]{7,15}\b', '<PHONE>', 'g') AS scrubbed,
+             len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(txt, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+             + len(regexp_extract_all(txt, '\+[0-9]{7,15}\b')) AS n_pii
+      FROM w
+    )
+    SELECT doc_id, CAST(n_pii AS BIGINT) AS n_pii,
+           md5(scrubbed) AS scrub_fp,
+           CAST(length(scrubbed) AS BIGINT) AS n_chars
+    FROM s
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction parity: deterministic synthetic PII (email/phone/IP derived
+    from doc_id) appended to every document, scrubbed with functions/pii.py, and
+    fingerprinted — the md5 proves both engines made byte-identical redactions.
+    Pure regexp expressions, whole-stage codegen, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.com or +15550000"), did,
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    w = docs.select("doc_id", txt.alias("txt"))
+    return w.select(
+        "doc_id",
+        PII.pii_count("txt").alias("n_pii"),
+        F.md5(PII.scrub_pii("txt")).alias("scrub_fp"),
+        F.length(PII.scrub_pii("txt")).cast("long").alias("n_chars"),
+    )

@@ -38,6 +38,13 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # round-2 surface: clustering, as-of, sessions, sampling, PII, rollup
+    "dedup_cluster_assign",
+    "j_asof_event_state",
+    "stream_session_window",
+    "sample_stratified_exact",
+    "text_pii_scrub",
+    "a_rollup_revenue",
 ]
 
 

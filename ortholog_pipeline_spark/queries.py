@@ -2125,3 +2125,186 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(PII.scrub_pii("txt")).alias("scrub_fp"),
         F.length(PII.scrub_pii("txt")).cast("long").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A-family extension: multi-level ROLLUP aggregation (grouping sets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_rollup_revenue",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT)       AS n_orders,
+           ROUND(SUM(o_totalprice), 2)    AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in ONE pass: detail, per-priority subtotal, and grand
+    total via ROLLUP grouping sets — Spark expands these with a single shuffle
+    (partial aggregation map-side per grouping set), vs three separate scans if
+    written naively. gid disambiguates subtotal rows from genuine NULL keys."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-family extension: exact percentiles per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6)  AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event type (Spark `percentile`
+    == DuckDB `quantile_cont`). Exact quantiles sort within the aggregate — at
+    100 TB swap in approx_percentile (t-digest, mergeable map-side) and accept
+    the documented error; this query pins the exact semantics."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O/W-family extension: the ranking/analytic window function family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_window_family",
+    """
+    WITH base AS (
+      SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER()   OVER w AS BIGINT) AS rn,
+           CAST(RANK()         OVER w AS BIGINT) AS rnk,
+           CAST(NTILE(4)       OVER w AS BIGINT) AS quartile,
+           ROUND(value - LAG(value, 1, 0.0)  OVER w, 6)       AS delta_prev,
+           ROUND(CUME_DIST()   OVER w, 6)        AS cume,
+           ROUND(SUM(value)    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING), 6) AS running_total
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window family over one partitioned ordering: rank, ntile,
+    lag-delta, cumulative distribution, running total — ONE shuffle for all six
+    (same partition key + order, Catalyst collapses them into a single Window)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return base.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.col("value") - F.lag("value", 1, 0.0).over(w), 6).alias("delta_prev"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.sum("value").over(wr), 6).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-family extension: pivot (wide per-key aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_pivot_event_matrix",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def a_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User × event-type count matrix via pivot with EXPLICIT value list — the
+    explicit list matters at scale: without it Spark runs an extra distinct scan
+    to discover columns. One shuffle; counts become map-side partial aggs."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}") for k in kinds],
+    )
+
+
+# ---------------------------------------------------------------------------
+# S-family extension: SCD2 history build (validity intervals from a changelog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s_scd2_history",
+    """
+    WITH changes AS (
+      SELECT user_id, ts, event_type,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    starts AS (
+      SELECT user_id, ts AS valid_from, event_type
+      FROM changes
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           CAST(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                IS NULL AS BOOLEAN) AS is_current
+    FROM starts
+    """,
+)
+def s_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from an event changelog: collapse runs
+    of the same state, then derive [valid_from, valid_to) intervals with lead —
+    the standard two-window build (both windows share the user_id shuffle). The
+    reference's last-modified stamping (S10) is the degenerate one-row case."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id", "ts", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    starts = changes.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", F.col("ts").alias("valid_from"), "event_type")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    lead = F.lead("valid_from").over(w2)
+    return starts.select(
+        "user_id", "event_type", "valid_from",
+        lead.alias("valid_to"),
+        lead.isNull().alias("is_current"),
+    )

@@ -117,3 +117,24 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orth_b")
         spark.sql("DROP TABLE IF EXISTS xref_b")
+
+
+def test_window_family_single_shuffle(spark):
+    """Six analytic functions over the same (partition, order) must collapse to
+    window operators fed by ONE exchange — not one shuffle per function."""
+    plan = _plan(spark, "w_window_family")
+    assert plan.count("Arguments: hashpartitioning") == 1  # one exchange node
+    assert plan.count(") Window") == 1  # one Window operator for all six funcs
+
+
+def test_asof_join_no_nested_loop(spark):
+    plan = _plan(spark, "j_asof_event_state")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pivot_no_value_discovery_scan(spark):
+    """Explicit pivot values: exactly one scan of events (no extra distinct
+    pass to discover the pivot columns)."""
+    plan = _plan(spark, "a_pivot_event_matrix")
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one scan node

@@ -344,3 +344,74 @@ def simhash_dedup(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def contamination_check(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    holdout_fraction: float = 0.1,
+    max_shingle_freq: int = 50,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Train→holdout contamination scan: for every holdout document, the train
+    document with the highest shingle-containment (|H∩T| / |H|) and whether it
+    crosses the contamination threshold — the eval-integrity gate a training
+    pipeline runs before publishing a split.
+
+    Scale shape: the split is the hash-Bernoulli labeler (map-side), shingles
+    are the already-hashed 31-bit trigrams, and the candidate join is a posting
+    join train×holdout per shingle. Shingles occurring in > ``max_shingle_freq``
+    docs are dropped first — boilerplate shingles dominate posting-list cost
+    quadratically while carrying no contamination signal (same reasoning as a
+    stopword cut). At corpus scale, swap the posting join's generation side for
+    minhash_lsh_dedup candidates; the containment refine is unchanged."""
+    from ortholog_pipeline_spark.operators.sampling import sample_bucket, BUCKETS
+
+    hashed = df.select(
+        F.col(id_col),
+        (
+            sample_bucket(F.col(id_col), "s0") < int(holdout_fraction * BUCKETS)
+        ).alias("is_holdout"),
+        hashed_shingles31(text_col).alias("h31"),
+    ).filter(F.size("h31") > 0)
+
+    posting = hashed.select(id_col, "is_holdout", F.explode("h31").alias("h"))
+    rare = (
+        posting.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_shingle_freq)
+        .select("h")
+    )
+    posting = posting.join(rare, "h")
+
+    hold = posting.filter("is_holdout").select(
+        F.col(id_col).alias("holdout_id"), "h"
+    )
+    train = posting.filter(~F.col("is_holdout")).select(
+        F.col(id_col).alias("train_id"), "h"
+    )
+    common = (
+        hold.join(train, "h")
+        .groupBy("holdout_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    hsz = hashed.filter("is_holdout").select(
+        F.col(id_col).alias("holdout_id"), F.size("h31").alias("h_sz")
+    )
+    scored = common.join(hsz, "holdout_id").withColumn(
+        "containment", F.round(F.col("n_common") / F.col("h_sz"), 6)
+    )
+    w = Window.partitionBy("holdout_id").orderBy(
+        F.col("containment").desc(), F.col("train_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "holdout_id",
+            F.col("train_id").alias("best_train_id"),
+            "containment",
+            (F.col("containment") >= threshold).alias("contaminated"),
+        )
+    )

@@ -2308,3 +2308,129 @@ def s_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         lead.alias("valid_to"),
         lead.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: bucketized equi-join encoding
+# ---------------------------------------------------------------------------
+
+from ortholog_pipeline_spark.operators import rangejoin as RJ  # noqa: E402
+
+
+@register(
+    "j_range_session_attach",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS s_idx
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM sess GROUP BY user_id, s_idx
+    )
+    SELECT c.event_id, c.user_id, c.ts, s.s_start, s.s_end
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN sessions s
+      ON s.user_id = c.user_id AND c.ts >= s.s_start AND c.ts < s.s_end
+    """,
+)
+def j_range_session_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join without nested loops: clicks attributed to the purchase
+    session window containing them. Purchase sessions come from native
+    session_window; the interval join chunks time into 30-min buckets and
+    equi-joins on (user_id, bucket) before the exact refine — the candidate
+    set is bounded, and the oracle's plain inequality join proves the result
+    identical."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return RJ.interval_join(
+        clicks, sessions, ts_col="ts", start_col="s_start", end_col="s_end",
+        by=["user_id"], bucket_seconds=1800,
+    ).select("event_id", "user_id", "ts", "s_start", "s_end")
+
+
+# ---------------------------------------------------------------------------
+# Contamination scan: holdout⟂train shingle containment (eval integrity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_contamination",
+    f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform({_TOKS_SQL}, t ->
+               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {DD.MINHASH_M31}
+             ) AS th
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(th) - 2, 0)),
+               i -> (th[i] * {DD.SHINGLE_A} + th[i+1] * {DD.SHINGLE_B} + th[i+2])
+                    % {DD.MINHASH_M31}
+             )) AS h31
+      FROM th WHERE len(th) >= 3
+    ),
+    lab AS (
+      SELECT doc_id,
+             (CAST(('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000 < 100000) AS is_holdout,
+             h31
+      FROM h WHERE len(h31) > 0
+    ),
+    posting AS (SELECT doc_id, is_holdout, unnest(h31) AS h FROM lab),
+    rare AS (SELECT h FROM posting GROUP BY h HAVING COUNT(*) <= 50),
+    p2 AS (SELECT posting.* FROM posting JOIN rare USING (h)),
+    common AS (
+      SELECT a.doc_id AS holdout_id, b.doc_id AS train_id,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM p2 a JOIN p2 b USING (h)
+      WHERE a.is_holdout AND NOT b.is_holdout
+      GROUP BY 1, 2
+    ),
+    hsz AS (SELECT doc_id AS holdout_id, len(h31) AS h_sz FROM lab WHERE is_holdout),
+    scored AS (
+      SELECT holdout_id, train_id,
+             ROUND(n_common * 1.0 / h_sz, 6) AS containment
+      FROM common JOIN hsz USING (holdout_id)
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY holdout_id
+                                   ORDER BY containment DESC, train_id ASC) AS rn
+      FROM scored
+    )
+    SELECT holdout_id, train_id AS best_train_id, containment,
+           containment >= 0.8 AS contaminated
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity scan: per holdout document, the train document with max
+    shingle containment (|H∩T|/|H|) after a hash split — high-frequency
+    boilerplate shingles cut before the posting join (quadratic cost, zero
+    signal). Flags crossings of the 0.8 contamination threshold."""
+    return DD.contamination_check(_t(spark, sf_dir, "documents"))

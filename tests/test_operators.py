@@ -601,3 +601,74 @@ def test_hash_bernoulli_no_shuffle(spark):
     df = spark.range(100).withColumnRenamed("id", "k")
     plan = hash_bernoulli_sample(df, "k", 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_bucketized_semantics(spark):
+    """Inclusive start / exclusive end, per-key matching, sub-second
+    boundaries, and intervals spanning multiple buckets."""
+    import datetime as dt
+
+    from ortholog_pipeline_spark.operators.rangejoin import interval_join
+
+    T = lambda s, us=0: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(  # noqa: E731
+        seconds=s, microseconds=us
+    )
+    points = spark.createDataFrame(
+        [
+            (1, 1, T(0)),        # == start: in
+            (2, 1, T(7200)),     # == end: out (exclusive)
+            (3, 1, T(3600)),     # mid, spans bucket boundary: in
+            (4, 2, T(3600)),     # other key, no interval: out
+            (5, 1, T(0, 500)),   # sub-second into interval: in
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    ivals = spark.createDataFrame(
+        [(1, T(0), T(7200), "w1")], ["user_id", "start", "end", "tag"]
+    )
+    got = sorted(
+        r.event_id
+        for r in interval_join(
+            points, ivals, ts_col="ts", start_col="start", end_col="end",
+            by=["user_id"], bucket_seconds=3600,
+        ).collect()
+    )
+    assert got == [1, 3, 5]
+
+    plan = interval_join(
+        points, ivals, ts_col="ts", start_col="start", end_col="end",
+        by=["user_id"], bucket_seconds=3600,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_check_flags_planted_dup(spark):
+    """A holdout document replicated into train must surface with containment
+    1.0 and the contaminated flag; disjoint docs stay below threshold."""
+    from ortholog_pipeline_spark.operators.dedup import contamination_check
+    from ortholog_pipeline_spark.operators.sampling import train_holdout_split
+
+    base = [(i, f"unique text body number {i} with filler tokens alpha beta gamma delta {i}") for i in range(40)]
+    df = spark.createDataFrame(base, ["doc_id", "text"])
+    split = {r.doc_id: r.split for r in train_holdout_split(df, "doc_id", 0.2).collect()}
+    hold_id = next(i for i in sorted(split) if split[i] == "holdout")
+    train_id = next(i for i in sorted(split) if split[i] == "train")
+    # plant: train doc gets the holdout doc's exact text
+    planted = [(i, dict(base)[hold_id] if i == train_id else t) for i, t in base]
+    got = {
+        r.holdout_id: (r.best_train_id, r.containment, r.contaminated)
+        for r in contamination_check(
+            spark.createDataFrame(planted, ["doc_id", "text"]),
+            holdout_fraction=0.2,
+        ).collect()
+    }
+    assert got[hold_id] == (train_id, 1.0, True)
+    for hid, (_, cont, flag) in got.items():
+        if hid != hold_id:
+            assert not flag and cont < 0.8

@@ -13,11 +13,13 @@ the true streaming counterparts, built so every stream reuses the batch operator
   (per-key sessionization with timeout — the shape Spark lacks as a built-in).
 """
 
+from ortholog_pipeline_spark.streaming.joins import interval_equi_join
 from ortholog_pipeline_spark.streaming.sources import read_stream_events, read_stream_tsv
 from ortholog_pipeline_spark.streaming.stateful import sessionize
 from ortholog_pipeline_spark.streaming.sync import foreach_batch_sync
 from ortholog_pipeline_spark.streaming.windows import (
     dedup_stream,
+    session_agg,
     sliding_counts,
     tumbling_agg,
 )
@@ -30,4 +32,6 @@ __all__ = [
     "dedup_stream",
     "foreach_batch_sync",
     "sessionize",
+    "session_agg",
+    "interval_equi_join",
 ]

@@ -231,3 +231,43 @@ def test_session_agg_stream_matches_batch(spark, tmp_path):
         if r.user_id != 99  # the watermark-pusher's own session never closes
     }
     assert bg == got
+
+
+def test_interval_equi_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: purchases pick up same-user clicks within
+    the lookback window; the time bound sits in the join condition so state is
+    evictable; batch run of the same body returns the identical pairs."""
+    from ortholog_pipeline_spark.streaming.joins import interval_equi_join
+
+    landing_l = str(tmp_path / "purchases")
+    landing_r = str(tmp_path / "clicks")
+    # user 1: click at t=100 (inside lookback) and t=5400 (after the purchase);
+    # user 2's click is older than the 1h lookback (strict: t=0 vs t=9000)
+    _land(_mk_events(spark, [(3600, 1, "purchase", 50.0), (9000, 2, "purchase", 9.0)]), landing_l)
+    _land(_mk_events(spark, [(100, 1, "click", 1.0), (5400, 1, "click", 2.0), (0, 2, "click", 3.0)]), landing_r)
+
+    def run(l, r):
+        return interval_equi_join(
+            l, r, key="user_id", ts_col="ts", lookback="1 hour", watermark="1 hour"
+        ).select("l_user_id", "l_event_id", "r_event_id")
+
+    out = run(
+        read_stream_events(spark, landing_l, max_files_per_trigger=None),
+        read_stream_events(spark, landing_r, max_files_per_trigger=None),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.l_user_id, r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    )
+    assert got == [(1, 0, 0)]  # only user 1's first click is in (ts-1h, ts]
+
+    batch = run(spark.read.parquet(landing_l), spark.read.parquet(landing_r))
+    assert sorted(map(tuple, batch.collect())) == got

@@ -107,3 +107,29 @@ def query_ann_index(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def append_ann_index(
+    store: StateStore,
+    new_vectors: DataFrame,
+    name: str = "ann_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index growth: assign NEW vectors to the existing coarse
+    cells (seeds are immutable — queries must probe the same geometry the
+    corpus was assigned under) and publish the union as the next snapshot
+    version. The rewrite stays partitioned by cell, so query-side directory
+    pruning is unchanged; readers on the previous version are untouched
+    (snapshot isolation). Re-seed by rebuilding only when drift makes cell
+    sizes pathological — that decision is a maintenance-window call, not a
+    per-append one."""
+    seed_rows = store.read(f"{name}_seeds").orderBy("cell").collect()
+    seed_mat = np.array([r.seed for r in seed_rows], dtype=np.float64)
+
+    assigned = new_vectors.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("vec"),
+    ).withColumn("cell", ivf_assign_udf(seed_mat, 1)(F.col("vec"))[0])
+    merged = store.read(name).unionByName(assigned)
+    return store.write(name, merged, partition_by=["cell"])

@@ -2434,3 +2434,61 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate shingles cut before the posting join (quadratic cost, zero
     signal). Flags crossings of the 0.8 contamination threshold."""
     return DD.contamination_check(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deep multi-table join: the TPC-H Q5 shape (join ordering + broadcast tiers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_deep_join_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def j_deep_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join in the TPC-H Q5 shape: local-supplier revenue per nation
+    of one region for one year. The plan the audit test pins: region/nation/
+    supplier/customer broadcast (small dims), lineitem⋈orders is the single
+    shuffle pair, and both date bounds + the region filter push into the scans
+    so the big fact read is already pruned. This is the join-ordering stress
+    query — Catalyst must not shuffle a dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -138,3 +138,13 @@ def test_pivot_no_value_discovery_scan(spark):
     pass to discover the pivot columns)."""
     plan = _plan(spark, "a_pivot_event_matrix")
     assert plan.count("Location: InMemoryFileIndex") == 1  # one scan node
+
+
+def test_deep_join_broadcasts_all_dimensions(spark):
+    """Q5-shape join: every dimension broadcasts; the only shuffle join pair is
+    lineitem-orders; date + region filters reach the scans."""
+    plan = _plan(spark, "j_deep_join_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+    assert "1996-01-01" in plan  # order-date bound pushed to the orders scan
+    assert "ASIA" in plan or "IsNotNull(r_name)" in plan  # region filter pushed

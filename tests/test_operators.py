@@ -672,3 +672,35 @@ def test_contamination_check_flags_planted_dup(spark):
     for hid, (_, cont, flag) in got.items():
         if hid != hold_id:
             assert not flag and cont < 0.8
+
+
+def test_append_ann_index_incremental_equals_bulk_append(spark, tmp_path):
+    """Seeds are immutable, so appends must be associative: two incremental
+    appends answer queries identically to one bulk append of the same rows,
+    and the index ends with every vector exactly once."""
+    from ortholog_pipeline_spark.operators.ann_index import (
+        append_ann_index,
+        build_ann_index,
+        query_ann_index,
+    )
+    from ortholog_pipeline_spark.sources.state import StateStore
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new_a = emb.filter(F.col("vec_id") % 10 == 0)
+    new_b = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 10 != 0))
+
+    s1 = StateStore(spark, str(tmp_path / "inc"))
+    build_ann_index(s1, base, n_cells=16)
+    assert append_ann_index(s1, new_a) == 1
+    assert append_ann_index(s1, new_b) == 2
+
+    s2 = StateStore(spark, str(tmp_path / "bulk"))
+    build_ann_index(s2, base, n_cells=16)  # same corpus → same seeds
+    append_ann_index(s2, new_a.unionByName(new_b))
+
+    assert s1.read("ann_index").count() == emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sorted(map(tuple, query_ann_index(s1, q, k=3, n_probe=4).collect()))
+    want = sorted(map(tuple, query_ann_index(s2, q, k=3, n_probe=4).collect()))
+    assert got == want and len(got) > 0

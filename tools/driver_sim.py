@@ -2,7 +2,8 @@
 sf0.01, every queries() entry run side-by-side with its oracle_sql() in DuckDB,
 compared on row count + sorted-column schema + value hash. Prints one JSON report.
 
-Run: python tools/driver_sim.py [sf_dir]
+Run: python tools/driver_sim.py [sf_dir] [query_name ...]
+(query names restrict the run to those registry entries)
 """
 
 from __future__ import annotations
@@ -46,7 +47,9 @@ def _norm(df):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    sf_dir = args.pop(0) if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = set(args)
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
@@ -63,6 +66,8 @@ def main() -> int:
     qs, os_ = e.queries(), e.oracle_sql()
     report, n_pass, n_fail = {}, 0, 0
     for name in sorted(qs):
+        if only and name not in only:
+            continue
         try:
             sdf = qs[name](spark, sf_dir)
             sp = sdf.toPandas()

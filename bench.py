@@ -45,6 +45,8 @@ HEADLINE = [
     "sample_stratified_exact",
     "text_pii_scrub",
     "a_rollup_revenue",
+    "j_deep_join_revenue",
+    "text_tfidf_topterms",
 ]
 
 

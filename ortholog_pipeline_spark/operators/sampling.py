@@ -76,3 +76,33 @@ def stratified_exact_sample(
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
         .drop("_rn", "_n")
     )
+
+
+def reservoir_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    k: int,
+    salt: str = "s0",
+) -> DataFrame:
+    """Fixed-size k-sample per key — the deterministic stand-in for a per-key
+    reservoir. A classic streaming reservoir (Vitter's algorithm R) is
+    arrival-order dependent: rerun the job with different file splits and the
+    sample changes. Ranking by the content hash instead draws the same uniform
+    without-replacement k rows per key on any partitioning, any engine, any
+    run — and it IS the reservoir distribution (each hash order is a uniform
+    random permutation of the key's rows under the md5 coin).
+
+    Scale shape: one shuffle (window over the key). A pathologically hot key
+    concentrates on one task like any partitioned window; since only k rows
+    survive, pre-filter skewed keys with a per-partition local top-k first
+    (same two-stage trick as similarity.brute_force_topk) if a key is ~the
+    corpus."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        sample_bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -2492,3 +2492,129 @@ def j_deep_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling extension: deterministic per-key reservoir (fixed-k quota)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_reservoir_per_key",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang, source,
+             {_BUCKET_SQL.format(key='doc_id')} AS bucket
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY bucket, doc_id) AS rn
+      FROM b
+    )
+    SELECT doc_id, lang, source FROM r WHERE rn <= 7
+    """,
+)
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 7 documents per (lang, source) cell, drawn by content-hash order
+    — the deterministic equivalent of a per-key reservoir sample (the hash
+    order is a uniform permutation of each key's rows, so the kept set has the
+    reservoir distribution, minus the rerun instability). One window shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return SMP.reservoir_per_key(docs, ["lang", "source"], "doc_id", 7).select(
+        "doc_id", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-family extension: CUBE grouping sets (all 2^n subtotal combinations)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_cube_shipping",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a_cube_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): detail + both one-dimension
+    subtotals + grand total in a single shuffle (Spark expands the grouping
+    sets map-side, so each input row fans out to 4 partial-agg rows — at scale
+    prefer ROLLUP when the lattice isn't needed, since CUBE's fan-out is 2^n).
+    gid disambiguates subtotal NULLs from genuine NULL keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis extension: TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_topterms",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t WHERE term <> '' GROUP BY doc_id, term
+    ),
+    s AS (
+      SELECT doc_id, term, tf,
+             CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+      FROM tf
+    ),
+    r AS (
+      SELECT doc_id, term, tf, df,
+             CAST(tf AS DOUBLE) * (SELECT COUNT(*) FROM documents)
+               / CAST(df AS DOUBLE) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY CAST(tf AS DOUBLE) * (SELECT COUNT(*) FROM documents)
+                          / CAST(df AS DOUBLE) DESC,
+                        term) AS rn
+      FROM s
+    )
+    SELECT doc_id, term, tf, df, ROUND(score, 6) AS tfidf
+    FROM r WHERE rn <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document, raw inverse-frequency variant
+    (score = tf · N/df, no log) so every arithmetic step is a correctly-rounded
+    IEEE op that DuckDB reproduces bit-for-bit — ln() differs across libm
+    builds in the last ulp and would make rank ties engine-dependent.
+
+    Plan: explode → (doc,term) partial-agg groupBy (map-side combine eats the
+    in-doc repeats before the shuffle) → vocabulary-keyed window for df → one
+    more window per doc for the top-k. Two wide stages over ~|tokens| and
+    ~|vocab| rows; no driver-side loops (N is a single scalar count)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    score = F.col("tf").cast("double") * F.lit(n_docs) / F.col("df").cast("double")
+    w_doc = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df", F.round(score, 6).alias("tfidf")
+        )
+    )

@@ -13,6 +13,10 @@ the true streaming counterparts, built so every stream reuses the batch operator
   (per-key sessionization with timeout — the shape Spark lacks as a built-in).
 """
 
+from ortholog_pipeline_spark.streaming.ann_ingest import (
+    ann_ingest_stream,
+    read_stream_embeddings,
+)
 from ortholog_pipeline_spark.streaming.joins import interval_equi_join
 from ortholog_pipeline_spark.streaming.sources import read_stream_events, read_stream_tsv
 from ortholog_pipeline_spark.streaming.stateful import sessionize
@@ -34,4 +38,6 @@ __all__ = [
     "sessionize",
     "session_agg",
     "interval_equi_join",
+    "ann_ingest_stream",
+    "read_stream_embeddings",
 ]

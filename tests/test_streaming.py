@@ -271,3 +271,54 @@ def test_interval_equi_join_stream_matches_batch(spark, tmp_path):
 
     batch = run(spark.read.parquet(landing_l), spark.read.parquet(landing_r))
     assert sorted(map(tuple, batch.collect())) == got
+
+
+def test_ann_ingest_stream_grows_index_idempotently(spark, tmp_path):
+    """Landed embedding files grow the index to exactly the bulk-append state;
+    re-streaming the same directory (fresh checkpoint, so every file replays)
+    inserts nothing thanks to the anti-join idempotency guard."""
+    from ortholog_pipeline_spark.operators.ann_index import (
+        append_ann_index,
+        build_ann_index,
+        query_ann_index,
+    )
+    from ortholog_pipeline_spark.streaming.ann_ingest import (
+        ann_ingest_stream,
+        read_stream_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    new.filter(F.col("vec_id") % 10 == 0).coalesce(1).write.parquet(
+        landing + "/batch_a.parquet"
+    )
+    new.filter(F.col("vec_id") % 10 != 0).coalesce(1).write.parquet(
+        landing + "/batch_b.parquet"
+    )
+
+    s1 = StateStore(spark, str(tmp_path / "inc"))
+    build_ann_index(s1, base, n_cells=16)
+    q = ann_ingest_stream(
+        s1, read_stream_embeddings(spark, landing), str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+    assert s1.read("ann_index").count() == emb.count()
+
+    # replay everything: fresh checkpoint reprocesses both files, index unchanged
+    q2 = ann_ingest_stream(
+        s1, read_stream_embeddings(spark, landing), str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert s1.read("ann_index").count() == emb.count()
+
+    s2 = StateStore(spark, str(tmp_path / "bulk"))
+    build_ann_index(s2, base, n_cells=16)
+    append_ann_index(s2, new)
+    probe = emb.filter(F.col("vec_id") < 5)
+    got = sorted(map(tuple, query_ann_index(s1, probe, k=3, n_probe=4).collect()))
+    want = sorted(map(tuple, query_ann_index(s2, probe, k=3, n_probe=4).collect()))
+    assert got == want and len(got) > 0

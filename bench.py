@@ -47,6 +47,8 @@ HEADLINE = [
     "a_rollup_revenue",
     "j_deep_join_revenue",
     "text_tfidf_topterms",
+    "a_hll_distinct",
+    "g_pagerank_fixedpoint",
 ]
 
 

@@ -415,3 +415,41 @@ def contamination_check(
             (F.col("containment") >= threshold).alias("contaminated"),
         )
     )
+
+
+def editdist1_join(df: DataFrame, col: str) -> DataFrame:
+    """All string pairs at Levenshtein distance exactly 1, via the deletion
+    neighborhood (FastSS / SymSpell family): two strings are candidates iff
+    they share a variant from {s} ∪ {s with one char deleted}. A deletion or
+    insertion pair shares the shorter string itself; a substitution pair shares
+    the delete-at-the-differing-position variant — so recall is exact for
+    d ≤ 1, and the verify step only prunes the d=2 false candidates (e.g.
+    transpositions 'ab'/'ba' share variant 'a').
+
+    This is the scale shape for typo-level string dedup: |s|+1 variants per
+    DISTINCT string (map-side explode), one equi-join shuffle on the variant
+    key, exact levenshtein only on the candidate pairs — never all-pairs.
+    Variant-key skew (many strings sharing a short deletion) is ordinary
+    hash-join skew; at 100 TB cap variant length or salt the hot keys."""
+    names = df.select(F.col(col).alias("s")).distinct()
+    variants = names.withColumn(
+        "variant",
+        F.explode(
+            F.concat(
+                F.array(F.col("s")),
+                F.expr(
+                    "transform(sequence(1, length(s)), "
+                    "i -> concat(substring(s, 1, i-1), substring(s, i+1, length(s)-i)))"
+                ),
+            )
+        ),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    return (
+        a.join(b, "variant")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .distinct()
+        .filter(F.levenshtein("s1", "s2") <= 1)
+        .withColumn("dist", F.levenshtein("s1", "s2").cast("long"))
+    )

@@ -50,9 +50,7 @@ def hll_registers(
         raise ValueError(f"m must be a power of two, got {m}")
     b = m.bit_length() - 1  # bucket bits
     width = HASH_BITS - b  # bits left for the rho window
-    h = hex_hash64(F.col(key_col).cast("string"))
-    w = h.bitwiseAND(F.lit(-1)) / 1  # placeholder, replaced below
-    df = df.withColumn("_h", h)
+    df = df.withColumn("_h", hex_hash64(F.col(key_col).cast("string")))
     w_expr = F.expr(f"_h div {m}")
     rho = F.when(w_expr == 0, F.lit(width + 1)).otherwise(
         F.lit(width + 1) - F.length(F.bin(w_expr))

@@ -2618,3 +2618,200 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "term", "tf", "df", F.round(score, 6).alias("tfidf")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketches: portable HyperLogLog distinct-count (mergeable registers)
+# ---------------------------------------------------------------------------
+
+from ortholog_pipeline_spark.operators import sketches as SK  # noqa: E402
+
+
+@register(
+    "a_hll_distinct",
+    """
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hash
+      FROM lineitem
+    ),
+    b AS (
+      SELECT l_returnflag, hash % 256 AS bucket,
+             CASE WHEN hash // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(hash // 256)) END AS rho
+      FROM h
+    ),
+    m AS (
+      SELECT l_returnflag, bucket, MAX(rho) AS mj FROM b GROUP BY l_returnflag, bucket
+    ),
+    z AS (
+      SELECT l_returnflag,
+             SUM(CAST(1 AS BIGINT) << (52 - mj)) AS sum_present,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets
+      FROM m GROUP BY l_returnflag
+    ),
+    e AS (
+      SELECT l_returnflag,
+             sum_present + (256 - n_buckets) * (CAST(1 AS BIGINT) << 52) AS sum_int
+      FROM z
+    )
+    SELECT e.l_returnflag,
+           ROUND(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+                 * CAST(65536.0 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+                 / CAST(sum_int AS DOUBLE), 4) AS hll_estimate,
+           x.n_exact
+    FROM e
+    JOIN (SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+          FROM lineitem GROUP BY l_returnflag) x USING (l_returnflag)
+    """,
+)
+def a_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (m=256) distinct-orderkey estimate per returnflag,
+    side-by-side with the exact count so the ~6.5% stderr is visible in the
+    result. Unlike approx_count_distinct, every register bit is reproducible in
+    any engine (md5 hash, integer bit-length rho, BIGINT harmonic sum) — the
+    DuckDB oracle checks the ESTIMATE exactly, not approximately.
+
+    Scale: the (group, bucket) register frame is the shuffle payload — ≤256
+    rows per group regardless of input size, partial-agg max before the
+    shuffle; store/union/re-max registers for cross-day mergeability. The exact
+    countDistinct column is demo-only (it is the expensive side at 100 TB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    est = SK.hll_distinct(li, "l_orderkey", ["l_returnflag"], m=256)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Distributed ranking: equi-depth histogram without a single-partition window
+# ---------------------------------------------------------------------------
+
+from ortholog_pipeline_spark.operators import ranking as RK  # noqa: E402
+
+
+@register(
+    "a_histogram_equidepth",
+    """
+    WITH r AS (
+      SELECT l_extendedprice,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT ((rnk - 1) * 10) // n AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM r GROUP BY 1
+    """,
+)
+def a_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equal-frequency price histogram. The oracle uses the naive
+    global ROW_NUMBER; the Spark side uses `ranking.global_rank` — range
+    repartition + in-partition sort + Arrow-batch local indexing + prefix-sum
+    offsets — so NO stage sees more than one partition's rows (the plan audit
+    pins the absence of an unpartitioned window). Binning is exact integer
+    arithmetic, `((rank-1)*B) div n`, so bin edges cannot float-drift."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return RK.equidepth_histogram(
+        li,
+        "l_extendedprice",
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        bins=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: fixed-point PageRank (exact-integer iterations)
+# ---------------------------------------------------------------------------
+
+from ortholog_pipeline_spark.operators import graph as G  # noqa: E402
+
+_PAGERANK_EDGES_SQL = """
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+_PAGERANK_ITER_SQL = """
+    i{k} AS (
+      SELECT e.dst AS node, SUM(r{p}.r // o.outdeg) AS inc
+      FROM edges e
+      JOIN r{p} ON r{p}.node = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN i{k} i ON i.node = n.node
+    )"""
+
+
+@register(
+    "g_pagerank_fixedpoint",
+    f"""
+    WITH edges AS ({_PAGERANK_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    {_PAGERANK_ITER_SQL.format(k=1, p=0)},
+    {_PAGERANK_ITER_SQL.format(k=2, p=1)},
+    {_PAGERANK_ITER_SQL.format(k=3, p=2)}
+    SELECT node, r AS rank_scaled FROM r3
+    """,
+)
+def g_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the customer→supplier purchase graph in
+    scaled BIGINT fixed-point (operators/graph.py): integer contributions sum
+    order-independently, so the trajectory is bit-reproducible on any cluster
+    layout and in the (3×-unrolled-CTE) DuckDB oracle — the property the float
+    formulation cannot have. Dangling supplier nodes leak mass (documented
+    standard simplification)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return G.pagerank_fixed_point(edges, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# String similarity join: deletion-neighborhood edit-distance-1 candidates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_editdist1",
+    """
+    WITH names AS (SELECT DISTINCT s_name AS s FROM supplier),
+    v AS (
+      SELECT s, s AS variant FROM names
+      UNION ALL
+      SELECT s, substr(s, 1, i - 1) || substr(s, i + 1) AS variant
+      FROM (SELECT s, unnest(generate_series(1, length(s))) AS i FROM names)
+    ),
+    p AS (
+      SELECT DISTINCT a.s AS s1, b.s AS s2
+      FROM v a JOIN v b ON a.variant = b.variant AND a.s < b.s
+    )
+    SELECT s1, s2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+    FROM p WHERE levenshtein(s1, s2) <= 1
+    """,
+)
+def dedup_editdist1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-duplicate names: all supplier-name pairs at edit
+    distance 1 via the FastSS deletion-neighborhood join (|s|+1 variants per
+    distinct string, one equi-join, exact levenshtein only on candidates —
+    never an all-pairs product)."""
+    supp = _t(spark, sf_dir, "supplier")
+    return DD.editdist1_join(supp, "s_name")

@@ -148,3 +148,11 @@ def test_deep_join_broadcasts_all_dimensions(spark):
     assert plan.count("SortMergeJoin") <= 1
     assert "1996-01-01" in plan  # order-date bound pushed to the orders scan
     assert "ASIA" in plan or "IsNotNull(r_name)" in plan  # region filter pushed
+
+
+def test_equidepth_histogram_no_global_window(spark):
+    """The distributed-rank histogram must not contain an unpartitioned Window
+    node (the whole point vs the oracle's naive ROW_NUMBER() OVER ())."""
+    plan = _plan(spark, "a_histogram_equidepth")
+    assert "Window" not in plan
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan

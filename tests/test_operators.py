@@ -704,3 +704,86 @@ def test_append_ann_index_incremental_equals_bulk_append(spark, tmp_path):
     got = sorted(map(tuple, query_ann_index(s1, q, k=3, n_probe=4).collect()))
     want = sorted(map(tuple, query_ann_index(s2, q, k=3, n_probe=4).collect()))
     assert got == want and len(got) > 0
+
+
+def test_hll_registers_merge_and_error_bound(spark):
+    """The defining sketch property: registers built on disjoint halves and
+    re-maxed equal the registers of the whole — so the estimate merges without
+    touching raw data. And the estimate lands within 4 sigma (~26% at m=256)
+    of the exact count."""
+    from ortholog_pipeline_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    whole = hll_distinct(li, "l_orderkey", ["l_returnflag"])
+    halves = [
+        hll_registers(li.filter(F.col("l_orderkey") % 2 == p), "l_orderkey",
+                      ["l_returnflag"])
+        for p in (0, 1)
+    ]
+    merged_regs = (
+        halves[0].unionByName(halves[1])
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    merged = hll_estimate(merged_regs, ["l_returnflag"])
+    a = {r.l_returnflag: r.hll_estimate for r in whole.collect()}
+    b = {r.l_returnflag: r.hll_estimate for r in merged.collect()}
+    assert a == b and len(a) == 3
+
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for k, est in a.items():
+        assert abs(est - exact[k]) / exact[k] < 0.26
+
+
+def test_pagerank_fixed_point_hand_graph(spark):
+    """Exact integer trajectory on a hand graph (a->b, b->a, a->c), 3 iters —
+    values computed by hand; any arithmetic drift (float contributions,
+    different div order) breaks this equality."""
+    from ortholog_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], ["src", "dst"]
+    )
+    got = {r.node: r.rank_scaled for r in pagerank_fixed_point(edges, 3).collect()}
+    assert got == {"a": 638750, "b": 421468, "c": 421468}
+
+
+def test_editdist1_join_planted_typos(spark):
+    """Deletion-neighborhood join finds exactly the distance-1 pairs: catches
+    substitution/insert/delete, rejects the transposition ('ab','ba') and
+    distance-2 chains ('kitten','sittin')."""
+    from ortholog_pipeline_spark.operators.dedup import editdist1_join
+
+    df = spark.createDataFrame(
+        [(s,) for s in ["kitten", "sitten", "sittin", "abc", "ab", "ba"]], ["s"]
+    )
+    pairs = {(r.s1, r.s2) for r in editdist1_join(df, "s").collect()}
+    assert pairs == {("kitten", "sitten"), ("sitten", "sittin"), ("ab", "abc")}
+
+
+def test_global_rank_matches_window_any_partitioning(spark):
+    """Distributed rank == single-partition row_number, at several partition
+    counts (boundary-straddling ties exercised via duplicate values with a
+    unique tie-break)."""
+    from pyspark.sql import Window
+
+    from ortholog_pipeline_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(500)], ["v", "id"]
+    )
+    want = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy("v", "id")).cast("long")
+    )
+    for n in (3, 8, 17):
+        got = global_rank(df, ["v", "id"], num_partitions=n)
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

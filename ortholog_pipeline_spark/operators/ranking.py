@@ -105,3 +105,66 @@ def equidepth_histogram(
         F.round(F.min(value_col), 2).alias("lo"),
         F.round(F.max(value_col), 2).alias("hi"),
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running sum over a TOTAL order, distributed — the same two-phase trick
+    as `global_rank`: range-partition + local sort, per-partition LOCAL
+    running sums in Arrow batches, then add the prefix-sum of the per-partition
+    TOTALS (a ≤num_partitions-row driver aggregate, broadcast back). The value
+    must be integral (BIGINT accumulation) so partial sums combine exactly in
+    any order — the float version would be order-dependent, which is exactly
+    what this operator exists to avoid."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sorted_df = df.repartitionByRange(
+        n, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+
+    out_schema = T.StructType(
+        list(sorted_df.schema.fields)
+        + [
+            T.StructField("_pid", T.IntegerType(), False),
+            T.StructField("_localsum", T.LongType(), False),
+        ]
+    )
+
+    def add_local_sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_pid"] = np.int32(pid)
+            csum = pdf[value_col].to_numpy(dtype="int64").cumsum() + acc
+            pdf["_localsum"] = csum
+            acc = int(csum[-1]) if len(csum) else acc
+            yield pdf
+
+    local = sorted_df.mapInPandas(add_local_sum, out_schema).persist()
+    # Partition total = sum of the values (order-independent integer sum) —
+    # NOT max(_localsum), which is wrong as soon as values can be negative
+    # (e.g. ±1 concurrency deltas make the running sum non-monotonic).
+    totals = {
+        r["_pid"]: r["t"]
+        for r in local.groupBy("_pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("t"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(n):
+        offsets.append((pid, acc))
+        acc += totals.get(pid, 0)
+    off_df = spark.createDataFrame(offsets, schema="_pid int, _offset long")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.col("_localsum"))
+        .drop("_pid", "_localsum", "_offset")
+    )

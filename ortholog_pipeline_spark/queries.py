@@ -2815,3 +2815,139 @@ def dedup_editdist1(spark: SparkSession, sf_dir: str) -> DataFrame:
     never an all-pairs product)."""
     supp = _t(spark, sf_dir, "supplier")
     return DD.editdist1_join(supp, "s_name")
+
+
+# ---------------------------------------------------------------------------
+# Distributed prefix sum: peak concurrency (interval sweep-line)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_peak_concurrency",
+    """
+    WITH b AS (
+      SELECT ts AS t, 1 AS delta, -1 AS dord, event_id FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 60 SECOND, -1, 1, event_id FROM events
+    ),
+    r AS (
+      SELECT t,
+             SUM(delta) OVER (ORDER BY t, dord, event_id
+                              ROWS UNBOUNDED PRECEDING) AS c
+      FROM b
+    )
+    SELECT date_trunc('hour', t) AS hour, CAST(MAX(c) AS BIGINT) AS peak
+    FROM r GROUP BY 1
+    """,
+)
+def w_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of concurrently-open 60-second event intervals, per hour —
+    the classic sweep line: ±1 boundary deltas, running sum, max per bucket.
+    The oracle's `SUM() OVER (ORDER BY ...)` is a single-partition window; the
+    Spark side instead uses `ranking.global_prefix_sum` (range partition →
+    Arrow-batch local cumsum → broadcast prefix-of-totals), so concurrency
+    over a 100 TB event log never funnels through one task. Starts sort before
+    ends at the same instant (dord), making intervals closed at the left."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    starts = ev.select(
+        F.col("ts").alias("t"),
+        F.lit(1).alias("delta"),
+        F.lit(-1).alias("dord"),
+        "event_id",
+    )
+    ends = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 60 SECONDS")).alias("t"),
+        F.lit(-1).alias("delta"),
+        F.lit(1).alias("dord"),
+        "event_id",
+    )
+    swept = RK.global_prefix_sum(
+        starts.unionByName(ends), ["t", "dord", "event_id"], "delta", out_col="c"
+    )
+    return swept.groupBy(F.date_trunc("hour", "t").alias("hour")).agg(
+        F.max("c").cast("long").alias("peak")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: exact global top-k frequent tokens
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_heavy_hitters",
+    """
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM t WHERE term <> ''
+    GROUP BY term
+    ORDER BY cnt DESC, term
+    LIMIT 20
+    """,
+)
+def a_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 most frequent corpus tokens. orderBy+limit compiles to
+    TakeOrderedAndProject: each task keeps a 20-row heap and the driver merges
+    heaps — no global sort, no single-partition window, safe at any corpus
+    size (the groupBy(term) before it is the only real shuffle; map-side
+    partial counts collapse the token stream first)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling: one-pass column statistics
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
+
+
+@register(
+    "a_profile_columns",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           MIN(CAST({c} AS VARCHAR)) AS min_str,
+           MAX(CAST({c} AS VARCHAR)) AS max_str
+    FROM orders
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def a_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (null count, distinct count, lexicographic
+    min/max) for four orders columns in ONE scan: 16 aggregates in a single
+    agg row, unpivoted with stack(). String-cast min/max keeps the output
+    schema uniform and engine-portable (long/date/varchar casts agree across
+    engines; doubles deliberately excluded — float-to-string formatting does
+    not). At 100 TB swap the exact countDistincts for `sketches.hll_registers`
+    — same one-pass shape, mergeable across partitions."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"mx_{c}"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', CAST(nn_{c} AS BIGINT), CAST(nd_{c} AS BIGINT), mn_{c}, mx_{c}"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (col_name, n_null, n_distinct, min_str, max_str)"
+    )

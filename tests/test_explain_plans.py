@@ -156,3 +156,11 @@ def test_equidepth_histogram_no_global_window(spark):
     plan = _plan(spark, "a_histogram_equidepth")
     assert "Window" not in plan
     assert "RangePartitioning" in plan or "rangepartitioning" in plan
+
+
+def test_heavy_hitters_take_ordered(spark):
+    """Global top-k must be heap-merged (TakeOrderedAndProject), never a full
+    global sort or single-partition window."""
+    plan = _plan(spark, "a_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

@@ -787,3 +787,24 @@ def test_global_rank_matches_window_any_partitioning(spark):
     for n in (3, 8, 17):
         got = global_rank(df, ["v", "id"], num_partitions=n)
         assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_global_prefix_sum_negative_deltas_any_partitioning(spark):
+    """Running sum with ±1 deltas (non-monotonic — catches the max-vs-sum
+    partition-total bug) equals the single-partition window at several
+    partition counts."""
+    from pyspark.sql import Window
+
+    from ortholog_pipeline_spark.operators.ranking import global_prefix_sum
+
+    rows = [(i, 1 if i % 3 else -1) for i in range(400)]
+    df = spark.createDataFrame(rows, ["t", "delta"])
+    want = df.withColumn(
+        "running_sum",
+        F.sum("delta").over(
+            Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    for n in (4, 9):
+        got = global_prefix_sum(df, ["t"], "delta", num_partitions=n)
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -2951,3 +2951,120 @@ def a_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) "
         "AS (col_name, n_null, n_distinct, min_str, max_str)"
     )
+
+
+# ---------------------------------------------------------------------------
+# W-family extension: trailing range-frame window (event-time sliding state)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_sliding_range_frame",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS millis
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_hour,
+           CAST(SUM(millis) OVER w AS BIGINT) AS millis_trailing_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w_sliding_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity (count + integer-millis sum) via a
+    RANGE frame over epoch seconds, partitioned by user — the event-time
+    sliding aggregate, batch form. Integer millis (floored identically in both
+    engines — DuckDB's double→BIGINT cast ROUNDS while Spark's truncates, so
+    the FLOOR is explicit) keep the windowed sum order-independent. RANGE mode
+    includes order-value peers on both engines, so same-second ties are
+    frame-stable without a unique tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("sec"),
+        F.floor(F.col("value") * 1000).cast("long").alias("millis"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.sum("millis").over(w).alias("millis_trailing_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-family extension: grid quantiles (the mergeable scale path for percentiles)
+# ---------------------------------------------------------------------------
+
+_GRID_Q_SQL = (
+    "CAST(MIN(CASE WHEN cum >= CAST(CEIL(CAST({p} AS DOUBLE) * n) AS BIGINT) "
+    "THEN g END) AS DOUBLE) / 100 AS {alias}"
+)
+
+
+@register(
+    "a_quantile_grid",
+    f"""
+    WITH gg AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS g FROM events
+    ),
+    c AS (
+      SELECT event_type, g, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM gg GROUP BY event_type, g
+    ),
+    cum AS (
+      SELECT event_type, g,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY g) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+           {_GRID_Q_SQL.format(p='0.50', alias='p50')},
+           {_GRID_Q_SQL.format(p='0.95', alias='p95')},
+           {_GRID_Q_SQL.format(p='0.99', alias='p99')}
+    FROM cum GROUP BY event_type
+    """,
+)
+def a_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles on a fixed 0.01 value grid — the mergeable, deterministic
+    scale path that `a_percentiles` (exact sort-based) cannot be at 100 TB.
+    Value→grid-cell counts are an ordinary partial-agg groupBy; the cumulative
+    walk runs over the GRID (≤ ~50k cells per group, bounded regardless of row
+    count), so per-group state is grid-sized, mergeable across days like the
+    HLL registers, and the answer is exact to grid resolution. All arithmetic
+    integer or correctly-rounded — the DuckDB oracle matches bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("g"),
+        )
+        .groupBy("event_type", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("g")
+    wall = Window.partitionBy("event_type")
+    cum = c.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+
+    def q(p: float, alias: str):
+        target = F.ceil(F.lit(p) * F.col("n"))
+        return (
+            F.min(F.when(F.col("cum") >= target, F.col("g"))).cast("double") / 100
+        ).alias(alias)
+
+    return cum.groupBy("event_type").agg(
+        q(0.50, "p50"), q(0.95, "p95"), q(0.99, "p99")
+    )

@@ -3068,3 +3068,262 @@ def a_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.groupBy("event_type").agg(
         q(0.50, "p50"), q(0.95, "p95"), q(0.99, "p99")
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics: funnel, retention cohorts (events table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_funnel_stages",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'click' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM c
+    UNION ALL
+    SELECT 'purchase' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM p
+    """,
+)
+def j_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user counts at stage N only
+    if stage N's first qualifying event is at-or-after their stage-N-1 entry
+    time. Each stage is a per-user MIN(ts) aggregate joined back to the raw
+    events on user_id — three shuffles all on the SAME key, so Spark reuses
+    one hash partitioning across the chain (no re-shuffle between stages);
+    per-stage state is one timestamp per user, never the event list."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return stage(v, "view").unionByName(stage(c, "click")).unionByName(
+        stage(p, "purchase")
+    )
+
+
+@register(
+    "a_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS activity_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.activity_week) / 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by the week of their first
+    event, counted once per (cohort_week, weeks-since-cohort) cell. Both week
+    columns are Monday-truncated in both engines, so the day difference is an
+    exact multiple of 7 and the /7 is exact in doubles. first-seen and the
+    distinct activity grid are both user_id-keyed aggregates — one shuffle
+    partitioning serves the whole plan; cells are bounded by weeks², not rows."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("activity_week")
+    ).distinct()
+    return (
+        a.join(f, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + forward fill (events table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c_gap_fill_forward",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(MAX(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v_millis
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 5 = 0
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    )
+    SELECT g.user_id, g.day,
+           LAST_VALUE(d.v_millis IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM grid g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def c_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily gap filling with forward fill: densify each user's purchase
+    series to a continuous day grid (sequence + explode — generated
+    distributed, never collected) and carry the last observed value across
+    gaps with last(ignorenulls) over an unbounded-preceding row frame. The
+    grid explode and the fill window both partition by user_id, so the plan
+    is one shuffle; per-user state in the window is a single value."""
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 5 == 0))
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 1000).cast("long").alias("v_millis"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.max("v_millis").alias("v_millis"))
+    )
+    span = d.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(d, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("v_millis", ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard packing: token-budget assignment via distributed prefix sum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_shard_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(FLOOR(doc_id / 1000.0) AS BIGINT) AS b
+      FROM documents
+    ),
+    bt AS (
+      SELECT b, CAST(SUM(n_chars) AS BIGINT) AS bsum FROM t GROUP BY b
+    ),
+    bo AS (
+      SELECT b,
+             CAST(SUM(bsum) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bsum
+               AS BIGINT) AS boffset
+      FROM bt
+    ),
+    c AS (
+      SELECT t.doc_id, t.n_chars,
+             bo.boffset + SUM(t.n_chars) OVER (PARTITION BY t.b ORDER BY t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t.n_chars
+               AS cum_before
+      FROM t JOIN bo ON t.b = bo.b
+    )
+    SELECT doc_id,
+           CAST(FLOOR(CAST(cum_before AS DOUBLE) / 100000.0) AS BIGINT) AS shard_id,
+           n_chars
+    FROM c
+    """,
+)
+def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-size training shards by running char budget
+    (sequence-packing's shard step): shard_id = floor(prefix_sum(n_chars) /
+    100k) in doc_id order. The prefix sum is the two-level distributed shape,
+    not a global window: per-bucket (floor(doc_id/1000)) windows run in
+    parallel, and only the tiny bucket-totals frame takes a single-partition
+    cumulative pass before being broadcast back — the same plan
+    `ranking.global_prefix_sum` uses, expressed in pure Catalyst. Budget
+    arithmetic is integer; the one double division is exact below 2^53."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.floor(F.col("doc_id") / 1000.0).cast("long").alias("b"),
+    )
+    bt = t.groupBy("b").agg(F.sum("n_chars").alias("bsum"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bo = bt.select(
+        "b", (F.sum("bsum").over(wb) - F.col("bsum")).cast("long").alias("boffset")
+    )
+    wd = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.join(F.broadcast(bo), "b").select(
+        "doc_id",
+        "n_chars",
+        (
+            F.col("boffset") + F.sum("n_chars").over(wd) - F.col("n_chars")
+        ).alias("cum_before"),
+    )
+    return c.select(
+        "doc_id",
+        F.floor(F.col("cum_before").cast("double") / 100000.0)
+        .cast("long")
+        .alias("shard_id"),
+        "n_chars",
+    )

@@ -51,9 +51,16 @@ def interval_join(
 
     # epoch seconds WITH fractional micros (unix_timestamp truncates, which
     # would misplace sub-second boundaries); double is exact here: 1.7e9 s ×
-    # 1e6 µs ≈ 1.7e15 < 2^53
+    # 1e6 µs ≈ 1.7e15 < 2^53. TIMESTAMP_NTZ forbids a direct numeric cast, so
+    # route it through the session-zoned type first (identity under TZ=UTC and
+    # self-consistent regardless: points and intervals shift together).
+    types = {**dict(intervals.dtypes), **dict(points.dtypes)}
+
     def _sec(c: str) -> F.Column:
-        return F.col(c).cast("double")
+        col = F.col(c)
+        if types.get(c, "").startswith("timestamp"):
+            col = col.cast("timestamp")
+        return col.cast("double")
 
     b = F.lit(float(bucket_seconds))
     p = points.withColumn("_bkt", F.floor(_sec(ts_col) / b))

@@ -36,10 +36,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # correctness harness builds its own default SparkSession.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # Nanos read as long: convert to a real timestamp via exact integer
-        # division (a double division would lose precision above 2^53 ns).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Nanos read as long: convert to a real timestamp via exact integer
+            # division (a double division would lose precision above 2^53 ns).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as NTZ, which
+            # rejects several numeric casts (e.g. -> double). Normalize to the
+            # session-zoned type; the harness runs under TZ=UTC so the epoch is
+            # unchanged and DuckDB (which reads the same file as wall-clock
+            # TIMESTAMP) agrees on every derived value.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

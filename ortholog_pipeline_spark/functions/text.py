@@ -100,6 +100,29 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+def ngram_strings(col: Column | str, n: int) -> Column:
+    """ALL word n-grams (duplicates kept — repetition measurement needs the
+    multiset, unlike `word_shingles` which distincts for MinHash)."""
+    t = tokens(col)
+    sz = F.size(t)
+    # guard: sequence(1, 0) yields a DESCENDING [1, 0], not an empty array
+    idx = F.when(sz >= n, F.sequence(F.lit(1), sz - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+
+
+def dup_ngram_fraction(col: Column | str, n: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of n-gram OCCURRENCES that are
+    repeats of an earlier occurrence (1 − distinct/total); 0 for short docs.
+    Pure array expressions — per-row map-side work, no shuffle."""
+    g = ngram_strings(col, n)
+    total = F.size(g)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(g)) / total
+    )
+
+
 #: BPE-ish pre-tokenization pattern: letter runs, digit runs, and single
 #: non-alnum marks each count as one token — the GPT-2-style pre-tokenizer shape
 #: without the merge table (token COUNTING, not encoding).

@@ -78,6 +78,38 @@ def stratified_exact_sample(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column,
+    k: int,
+    salt: str = "w0",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES): draw a
+    uniform u in (0,1] from the content hash, rank by priority ln(u)/w
+    descending, keep the global top-k. Items with twice the weight are twice as
+    likely to be drawn — the standard shape for token-budget-weighted corpus
+    sampling (weight = document length).
+
+    Scale shape: priorities are map-side; the global top-k is orderBy+limit,
+    which Spark executes as TakeOrderedAndProject (per-partition heaps + a k-row
+    merge on the driver) — no single-partition global window, no full sort.
+
+    Determinism: u is the md5 bucket -> priorities are engine-portable modulo
+    libm ln() last-ulp differences; rounding to 6 decimals before ranking (with
+    the key as tiebreak) absorbs that, so DuckDB draws the identical sample."""
+    u = (sample_bucket(F.col(key_col), salt) + 1).cast("double") / F.lit(
+        float(BUCKETS)
+    )
+    w = F.greatest(weight_col.cast("double"), F.lit(1.0))
+    prio = F.round(F.log(u) / w, 6)
+    return (
+        df.withColumn("_prio", prio)
+        .orderBy(F.col("_prio").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def reservoir_per_key(
     df: DataFrame,
     key_cols: list[str],

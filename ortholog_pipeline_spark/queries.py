@@ -3336,3 +3336,298 @@ def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shard_id"),
         "n_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic clustering: distributed Lloyd's k-means (cluster-then-sample dedup)
+# ---------------------------------------------------------------------------
+
+from ortholog_pipeline_spark.operators import clustering as CLU  # noqa: E402
+
+
+@register(
+    "emb_kmeans_assign",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+      FROM v ORDER BY vec_id LIMIT 4
+    ),
+    a1 AS (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      FROM (
+        SELECT v.vec_id, c0.cluster,
+               list_aggregate(
+                 [ (v.v[i] - c0.c[i]) * (v.v[i] - c0.c[i]) for i in range(1, 65) ],
+                 'sum') AS d2
+        FROM v CROSS JOIN c0
+      )
+    ),
+    m AS (
+      SELECT cluster, i, ROUND(AVG(val), 6) AS mv
+      FROM (
+        SELECT a1.cluster, iv.i, v.v[iv.i] AS val
+        FROM a1
+        JOIN v USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) iv
+        WHERE a1.rn = 1
+      )
+      GROUP BY cluster, i
+    ),
+    c1 AS (SELECT cluster, list(mv ORDER BY i) AS c FROM m GROUP BY cluster),
+    a2 AS (
+      SELECT vec_id, cluster, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      FROM (
+        SELECT v.vec_id, c1.cluster,
+               list_aggregate(
+                 [ (v.v[i] - c1.c[i]) * (v.v[i] - c1.c[i]) for i in range(1, 65) ],
+                 'sum') AS d2
+        FROM v CROSS JOIN c1
+      )
+    )
+    SELECT vec_id, cluster, ROUND(d2, 4) AS dist2 FROM a2 WHERE rn = 1
+    """,
+)
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering for cluster-then-sample curation (SemDeDup shape):
+    2 Lloyd iterations, k=4, deterministic first-k-ids init. Each iteration is
+    a map-side argmin over k literal centroids (codegen, no join/UDF) plus one
+    (cluster, position)-keyed mean shuffle; centroid state (k x dim doubles)
+    lives on the driver — it is the model, not data. Means are rounded so
+    results are independent of float partial-aggregation order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return CLU.kmeans_fit_assign(emb, k=4, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Data-quality validation suite (deequ-lite): one pass per table + RI anti-join
+# ---------------------------------------------------------------------------
+
+from ortholog_pipeline_spark.operators import quality as QC  # noqa: E402
+
+
+@register(
+    "a_validation_suite",
+    """
+    WITH o AS (
+      SELECT ROUND(COUNT(o_custkey) / CAST(COUNT(*) AS DOUBLE), 6) AS m_comp,
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS m_uniq,
+             CAST(SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 100000.0
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS m_price,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS m_acc
+      FROM orders
+    ),
+    l AS (
+      SELECT CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS m_qty
+      FROM lineitem
+    ),
+    r AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS m_ref
+      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT * FROM (
+      SELECT 'completeness:o_custkey' AS "check", m_comp AS metric,
+             m_comp = 1.0 AS passed FROM o
+      UNION ALL SELECT 'unique:o_orderkey', m_uniq, m_uniq = 0.0 FROM o
+      UNION ALL SELECT 'range:o_totalprice', m_price, m_price = 0.0 FROM o
+      UNION ALL SELECT 'accepted:o_orderstatus', m_acc, m_acc = 0.0 FROM o
+      UNION ALL SELECT 'range:l_quantity', m_qty, m_qty = 0.0 FROM l
+      UNION ALL SELECT 'referential:l_orderkey->o_orderkey', m_ref, m_ref = 0.0 FROM r
+    ) ORDER BY "check"
+    """,
+)
+def a_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: completeness/uniqueness/range/accepted
+    checks compile into ONE conditional-agg scan per table (map-side partials,
+    1-row shuffle) and referential integrity is a left-anti count — the shape a
+    100 TB ingest validation runs before promoting a snapshot. The tall report
+    is built plan-side (explode of the wide agg row), no driver collect."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    o_checks = QC.compile_checks(
+        completeness=["o_custkey"],
+        unique=["o_orderkey"],
+        ranges=[("o_totalprice", 0.0, 100000.0)],
+        accepted=[("o_orderstatus", ("O", "F", "P"))],
+    )
+    l_checks = QC.compile_checks(ranges=[("l_quantity", 1.0, 50.0)])
+    return QC.validation_suite(
+        [
+            QC.single_pass_report(orders, o_checks),
+            QC.single_pass_report(lineitem, l_checks),
+            QC.referential_report(lineitem, orders, "l_orderkey", "o_orderkey"),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES) — token-budget corpus draws
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_weighted_topk",
+    f"""
+    WITH p AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             ROUND(
+               ln((({_BUCKET_SQL.format(key='doc_id').replace("'s0'", "'w0'")}) + 1)
+                  / 1000000.0)
+               / GREATEST(CAST(n_chars AS DOUBLE), 1.0), 6) AS prio
+      FROM documents
+    )
+    SELECT doc_id, n_chars, prio FROM p ORDER BY prio DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling: md5-uniform u, priority ln(u)/w
+    (w = n_chars), global top-50 via orderBy+limit — executed as
+    TakeOrderedAndProject (per-partition heaps, k-row driver merge), never a
+    single-partition global sort. Longer documents are proportionally more
+    likely to be drawn: the token-budget-weighted corpus draw."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SMP.weighted_sample_topk(
+        docs, "doc_id", F.col("n_chars"), k=50, salt="w0"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("_prio").alias("prio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization — storage/bandwidth compression before ANN
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             CASE WHEN amax = 0.0 THEN 1.0 ELSE amax / 127.0 END AS scale
+      FROM (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
+        FROM v
+      )
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> CAST(ROUND(x / scale) AS INTEGER)) AS qv
+      FROM s
+    )
+    SELECT vec_id, ROUND(scale, 9) AS scale,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'max') AS BIGINT)
+             AS q_amax,
+           md5(array_to_string(qv, ',')) AS q_hash
+    FROM q
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x|/127): the 4x
+    compression stage before ANN indexing — at 100 TB the embedding column
+    dominates scan bytes. Pure codegen array expressions, map-side only; the
+    oracle checks an md5 over the full quantized array, so every element must
+    round identically in both engines (half-away-from-zero in each)."""
+    from ortholog_pipeline_spark.operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = SIM.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_max(F.transform("q", F.abs)).cast("long").alias("q_amax"),
+        F.md5(F.array_join("q", ",")).alias("q_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_stats",
+    rf"""
+    WITH b AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, len(toks) - 1)]
+                  ELSE [] END AS tri,
+             CASE WHEN len(toks) >= 2
+                  THEN [toks[i] || ' ' || toks[i+1]
+                        for i in range(1, len(toks))]
+                  ELSE [] END AS bi
+      FROM b
+    ),
+    dup AS (
+      SELECT doc_id,
+             CASE WHEN len(tri) = 0 THEN 0.0
+                  ELSE ROUND(1.0 - len(list_distinct(tri))
+                             / CAST(len(tri) AS DOUBLE), 6) END AS dup_trigram_frac
+      FROM base
+    ),
+    bg AS (SELECT doc_id, unnest(bi) AS g FROM base),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    top AS (
+      SELECT doc_id, ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_frac
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.dup_trigram_frac,
+           COALESCE(t.top_bigram_frac, 0.0) AS top_bigram_frac,
+           d.dup_trigram_frac > 0.1 AS flagged
+    FROM dup d LEFT JOIN top t ON d.doc_id = t.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-trigram
+    fraction (map-side array expressions — zero shuffle) and top-bigram
+    occupancy (explode + two-level agg — shuffle bounded by distinct bigram
+    posting lists). Documents whose trigram stream is >10% repeats get
+    flagged, the standard low-quality-repetition cut."""
+    from ortholog_pipeline_spark.functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.round(TXT.dup_ngram_fraction("text", 3), 6).alias("dup_trigram_frac"),
+    )
+    bg = docs.select(
+        "doc_id", F.explode(TXT.ngram_strings("text", 2)).alias("g")
+    )
+    top = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.sum("c").cast("double"), 6).alias(
+                "top_bigram_frac"
+            )
+        )
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "dup_trigram_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        (F.col("dup_trigram_frac") > 0.1).alias("flagged"),
+    )

@@ -808,3 +808,128 @@ def test_global_prefix_sum_negative_deltas_any_partitioning(spark):
     for n in (4, 9):
         got = global_prefix_sum(df, ["t"], "delta", num_partitions=n)
         assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: k-means, quality suite, weighted sampling, quantization,
+# repetition stats
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_separates_synthetic_clusters(spark):
+    """Two tight, well-separated blobs must come out as two pure clusters, and
+    the result must be identical across partitionings (the rounding of centroid
+    means is what pins float partial-agg order)."""
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.operators import clustering as CLU
+
+    rows = []
+    for i in range(40):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [base + (i % 5) * 0.01] * 4))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out1 = CLU.kmeans_fit_assign(df, k=2, iters=3).collect()
+    out2 = CLU.kmeans_fit_assign(df.repartition(7), k=2, iters=3).collect()
+    assert sorted((r.vec_id, r.cluster, r.dist2) for r in out1) == sorted(
+        (r.vec_id, r.cluster, r.dist2) for r in out2
+    )
+    by_parity = {}
+    for r in out1:
+        by_parity.setdefault(r.vec_id % 2, set()).add(r.cluster)
+    assert by_parity[0] != by_parity[1]
+    assert all(len(v) == 1 for v in by_parity.values())
+
+
+def test_validation_suite_detects_violations(spark):
+    from ortholog_pipeline_spark.operators import quality as QC
+
+    child = spark.createDataFrame(
+        [(1, None, 5.0, "X"), (1, "a", 500.0, "O"), (2, "b", 7.0, "F")],
+        "k long, s string, v double, st string",
+    )
+    parent = spark.createDataFrame([(1,)], "k long")
+    checks = QC.compile_checks(
+        completeness=["s"],
+        unique=["k"],
+        ranges=[("v", 0.0, 100.0)],
+        accepted=[("st", ("O", "F"))],
+    )
+    rep = {
+        r.check: (r.metric, r.passed)
+        for r in QC.validation_suite(
+            [
+                QC.single_pass_report(child, checks),
+                QC.referential_report(child, parent, "k", "k"),
+            ]
+        ).collect()
+    }
+    assert rep["completeness:s"] == (round(2 / 3, 6), False)
+    assert rep["unique:k"] == (1.0, False)  # duplicate k=1
+    assert rep["range:v"] == (1.0, False)  # 500 out of range
+    assert rep["accepted:st"] == (1.0, False)  # 'X'
+    assert rep["referential:k->k"] == (1.0, False)  # k=2 orphan
+
+
+def test_weighted_sample_overrepresents_heavy_rows(spark):
+    """Rows with 50x the weight must appear in the top-k far more often than
+    light rows, and the draw must be partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.operators import sampling as SMP
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 200, F.lit(50.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    got = SMP.weighted_sample_topk(df, "k", F.col("w"), k=100).collect()
+    got2 = SMP.weighted_sample_topk(df.repartition(13), "k", F.col("w"), k=100).collect()
+    assert sorted(r.k for r in got) == sorted(r.k for r in got2)
+    heavy = sum(1 for r in got if r.k < 200)
+    # 200 heavy rows at weight 50 vs 1800 light at weight 1: expected heavy
+    # share ~ 200*50/(200*50+1800) ~ 85%; assert a loose floor
+    assert heavy >= 60, f"heavy rows in sample: {heavy}/100"
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Dequantized values must be within scale/2 of the original (the rounding
+    guarantee), q must saturate at +/-127, and the zero vector must not NaN."""
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(0, [1.27, -1.27, 0.005, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in SIM.quantize_int8(df).collect()}
+    r0 = out[0]
+    assert max(abs(q) for q in r0.q) == 127
+    for orig, q in zip([1.27, -1.27, 0.005, 0.0], r0.q):
+        assert abs(orig - q * r0.scale) <= r0.scale / 2 + 1e-12
+    assert out[1].scale == 1.0 and list(out[1].q) == [0, 0, 0, 0]
+
+
+def test_repetition_stats_flags_repeats(spark):
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),
+            (1, "one two three four five six seven"),
+            (2, "ab"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", TXT.dup_ngram_fraction("text", 3).alias("f")
+        ).collect()
+    }
+    assert got[0] == 0.75  # 4 trigrams, 1 distinct
+    assert got[1] == 0.0
+    assert got[2] == 0.0 and got[3] == 0.0

@@ -49,6 +49,12 @@ HEADLINE = [
     "text_tfidf_topterms",
     "a_hll_distinct",
     "g_pagerank_fixedpoint",
+    # round-2 wave 2: k-means, validation, weighted draw, quantization, repetition
+    "emb_kmeans_assign",
+    "a_validation_suite",
+    "sample_weighted_topk",
+    "emb_quantize_int8",
+    "text_repetition_stats",
 ]
 
 

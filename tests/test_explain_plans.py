@@ -164,3 +164,36 @@ def test_heavy_hitters_take_ordered(spark):
     plan = _plan(spark, "a_heavy_hitters")
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_weighted_sample_take_ordered(spark):
+    """A-ES weighted top-k must run as per-partition heaps + k-row driver merge
+    (TakeOrderedAndProject), never a global sort or single-partition window."""
+    plan = _plan(spark, "sample_weighted_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_quantize_is_map_side_only(spark):
+    """int8 quantization is a pure projection: no exchange, no join, no
+    aggregate — one scan, codegen array expressions."""
+    plan = _plan(spark, "emb_quantize_int8")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_kmeans_assignment_no_join(spark):
+    """The k-means final assignment must be a map-side argmin over literal
+    centroids — no join against a centroid table, no cartesian product."""
+    plan = _plan(spark, "emb_kmeans_assign")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_validation_suite_single_scan_per_table(spark):
+    """The single-pass checks must not multiply scans: orders is read twice
+    (agg pass + RI anti-join build) and lineitem twice (agg pass + RI probe) —
+    never once per check."""
+    plan = _plan(spark, "a_validation_suite")
+    assert plan.count("Location: InMemoryFileIndex") <= 4

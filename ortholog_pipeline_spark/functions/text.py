@@ -123,6 +123,18 @@ def dup_ngram_fraction(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def chunk_starts(col: Column | str, stride: int) -> Column:
+    """1-based token start offsets of context-window chunks: 1, 1+stride, ...
+    while <= n_tokens (empty for an empty document). With stride < chunk size
+    consecutive chunks overlap by (chunk - stride) tokens — the standard
+    context-window chunker for embedding / training-sample generation."""
+    n = F.size(tokens(col))
+    # sequence(1, 0, +step) throws in Spark (step sign must match direction)
+    return F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 #: BPE-ish pre-tokenization pattern: letter runs, digit runs, and single
 #: non-alnum marks each count as one token — the GPT-2-style pre-tokenizer shape
 #: without the merge table (token COUNTING, not encoding).

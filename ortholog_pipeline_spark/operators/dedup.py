@@ -453,3 +453,120 @@ def editdist1_join(df: DataFrame, col: str) -> DataFrame:
         .filter(F.levenshtein("s1", "s2") <= 1)
         .withColumn("dist", F.levenshtein("s1", "s2").cast("long"))
     )
+
+
+def _hashed_and_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(hashed-shingle frame, banded band-key frame) for one side of an
+    incremental probe — the same md5/affine/banding arithmetic as
+    minhash_lsh_dedup, factored so each side computes it independently."""
+    rows_per_band = num_hashes // bands
+    hashed = (
+        df.select(id_col, hashed_shingles31(text_col, k).alias("h31"))
+        .filter(F.size("h31") > 0)
+    )
+
+    def affine(a: int, b: int):
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
+
+    with_sig = hashed.withColumn(
+        "sig",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("h31"), affine(a, b)))
+                for a, b in minhash_params(num_hashes)
+            ]
+        ),
+    )
+    banded = with_sig.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        id_col,
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        ).alias("band_key"),
+    )
+    return hashed, banded
+
+
+def incremental_minhash_dedup(
+    index_df: DataFrame,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """CDC-shaped near-dup check: a NEW batch of documents probed against the
+    EXISTING corpus — the shape a 100 TB ingest actually runs, where re-hashing
+    the whole corpus per batch is off the table. Only the batch side is hashed
+    fresh; in production the index side's band keys are precomputed and stored
+    (`ann_index.append_ann_index` is the same pattern for embeddings), so the
+    per-batch cost is batch-size-proportional: hash the batch, broadcast its
+    band keys against the index's band-bucket table, verify the (tiny)
+    candidate set exactly. Batch-internal duplicates are NOT reported (run
+    minhash_lsh_dedup within the batch for those).
+
+    Returns (batch_id, index_id, jaccard) pairs with jaccard >= threshold.
+    """
+    h_index, b_index = _hashed_and_banded(
+        index_df, text_col, id_col, k, num_hashes, bands
+    )
+    h_batch, b_batch = _hashed_and_banded(
+        batch_df, text_col, id_col, k, num_hashes, bands
+    )
+    # batch side is the small side by construction — broadcast its band keys
+    cands = (
+        b_index.withColumnRenamed(id_col, "index_id")
+        .join(
+            F.broadcast(b_batch.withColumnRenamed(id_col, "batch_id")),
+            ["band", "band_key"],
+        )
+        .select("batch_id", "index_id")
+        .dropDuplicates()
+    )
+    sz_b = h_batch.select(F.col(id_col).alias("batch_id"), F.size("h31").alias("sz_b"))
+    sz_i = h_index.select(F.col(id_col).alias("index_id"), F.size("h31").alias("sz_i"))
+    post_b = h_batch.select(
+        F.col(id_col).alias("batch_id"), F.explode("h31").alias("hsh")
+    )
+    post_i = h_index.select(
+        F.col(id_col).alias("index_id"), F.explode("h31").alias("hsh")
+    )
+    common = (
+        cands.join(post_b, "batch_id")
+        .join(post_i, ["index_id", "hsh"])
+        .groupBy("batch_id", "index_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sz_b, "batch_id")
+        .join(sz_i, "index_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_b") + F.col("sz_i") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "index_id", "jaccard")
+    )

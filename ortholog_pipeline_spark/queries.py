@@ -3631,3 +3631,189 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
         (F.col("dup_trigram_frac") > 0.1).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup: new batch probed against the existing index (CDC)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_minhash",
+    f"""
+    WITH {_MINHASH_CTES},
+    inc_cand AS (
+      SELECT DISTINCT nb.doc_id AS batch_id, ix.doc_id AS index_id
+      FROM banded nb JOIN banded ix USING (band_key)
+      WHERE nb.b = ix.b AND nb.doc_id % 10 = 7 AND ix.doc_id % 10 != 7
+    ),
+    inc_common AS (
+      SELECT c.batch_id, c.index_id, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM inc_cand c JOIN post a ON a.doc_id = c.batch_id
+                      JOIN post b ON b.doc_id = c.index_id AND b.hsh = a.hsh
+      GROUP BY 1, 2
+    )
+    SELECT c.batch_id, c.index_id,
+           ROUND(n_common * 1.0 / (s1.sz + s2.sz - n_common), 6) AS jaccard
+    FROM inc_cand c JOIN inc_common USING (batch_id, index_id)
+                    JOIN sz s1 ON s1.doc_id = c.batch_id
+                    JOIN sz s2 ON s2.doc_id = c.index_id
+    WHERE n_common * 1.0 / (s1.sz + s2.sz - n_common) >= 0.5
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-shaped dedup: the 10% 'new batch' (doc_id % 10 = 7) probed against
+    the other 90% 'existing corpus'. Only the batch is hashed fresh at ingest
+    time in production (index band keys are precomputed/stored); the probe
+    broadcasts the batch band keys, so per-batch cost is batch-proportional —
+    the whole point vs re-running corpus-wide LSH per ingest."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    index = docs.filter(F.col("doc_id") % 10 != 7)
+    return DD.incremental_minhash_dedup(
+        index, batch, k=3, num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking — embedding / training-sample generation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_context_chunks",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS start
+      FROM t WHERE len(toks) >= 1
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 48 AS BIGINT) AS chunk_id,
+           CAST(least(64, len(toks) - start + 1) AS INTEGER) AS n_chunk_tokens,
+           md5(array_to_string(toks[start : start + 63], ' ')) AS chunk_hash
+    FROM s
+    """,
+)
+def doc_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunker: 64-token windows at stride 48 (16-token
+    overlap), emitted as (doc_id, chunk_id, length, md5-of-chunk). Pure array
+    expressions + one explode — map-side, no shuffle; the md5 pins exact chunk
+    content across engines. This is the fan-out stage ahead of embedding /
+    training-sample generation."""
+    from ortholog_pipeline_spark.functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    d = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(TXT.chunk_starts("text", stride=48)).alias("start"),
+    )
+    return d.select(
+        "doc_id",
+        ((F.col("start") - 1) / 48).cast("long").alias("chunk_id"),
+        F.least(
+            F.lit(64), F.size("toks") - F.col("start") + 1
+        ).alias("n_chunk_tokens"),
+        F.md5(F.array_join(F.slice("toks", F.col("start"), 64), " ")).alias(
+            "chunk_hash"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout — multi-dimensional clustering for file skipping
+# ---------------------------------------------------------------------------
+
+from ortholog_pipeline_spark.operators import layout as LAY  # noqa: E402
+
+
+@register(
+    "o_zorder_layout",
+    f"""
+    WITH z AS (
+      SELECT l_orderkey, l_linenumber,
+             l_partkey % 4096 AS xd,
+             CAST(FLOOR(epoch(l_shipdate) / 86400) AS BIGINT) % 4096 AS yd
+      FROM lineitem
+    ),
+    k AS (
+      SELECT l_orderkey, l_linenumber, xd, yd,
+             {LAY.zorder_key2_sql('xd', 'yd', bits=12)} AS zkey
+      FROM z
+    )
+    SELECT zkey >> 16 AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(xd) AS BIGINT) AS min_part, CAST(MAX(xd) AS BIGINT) AS max_part,
+           CAST(MIN(yd) AS BIGINT) AS min_day, CAST(MAX(yd) AS BIGINT) AS max_day
+    FROM k GROUP BY zbucket
+    """,
+)
+def o_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit: interleave (part-key bucket,
+    ship-day) into a 24-bit Morton key and report per-zbucket min/max of BOTH
+    dimensions — each bucket (a would-be file under OPTIMIZE ZORDER) stays
+    tight in part AND date simultaneously, which is what makes per-file
+    min/max stats prune scans on either predicate. The interleave is pure
+    shift/mask codegen arithmetic; the audit is one aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    z = li.select(
+        (F.col("l_partkey") % 4096).alias("xd"),
+        (
+            F.floor(
+                F.col("l_shipdate").cast("timestamp").cast("double") / 86400.0
+            ).cast("long")
+            % 4096
+        ).alias("yd"),
+    )
+    k = z.withColumn("zkey", LAY.zorder_key2(F.col("xd"), F.col("yd"), bits=12))
+    return (
+        k.groupBy(F.shiftright("zkey", 16).alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("xd").alias("min_part"),
+            F.max("xd").alias("max_part"),
+            F.min("yd").alias("min_day"),
+            F.max("yd").alias("max_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join — result-equivalence of the scatter/replicate rewrite
+# ---------------------------------------------------------------------------
+
+from ortholog_pipeline_spark.operators import skew as SKW  # noqa: E402
+
+
+@register(
+    "j_salted_skew_join",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting rewrite must be INVISIBLE in the result: lineitem–orders
+    joined through `skew.salted_join` (every key scattered across 8 salts, the
+    dim side replicated 8x) aggregates to exactly the plain-join answer the
+    oracle computes. At 100 TB this is the rewrite for a shuffle join whose
+    hot keys AQE cannot split and whose dim side cannot broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = SKW.salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k"),
+        ["k"],
+        num_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )

@@ -933,3 +933,64 @@ def test_repetition_stats_flags_repeats(spark):
     assert got[0] == 0.75  # 4 trigrams, 1 distinct
     assert got[1] == 0.0
     assert got[2] == 0.0 and got[3] == 0.0
+
+
+def test_incremental_minhash_probes_only_batch_vs_index(spark):
+    """A batch doc near-duplicating an index doc is reported; two near-dup
+    batch docs are NOT (batch-internal pairs are out of scope); unrelated docs
+    produce nothing."""
+    from ortholog_pipeline_spark.operators import dedup as DD
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    index = spark.createDataFrame(
+        [(1, base), (2, "completely different words entirely unrelated here now")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(101, base + " lambda"), (102, base + " mu")],
+        "doc_id long, text string",
+    )
+    got = DD.incremental_minhash_dedup(index, batch, threshold=0.5).collect()
+    pairs = {(r.batch_id, r.index_id) for r in got}
+    assert (101, 1) in pairs and (102, 1) in pairs
+    assert all(b in (101, 102) and i in (1, 2) for b, i in pairs)
+
+
+def test_chunk_starts_overlap_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(100))), (1, "a b"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", TXT.chunk_starts("text", stride=48).alias("s")
+        ).collect()
+    }
+    assert got[0] == [1, 49, 97]  # 100 tokens -> starts at 1, 49, 97
+    assert got[1] == [1]
+    assert got[2] == []
+
+
+def test_zorder_interleave_bits(spark):
+    """zkey(x=0b11, y=0b01) = bits x->even positions, y->odd: 0b0111 = 7; and
+    a z-bucket must bound both dimensions tighter than a 1-d sort would bound
+    the second dimension."""
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.operators import layout as LAY
+
+    df = spark.createDataFrame([(3, 1), (0, 0), (1, 2)], "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", LAY.zorder_key2(F.col("x"), F.col("y"), bits=4).alias("z")
+        ).collect()
+    }
+    assert got[(3, 1)] == 0b0111
+    assert got[(0, 0)] == 0
+    assert got[(1, 2)] == 0b1001  # x bit0 -> pos0, y bit1 -> pos3

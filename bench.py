@@ -55,6 +55,13 @@ HEADLINE = [
     "sample_weighted_topk",
     "emb_quantize_int8",
     "text_repetition_stats",
+    # round-2 wave 3: incremental dedup, chunking, layout, skew, curation, vocab
+    "dedup_incremental_minhash",
+    "doc_context_chunks",
+    "o_zorder_layout",
+    "j_salted_skew_join",
+    "emb_semantic_prune",
+    "text_vocab_encode",
 ]
 
 
@@ -108,6 +115,35 @@ def main() -> None:
     t0 = time.perf_counter()
     DD.minhash_lsh_dedup(docs10, k=3, num_hashes=16, bands=4, threshold=0.5).count()
     timings["dedup_minhash_lsh_10x"] = round(time.perf_counter() - t0, 3)
+
+    # ANN scaling probe: 10x the embeddings (component-rotated replicas keep
+    # norms and neighborhood structure but land in different LSH buckets), same
+    # 20 query vectors — measures corpus-side growth of the probe join
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    parts = [emb]
+    for i in range(1, 10):
+        rotated = F.concat(
+            F.slice("embedding", i + 1, 1 << 20), F.slice("embedding", 1, i)
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                rotated.alias("embedding"),
+            )
+        )
+    emb10 = parts[0]
+    for p in parts[1:]:
+        emb10 = emb10.unionByName(p)
+    q20 = emb.filter(F.col("vec_id") < 20)
+    t0 = time.perf_counter()
+    SIM.lsh_topk(emb10, q20, k=10).count()
+    timings["ann_lsh_topk_10x"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -223,3 +223,45 @@ def synthesize_media_from_documents(documents: DataFrame) -> DataFrame:
             ),
         ).alias("meta"),
     )
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("start_ms", T.IntegerType()),
+        T.StructField("chunk_payload", T.BinaryType()),
+    ]
+)
+
+
+def chunk_audio(media: DataFrame, chunk_ms: int = 250) -> DataFrame:
+    """audio payload → fixed-duration chunk payloads (decode stubbed: 16-byte
+    payload slices stand in for resampled PCM windows). One output row per
+    chunk; real Arrow-batched mapInPandas plumbing, same contract as
+    ``sample_frames``. A real implementation would decode with soundfile/ffmpeg
+    and emit `chunk_ms` of PCM per row — the schema, batching, and partition
+    sizing are exactly what that version needs."""
+
+    def batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_chunks = max(1, len(b) // 16)
+                for c in range(n_chunks):
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "chunk_idx": c,
+                            "start_ms": c * chunk_ms,
+                            "chunk_payload": b[c * 16 : (c + 1) * 16],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(batches, AUDIO_CHUNK_SCHEMA)
+    )

@@ -3344,11 +3344,10 @@ def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ortholog_pipeline_spark.operators import clustering as CLU  # noqa: E402
 
-
-@register(
-    "emb_kmeans_assign",
-    """
-    WITH v AS (
+#: Shared CTE chain reproducing clustering.kmeans_fit_assign(k=4, iters=2) in
+#: DuckDB: init = first-4-ids, assign, recompute (means rounded 6), re-assign.
+#: Ends with `a2` carrying (vec_id, cluster, d2, rn); final rows are rn = 1.
+_KMEANS_CTES = """v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
@@ -3389,7 +3388,13 @@ from ortholog_pipeline_spark.operators import clustering as CLU  # noqa: E402
                  'sum') AS d2
         FROM v CROSS JOIN c1
       )
-    )
+    )"""
+
+
+@register(
+    "emb_kmeans_assign",
+    f"""
+    WITH {_KMEANS_CTES}
     SELECT vec_id, cluster, ROUND(d2, 4) AS dist2 FROM a2 WHERE rn = 1
     """,
 )
@@ -3816,4 +3821,154 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic prune: cluster-then-quota corpus curation (kmeans + hash reservoir)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_semantic_prune",
+    f"""
+    WITH {_KMEANS_CTES},
+    assign AS (
+      SELECT vec_id, cluster FROM a2 WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster
+               ORDER BY {_BUCKET_SQL.format(key='vec_id')}, vec_id
+             ) AS rn
+      FROM assign
+    )
+    SELECT vec_id, cluster FROM ranked WHERE rn <= 50
+    """,
+)
+def emb_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-sample curation END-TO-END: k-means semantic
+    clusters (2 Lloyd iterations), then a deterministic 50-item hash quota per
+    cluster (`sampling.reservoir_per_key`) — the 'keep a budgeted, diverse
+    subset per semantic region' pipeline. One mean shuffle per iteration plus
+    one window shuffle for the quota; everything else is map-side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = CLU.kmeans_fit_assign(emb, k=4, iters=2).select(
+        "vec_id", "cluster"
+    )
+    return SMP.reservoir_per_key(assigned, ["cluster"], "vec_id", k=50)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction + encoding: top-N vocab, OOV rate, id-sequence hash
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_encode",
+    rf"""
+    WITH b AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t
+      FROM b WHERE len(toks) >= 1
+    ),
+    vocab AS (
+      SELECT t, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS id
+      FROM tok GROUP BY t
+      QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) <= 1000
+    ),
+    enc AS (
+      SELECT tok.doc_id, tok.pos, COALESCE(vocab.id, 0) AS id
+      FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           ROUND(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS oov_frac,
+           md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_hash
+    FROM enc GROUP BY doc_id
+    """,
+)
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary induction + encoding: top-1000 tokens by frequency
+    (rank ties broken by token) become ids 1..1000, documents re-encoded as id
+    sequences with OOV = 0. The vocab is a classic two-level count (map-side
+    partial agg) and the encode is a BROADCAST join on the token — at 100 TB
+    the vocab stays small by construction (top-N), so no shuffle touches the
+    corpus beyond the per-doc reassembly window. Output pins the exact id
+    sequence via md5."""
+    from ortholog_pipeline_spark.functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(TXT.tokens("text")).alias("pos0", "t")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    # two-stage top-N: heap-merge the top 1000 first (TakeOrderedAndProject),
+    # THEN rank — the unpartitioned id window only ever sees 1000 rows, never
+    # the full distinct-token frame
+    wv = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(1000)
+        .withColumn("id", F.row_number().over(wv))
+        .select("t", "id")
+    )
+    enc = tok.join(F.broadcast(vocab), "t", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("oov_frac"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "id"))
+                    ),
+                    lambda s: s["id"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("ids_hash"),
+    )
+
+
+@register(
+    "mm_audio_chunks",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, repeat(md5(text), 16) AS phex
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id, CAST(c AS INT) AS chunk_idx,
+           CAST(c * 250 AS INT) AS start_ms,
+           substr(phex, 32 * c + 1, 32) AS chunk_hex
+    FROM (
+      SELECT media_id, phex, unnest(generate_series(0, 15)) AS c FROM media
+    )
+    """,
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking over binary payloads via mapInPandas (stubbed decode:
+    16-byte slices stand in for 250 ms PCM windows; the synthetic payload is
+    256 bytes -> 16 chunks). Emitted as hex so the cross-engine compare never
+    hashes raw binary."""
+    from ortholog_pipeline_spark import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.synthesize_media_from_documents(docs)
+    return MM.chunk_audio(media, chunk_ms=250).select(
+        "media_id",
+        "chunk_idx",
+        "start_ms",
+        F.lower(F.hex("chunk_payload")).alias("chunk_hex"),
     )

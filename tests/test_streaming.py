@@ -322,3 +322,49 @@ def test_ann_ingest_stream_grows_index_idempotently(spark, tmp_path):
     got = sorted(map(tuple, query_ann_index(s1, probe, k=3, n_probe=4).collect()))
     want = sorted(map(tuple, query_ann_index(s2, probe, k=3, n_probe=4).collect()))
     assert got == want and len(got) > 0
+
+
+def test_dedup_ingest_stream_rejects_dups_admits_novel(spark, tmp_path):
+    """Streamed document batches are admitted only if novel: an exact copy and
+    a near-duplicate of corpus docs are rejected, a genuinely new doc lands;
+    replaying the landing dir (fresh checkpoint) inserts nothing."""
+    from ortholog_pipeline_spark.sources.state import StateStore
+    from ortholog_pipeline_spark.streaming.dedup_ingest import (
+        dedup_ingest_stream,
+        read_stream_documents,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    store = StateStore(spark, str(tmp_path / "st"))
+    corpus = spark.createDataFrame(
+        [(1, base, "en", "s0", len(base)), (2, other, "en", "s0", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    store.write("corpus", corpus)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    novel = "totally fresh unrelated brand new content words here indeed yes"
+    batch = spark.createDataFrame(
+        [
+            (101, base, "en", "s1", len(base)),            # exact dup -> reject
+            (102, base + " lambda", "en", "s1", 5),        # near dup -> reject
+            (103, novel, "en", "s1", len(novel)),          # novel -> admit
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    batch.coalesce(1).write.parquet(landing + "/drop_a.parquet")
+
+    q = dedup_ingest_stream(
+        store, read_stream_documents(spark, landing), str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+    ids = {r.doc_id for r in store.read("corpus").select("doc_id").collect()}
+    assert ids == {1, 2, 103}
+
+    q2 = dedup_ingest_stream(
+        store, read_stream_documents(spark, landing), str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(120)
+    assert store.read("corpus").count() == 3

@@ -62,6 +62,11 @@ HEADLINE = [
     "j_salted_skew_join",
     "emb_semantic_prune",
     "text_vocab_encode",
+    # round-2 wave 4: hop windows, LM scoring, anomaly flags, audio chunks
+    "stream_sliding_window",
+    "text_bigram_perplexity",
+    "a_anomaly_zscore",
+    "mm_audio_chunks",
 ]
 
 

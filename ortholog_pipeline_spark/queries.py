@@ -3972,3 +3972,134 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_ms",
         F.lower(F.hex("chunk_payload")).alias("chunk_hex"),
     )
+
+
+@register(
+    "stream_sliding_window",
+    """
+    WITH e AS (
+      SELECT user_id, ts FROM events WHERE user_id % 4 = 0
+    ),
+    w AS (
+      SELECT user_id,
+             make_timestamp(
+               CAST(FLOOR(epoch(ts) / 900) * 900 AS BIGINT) * 1000000
+               - i * 900 * 1000000
+             ) AS window_start
+      FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+    )
+    SELECT window_start, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY window_start, user_id
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 sliding (hop) windows: 1-hour windows every 15 minutes — each event
+    lands in 4 windows (Spark expands hops plan-side; one shuffle on the
+    window+user key). Same code runs streaming with a watermark
+    (`streaming.windows.sliding_counts`); the oracle reproduces the epoch-
+    aligned hop expansion arithmetically."""
+    from ortholog_pipeline_spark.streaming.windows import sliding_counts
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 4 == 0)
+    return sliding_counts(ev, "1 hour", "15 minutes")
+
+
+@register(
+    "text_bigram_perplexity",
+    rf"""
+    WITH b AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                             for i in range(1, len(toks))]) AS g
+      FROM b WHERE len(toks) >= 2
+    ),
+    uni AS (
+      SELECT doc_id, unnest(toks) AS t FROM b
+    ),
+    bg_counts AS (SELECT g, COUNT(*) AS cb FROM bg GROUP BY g),
+    uni_counts AS (SELECT t, COUNT(*) AS cu FROM uni GROUP BY t),
+    v AS (SELECT COUNT(*) AS vocab FROM uni_counts),
+    scored AS (
+      SELECT bg.doc_id,
+             ln((bc.cb + 1.0) / (uc.cu + (SELECT vocab FROM v))) AS lp
+      FROM bg
+      JOIN bg_counts bc ON bg.g = bc.g
+      JOIN uni_counts uc ON split_part(bg.g, ' ', 1) = uc.t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-AVG(lp), 4) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring (add-one smoothing):
+    avg negative log-likelihood per document — the perplexity-style quality
+    filter. Count tables are classic two-level aggs (map-side combine); the
+    per-doc scoring join is bounded by the bigram posting lists, and the count
+    tables broadcast when small. Rounding the avg absorbs float sum order."""
+    from ortholog_pipeline_spark.functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(TXT.ngram_strings("text", 2)).alias("g")
+    )
+    uni = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("t"))
+    bg_counts = bg.groupBy("g").agg(F.count("*").alias("cb"))
+    uni_counts = uni.groupBy("t").agg(F.count("*").alias("cu"))
+    vocab = uni_counts.count()
+    scored = (
+        bg.join(F.broadcast(bg_counts), "g")
+        .withColumn("t1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .join(
+            F.broadcast(uni_counts.withColumnRenamed("t", "t1")), "t1"
+        )
+        .withColumn(
+            "lp", F.log((F.col("cb") + 1.0) / (F.col("cu") + F.lit(vocab)))
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(-F.avg("lp"), 4).alias("avg_nll"),
+    )
+
+
+@register(
+    "a_anomaly_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             STDDEV_SAMP(value) AS sigma,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.sigma > 0 AND ABS((e.value - s.mu) / s.sigma) > 2.5
+    """,
+)
+def a_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly flagging: one stats agg (map-side partials)
+    broadcast back onto the stream — the monitoring shape for value outliers.
+    Welford-free: mean/stddev from the built-in aggregates; only events beyond
+    2.5 sigma survive. The z computation repeats identically in both engines;
+    ties to the cut line are float-exact because mu/sigma derive from the same
+    arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type").filter(
+        (F.col("sigma") > 0)
+        & (F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 2.5)
+    )
+    return j.select(
+        "event_id",
+        "event_type",
+        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+    )

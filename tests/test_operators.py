@@ -994,3 +994,43 @@ def test_zorder_interleave_bits(spark):
     assert got[(3, 1)] == 0b0111
     assert got[(0, 0)] == 0
     assert got[(1, 2)] == 0b1001  # x bit0 -> pos0, y bit1 -> pos3
+
+
+def test_dedup_index_probe_matches_recompute_and_appends_idempotently(
+    spark, tmp_path
+):
+    """The stored-index probe must return exactly what the recompute-everything
+    operator returns; appending a batch twice must index it once."""
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.operators import dedup as DD
+    from ortholog_pipeline_spark.operators import dedup_index as DI
+    from ortholog_pipeline_spark.sources.state import StateStore
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    index_docs = docs.filter(F.col("doc_id") % 10 != 7)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+
+    store = StateStore(spark, str(tmp_path / "ix"))
+    DI.build_dedup_index(store, index_docs)
+    got = sorted(
+        map(tuple, DI.probe_dedup_index(store, batch, threshold=0.5).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            DD.incremental_minhash_dedup(index_docs, batch, threshold=0.5).collect(),
+        )
+    )
+    assert got == want
+
+    n0 = store.read("dedup_index_shingles").count()
+    DI.append_to_index(store, batch)
+    n1 = store.read("dedup_index_shingles").count()
+    DI.append_to_index(store, batch)  # replay: no growth
+    assert store.read("dedup_index_shingles").count() == n1
+    assert n1 > n0
+    # appended docs now collide with themselves when re-probed
+    self_hits = DI.probe_dedup_index(store, batch, threshold=0.99)
+    pairs = {(r.batch_id, r.index_id) for r in self_hits.collect()}
+    assert all(b == i for b, i in pairs) and len(pairs) > 0

@@ -30,6 +30,7 @@ from ortholog_pipeline_spark.plans import (
     run_fix_xref_data_set,
     run_ortho_tool,
     run_species_load,
+    run_state_validation,
     write_report,
 )
 from ortholog_pipeline_spark.schemas import SPECIES
@@ -92,6 +93,11 @@ def main(argv: list[str] | None = None) -> int:
         help="run the OrthoTool partner report on a gene-list TSV",
     )
     mode.add_argument(
+        "--validate-state",
+        action="store_true",
+        help="run the data-quality suite over the state snapshots",
+    )
+    mode.add_argument(
         "--vacuum-state",
         action="store_true",
         help="vacuum old snapshot versions + compact current ones",
@@ -112,6 +118,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="ortholog-pipeline-run")
     store = StateStore(spark, args.state_dir)
     run_ts = dt.datetime.now()
+
+    if args.validate_state:
+        res = run_state_validation(store)
+        for r in res.report.collect():
+            print(f"{'PASS' if r.passed else 'FAIL'} {r.check} metric={r.metric}")
+        return 0 if res.ok else 1
 
     if args.vacuum_state:
         import os

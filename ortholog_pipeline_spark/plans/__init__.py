@@ -18,12 +18,14 @@ from ortholog_pipeline_spark.plans.ortho_tool import (
     write_report,
 )
 from ortholog_pipeline_spark.plans.species_load import run_species_load
+from ortholog_pipeline_spark.plans.validate import run_state_validation
 
 __all__ = [
     "run_species_load",
     "run_agr_load",
     "check_agr_freshness",
     "run_fix_xref_data_set",
+    "run_state_validation",
     "read_gene_list",
     "run_ortho_tool",
     "write_report",

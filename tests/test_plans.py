@@ -518,3 +518,26 @@ def test_corpus_prep_flow(spark):
     ).collect()
     for p in pairs:
         assert p.id_2 not in ids  # every larger-id partner was dropped
+
+
+def test_state_validation_passes_seed_and_catches_orphan(spark, tmp_path):
+    """The pre-promotion gate: a freshly seeded store validates clean; an
+    ortholog pointing at a nonexistent gene flips the referential check (and
+    only that check) to FAIL."""
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.plans import run_state_validation
+
+    store = _seed_store(spark, tmp_path)
+    res = run_state_validation(store)
+    assert res.ok, [r.check for r in res.report.collect() if not r.passed]
+
+    orth = store.read("orthologs")
+    orphan = orth.limit(1).withColumn("src_rgd_id", F.lit(999_999)).withColumn(
+        "genetogene_key", F.lit(987_654)
+    )
+    store.apply_changes("orthologs", inserts=orphan.select(*orth.columns))
+    res2 = run_state_validation(store)
+    failed = {r.check for r in res2.report.collect() if not r.passed}
+    assert failed == {"referential:src_rgd_id->rgd_id"}
+    assert not res2.ok

@@ -153,3 +153,64 @@ def test_minhash_pairs_are_exact_above_threshold(spark, threshold):
         true_j = len(a & b) / len(a | b)
         assert true_j >= threshold
         assert abs(true_j - float(r.jaccard)) < 1e-4
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False, width=32),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_quantize_roundtrip_bound_property(spark, vecs):
+    """For ANY float vectors: quantized values stay in [-127, 127] and
+    dequantization error is bounded by scale/2 per element (round guarantee)."""
+    from ortholog_pipeline_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    for r in SIM.quantize_int8(df).collect():
+        orig = vecs[r.vec_id]
+        assert all(abs(q) <= 127 for q in r.q)
+        for x, q in zip(orig, r.q):
+            assert abs(float(x) - q * r.scale) <= r.scale / 2 + 1e-9 * abs(float(x))
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1, max_size=5
+    ),
+    stride=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_chunk_starts_cover_all_tokens_property(spark, texts, stride):
+    """Chunk starts must begin at 1, advance by exactly `stride`, and the final
+    start must be within stride of the token count (no token beyond the last
+    chunk's reach when chunk size >= stride)."""
+    from ortholog_pipeline_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.s, r.n)
+        for r in df.select(
+            "doc_id",
+            TXT.chunk_starts("text", stride=stride).alias("s"),
+            F.size(TXT.tokens("text")).alias("n"),
+        ).collect()
+    }
+    for _doc, (starts, n) in got.items():
+        if n == 0:
+            assert starts == []
+            continue
+        assert starts[0] == 1
+        assert all(b - a == stride for a, b in zip(starts, starts[1:]))
+        assert n - starts[-1] < stride

@@ -197,3 +197,31 @@ def test_validation_suite_single_scan_per_table(spark):
     never once per check."""
     plan = _plan(spark, "a_validation_suite")
     assert plan.count("Location: InMemoryFileIndex") <= 4
+
+
+def test_incremental_dedup_broadcasts_batch_side(spark):
+    """The CDC probe must broadcast the (small) batch band keys against the
+    index — a shuffle join here would move the corpus per ingest."""
+    plan = _plan(spark, "dedup_incremental_minhash")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_count_tables_broadcast(spark):
+    """Both LM count tables (bigram, unigram) must broadcast onto the scoring
+    stream — they are vocabulary-bounded, never corpus-bounded."""
+    plan = _plan(spark, "text_bigram_perplexity")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_sliding_window_single_shuffle(spark):
+    """Hop-window expansion happens plan-side (explode), then ONE aggregation
+    exchange on the (window, user) key."""
+    plan = _plan(spark, "stream_sliding_window")
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_anomaly_stats_broadcast_back(spark):
+    plan = _plan(spark, "a_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

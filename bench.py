@@ -111,6 +111,11 @@ def main() -> None:
         t0 = time.perf_counter()
         registry[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries persist intermediates for their own multi-action plans; drop
+        # them between measurements so no query is billed for (or helped by)
+        # another's cached blocks — and the long tail doesn't accumulate
+        # executor-memory pressure that skews the late probes
+        spark.catalog.clearCache()
 
     # dedup scaling probe: same operator, 10x the documents (rotated replicas) —
     # the number the judge reads against dedup_minhash_lsh for the growth ratio
@@ -120,6 +125,7 @@ def main() -> None:
     t0 = time.perf_counter()
     DD.minhash_lsh_dedup(docs10, k=3, num_hashes=16, bands=4, threshold=0.5).count()
     timings["dedup_minhash_lsh_10x"] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
 
     # ANN scaling probe: 10x the embeddings (component-rotated replicas keep
     # norms and neighborhood structure but land in different LSH buckets), same
@@ -149,6 +155,24 @@ def main() -> None:
     t0 = time.perf_counter()
     SIM.lsh_topk(emb10, q20, k=10).count()
     timings["ann_lsh_topk_10x"] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+
+    # stored-index probe: build the dedup band index once (untimed), then time
+    # ONLY the batch probe — the number that substantiates "per-ingest cost is
+    # batch-proportional" vs dedup_incremental_minhash's full recompute
+    import tempfile
+
+    from ortholog_pipeline_spark.operators import dedup_index as DI
+    from ortholog_pipeline_spark.sources.state import StateStore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with tempfile.TemporaryDirectory() as td:
+        store = StateStore(spark, td)
+        DI.build_dedup_index(store, docs.filter(F.col("doc_id") % 10 != 7))
+        batch = docs.filter(F.col("doc_id") % 10 == 7)
+        t0 = time.perf_counter()
+        DI.probe_dedup_index(store, batch, threshold=0.5).count()
+        timings["dedup_index_probe"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -102,14 +102,27 @@ def fingerprint(col: Column | str) -> Column:
 
 def ngram_strings(col: Column | str, n: int) -> Column:
     """ALL word n-grams (duplicates kept — repetition measurement needs the
-    multiset, unlike `word_shingles` which distincts for MinHash)."""
+    multiset, unlike `word_shingles` which distincts for MinHash).
+
+    Built as a zip_with chain over shifted slices, NOT `slice(t, i, n)` inside
+    a per-index transform lambda: an array expression referenced in a lambda is
+    re-inlined by CollapseProject and re-evaluated per ELEMENT — the tokens
+    regex-split re-ran per n-gram, measured 8.2 s vs 0.4 s for the bigram
+    explode at sf0.1 (same pitfall as dedup.hashed_shingles31). zip_with
+    operands evaluate once per row; the trailing null-padded entries (from the
+    shorter shifted slice) are cut by the final length slice."""
     t = tokens(col)
     sz = F.size(t)
-    # guard: sequence(1, 0) yields a DESCENDING [1, 0], not an empty array
-    idx = F.when(sz >= n, F.sequence(F.lit(1), sz - (n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+    out = t
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(t, j + 1, F.greatest(sz - j, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(
+        sz >= n, F.slice(out, 1, sz - (n - 1))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def dup_ngram_fraction(col: Column | str, n: int = 3) -> Column:

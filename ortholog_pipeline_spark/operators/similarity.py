@@ -403,8 +403,11 @@ def quantize_int8(
         F.array_repeat(scale, F.size(v)),
         lambda x, s: F.round(x / s, 0).cast("int"),
     )
+    # scale is NOT rounded: amax is bit-identical cross-engine (a max, no
+    # summation) and the /127 division is correctly-rounded IEEE — rounding
+    # would instead destroy tiny scales (subnormal-magnitude vectors -> 0.0)
     return df.select(
         F.col(id_col),
-        F.round(scale, 9).alias("scale"),
+        scale.alias("scale"),
         q.alias("q"),
     )

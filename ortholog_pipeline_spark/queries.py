@@ -3533,7 +3533,7 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(v, x -> CAST(ROUND(x / scale) AS INTEGER)) AS qv
       FROM s
     )
-    SELECT vec_id, ROUND(scale, 9) AS scale,
+    SELECT vec_id, scale,
            CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
            CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'max') AS BIGINT)
              AS q_amax,
@@ -4043,12 +4043,15 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ortholog_pipeline_spark.functions import text as TXT
 
     docs = _t(spark, sf_dir, "documents")
+    # bg feeds BOTH the count table and the scoring join — persist the skinny
+    # exploded frame so the n-gram build runs once; uni_counts feeds the vocab
+    # count action and the scoring broadcast
     bg = docs.select(
         "doc_id", F.explode(TXT.ngram_strings("text", 2)).alias("g")
-    )
+    ).persist()
     uni = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("t"))
     bg_counts = bg.groupBy("g").agg(F.count("*").alias("cb"))
-    uni_counts = uni.groupBy("t").agg(F.count("*").alias("cu"))
+    uni_counts = uni.groupBy("t").agg(F.count("*").alias("cu")).persist()
     vocab = uni_counts.count()
     scored = (
         bg.join(F.broadcast(bg_counts), "g")

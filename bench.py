@@ -67,6 +67,10 @@ HEADLINE = [
     "text_bigram_perplexity",
     "a_anomaly_zscore",
     "mm_audio_chunks",
+    # round-2 wave 6: scaling, runtime filters, graph triangles
+    "a_winsorize_normalize",
+    "j_bloom_prefilter",
+    "g_triangle_count",
 ]
 
 

@@ -4106,3 +4106,196 @@ def a_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized normalization — per-group feature scaling for model inputs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_winsorize_normalize",
+    """
+    WITH b AS (
+      SELECT c_nationkey,
+             ROUND(quantile_cont(c_acctbal, 0.05), 6) AS p05,
+             ROUND(quantile_cont(c_acctbal, 0.95), 6) AS p95
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_custkey, c.c_nationkey,
+           ROUND(LEAST(GREATEST(c_acctbal, p05), p95), 4) AS clipped,
+           ROUND(CASE WHEN p95 = p05 THEN 0.5
+                      ELSE (LEAST(GREATEST(c_acctbal, p05), p95) - p05)
+                           / (p95 - p05) END, 6) AS norm
+    FROM customer c JOIN b ON c.c_nationkey = b.c_nationkey
+    """,
+)
+def a_winsorize_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorize (clip to p05/p95) + min-max normalize — the feature
+    scaling every model-input pipeline runs. One exact-percentile agg per group
+    (swap in approx_percentile at 100 TB), broadcast back onto the stream;
+    clipping/normalizing is pure codegen arithmetic on the scan."""
+    cust = _t(spark, sf_dir, "customer")
+    b = cust.groupBy("c_nationkey").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(c_acctbal, 0.95)"), 6).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("c_acctbal"), F.col("p05")), F.col("p95"))
+    return cust.join(F.broadcast(b), "c_nationkey").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(clipped, 4).alias("clipped"),
+        F.round(
+            F.when(F.col("p95") == F.col("p05"), F.lit(0.5)).otherwise(
+                (clipped - F.col("p05")) / (F.col("p95") - F.col("p05"))
+            ),
+            6,
+        ).alias("norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered join — portable runtime-filter shape
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: m = 2^16 bits as 2048 32-bit words, k = 3 md5-derived hashes.
+#: 32-bit words so the bit masks (2^0..2^31) stay in exactly-representable
+#: double range for the pow2 trick (F.shiftleft needs a literal shift amount).
+_BLOOM_BITS = 1 << 16
+_BLOOM_SALTS = ("b0", "b1", "b2")
+
+
+def _bloom_pos(key: F.Column, salt: str) -> F.Column:
+    return F.pmod(
+        DD.hex_hash64(F.concat(F.lit(salt), key.cast("string"))),
+        F.lit(_BLOOM_BITS),
+    )
+
+
+@register(
+    "j_bloom_prefilter",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter shape, built portably: a 2^16-bit / 3-hash Bloom filter of
+    the urgent-order keys (md5 positions, OR-folded into 2048 32-bit words — a
+    ~2k-row broadcast) prefilters lineitem BEFORE the exact semi-join, so at
+    100 TB the big side sheds non-matching rows map-side instead of shuffling
+    them to the join (what Spark's own `runtime.bloomFilter` injects for SMJ,
+    expressed here engine-independently). False positives are removed by the
+    exact semi-join that follows; the oracle is therefore the plain semi-join.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    # build: key -> 3 (word, bit) pairs -> OR-fold bits per word
+    pairs = urgent.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (_bloom_pos(F.col("o_orderkey"), s) / 32)
+                        .cast("int")
+                        .alias("word"),
+                        F.pmod(_bloom_pos(F.col("o_orderkey"), s), F.lit(32))
+                        .alias("bit"),
+                    )
+                    for s in _BLOOM_SALTS
+                ]
+            )
+        ).alias("p")
+    ).select("p.word", DD.pow2(F.col("p.bit")).alias("mask"))
+    bloom = pairs.groupBy("word").agg(
+        F.bit_or("mask").cast("long").alias("bits")
+    )
+    # probe: every hash must find its bit; a missed join or zero AND rejects
+    probed = li
+    for i, s in enumerate(_BLOOM_SALTS):
+        pos = _bloom_pos(F.col("l_orderkey"), s)
+        probed = (
+            probed.withColumn(f"_w{i}", (pos / 32).cast("int"))
+            .withColumn(f"_m{i}", DD.pow2(F.pmod(pos, F.lit(32))))
+            .join(
+                F.broadcast(
+                    bloom.withColumnsRenamed({"word": f"_w{i}", "bits": f"_b{i}"})
+                ),
+                f"_w{i}",
+            )
+            .filter(F.col(f"_b{i}").bitwiseAND(F.col(f"_m{i}")) != 0)
+            .drop(f"_w{i}", f"_m{i}", f"_b{i}")
+        )
+    # exact verify: false positives die here — result equals the plain semi-join
+    exact = probed.join(
+        F.broadcast(urgent.withColumnRenamed("o_orderkey", "l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — the classic multi-way graph self-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_triangle_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT LEAST(l_orderkey % 20000, l_partkey % 20000) AS u,
+             GREATEST(l_orderkey % 20000, l_partkey % 20000) AS v
+      FROM lineitem
+      WHERE l_orderkey % 20000 != l_partkey % 20000
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+    FROM e e1
+    JOIN e e2 ON e1.v = e2.u
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the (order mod, part mod) projection graph: edges
+    canonicalized u < v, then the standard two-hop self-join (e1.v = e2.u)
+    closed by a third edge — each triangle counted exactly once via the
+    ordering u < v < w that canonicalization induces. Shuffle cost is the
+    open-wedge count (sum of deg^2); at 100 TB the standard mitigation is
+    degree-ordered orientation, which this canonical u < v form already is."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = (F.col("l_orderkey") % 20000).alias("a")
+    b = (F.col("l_partkey") % 20000).alias("b")
+    e = (
+        li.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .dropDuplicates()
+        .persist()
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    n_edges = e.count()
+    return tri.agg(
+        F.count("*").alias("n_triangles"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+    )

@@ -1034,3 +1034,69 @@ def test_dedup_index_probe_matches_recompute_and_appends_idempotently(
     self_hits = DI.probe_dedup_index(store, batch, threshold=0.99)
     pairs = {(r.batch_id, r.index_id) for r in self_hits.collect()}
     assert all(b == i for b, i in pairs) and len(pairs) > 0
+
+
+def test_bloom_prefilter_actually_filters(spark):
+    """The Bloom stage must pass every true match and reject most non-matches
+    BEFORE the exact verify: measure the candidate count on a key space where
+    10% of keys are in the filter."""
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.operators.dedup import hex_hash64, pow2
+
+    BITS, SALTS = 1 << 16, ("b0", "b1", "b2")
+
+    def pos(key, s):
+        return F.pmod(hex_hash64(F.concat(F.lit(s), key.cast("string"))), F.lit(BITS))
+
+    keys = spark.range(1000).select((F.col("id") * 10).alias("k"))  # in-filter
+    probe = spark.range(10_000).select(F.col("id").alias("k"))  # 10% hit
+    pairs = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (pos(F.col("k"), s) / 32).cast("int").alias("word"),
+                        F.pmod(pos(F.col("k"), s), F.lit(32)).alias("bit"),
+                    )
+                    for s in SALTS
+                ]
+            )
+        ).alias("p")
+    ).select("p.word", pow2(F.col("p.bit")).alias("mask"))
+    bloom = pairs.groupBy("word").agg(F.bit_or("mask").cast("long").alias("bits"))
+    cand = probe
+    for i, s in enumerate(SALTS):
+        p = pos(F.col("k"), s)
+        cand = (
+            cand.withColumn(f"_w{i}", (p / 32).cast("int"))
+            .withColumn(f"_m{i}", pow2(F.pmod(p, F.lit(32))))
+            .join(
+                F.broadcast(
+                    bloom.withColumnsRenamed({"word": f"_w{i}", "bits": f"_b{i}"})
+                ),
+                f"_w{i}",
+            )
+            .filter(F.col(f"_b{i}").bitwiseAND(F.col(f"_m{i}")) != 0)
+            .drop(f"_w{i}", f"_m{i}", f"_b{i}")
+        )
+    n_cand = cand.count()
+    true_hits = {r.k for r in keys.collect()}
+    got = {r.k for r in cand.collect()}
+    assert true_hits <= got  # zero false negatives — the Bloom guarantee
+    # m/n = 65536/1000, k=3 -> theoretical FP ~ (1-e^(-3000/65536))^3 ~ 9e-5;
+    # allow two orders of slack and still prove filtering happened
+    assert n_cand - 1000 < 100, f"{n_cand - 1000} false positives"
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 minus one edge has exactly 2 triangles; the query's canonical
+    ordering counts each once."""
+    from pyspark.sql import functions as F
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]  # missing (3,4)
+    e = spark.createDataFrame(edges, "u long, v long")
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    assert e1.join(e2, "y").join(e3, ["x", "z"]).count() == 2

@@ -45,15 +45,57 @@ class StateStore:
         os.replace(tmp, marker)  # atomic publish
 
     # -- read/write ---------------------------------------------------------
-    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
-        v = self.current_version(table)
+    def read(
+        self,
+        table: str,
+        schema: T.StructType | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the current snapshot, or — time travel — any retained version
+        (``version=``): versions stay readable until `vacuum` removes them, the
+        same contract as Delta's `VERSION AS OF`."""
+        v = self.current_version(table) if version is None else version
         if v < 0:
             if schema is None:
                 raise FileNotFoundError(f"state table {table} has no snapshot")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(
-            os.path.join(self._table_dir(table), f"v={v}")
-        )
+        path = os.path.join(self._table_dir(table), f"v={v}")
+        if version is not None and not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"state table {table} has no retained version {version} "
+                f"(vacuumed or never written)"
+            )
+        return self.spark.read.parquet(path)
+
+    def history(self, table: str) -> list[dict]:
+        """Retained versions, oldest first: version, publish mtime (epoch
+        seconds), on-disk bytes, current flag — the audit surface a promotion
+        gate or a debugging session reads before time-traveling."""
+        tdir = self._table_dir(table)
+        if not os.path.isdir(tdir):
+            return []
+        cur = self.current_version(table)
+        out = []
+        for d in sorted(os.listdir(tdir)):
+            if not d.startswith("v="):
+                continue
+            v = int(d.split("=", 1)[1])
+            path = os.path.join(tdir, d)
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+            out.append(
+                {
+                    "version": v,
+                    "modified": int(os.path.getmtime(path)),
+                    "bytes": size,
+                    "current": v == cur,
+                }
+            )
+        return sorted(out, key=lambda r: r["version"])
 
     def write(
         self, table: str, df: DataFrame, partition_by: list[str] | None = None
@@ -129,6 +171,7 @@ class StateStore:
         update_key: list[str] | None = None,
         schema: T.StructType | None = None,
         partition_by: list[str] | None = None,
+        evolve_schema: bool = False,
     ) -> int:
         """next = ((current − deletes) updated-by updates) ∪ inserts, one shuffle per
         set — the snapshot-algebra equivalent of the reference's batched DML
@@ -146,7 +189,12 @@ class StateStore:
             keep = nxt.join(updates.select(*key).dropDuplicates(), key, "left_anti")
             nxt = keep.unionByName(updates.select(*nxt.columns))
         if inserts is not None:
-            nxt = nxt.unionByName(inserts.select(*nxt.columns))
+            if evolve_schema:
+                # additive evolution (Delta mergeSchema): new insert columns
+                # join the snapshot schema, existing rows read NULL for them
+                nxt = nxt.unionByName(inserts, allowMissingColumns=True)
+            else:
+                nxt = nxt.unionByName(inserts.select(*nxt.columns))
         return self.write(table, nxt, partition_by=partition_by)
 
 

@@ -110,3 +110,51 @@ def test_compact_rewrites_small_files_and_publishes(spark, tmp_path):
     v1_files = glob.glob(str(tmp_path / "t" / "v=1" / "*.parquet"))
     assert len(v1_files) == 1  # tiny snapshot -> one right-sized file
     assert store.read("t").count() == 1000
+
+
+def test_time_travel_read_and_history(spark, tmp_path):
+    """Every retained version stays readable by number; history lists them
+    oldest-first with the current flag; vacuumed versions raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.sources.state import StateStore
+
+    store = StateStore(spark, str(tmp_path / "tt"))
+    store.write("t", spark.range(3).select(F.col("id").alias("k")))
+    store.apply_changes("t", inserts=spark.range(3, 5).select(F.col("id").alias("k")))
+    store.apply_changes("t", inserts=spark.range(5, 6).select(F.col("id").alias("k")))
+
+    assert store.read("t").count() == 6
+    assert store.read("t", version=0).count() == 3
+    assert store.read("t", version=1).count() == 5
+
+    hist = store.history("t")
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["current"] for h in hist] == [False, False, True]
+    assert all(h["bytes"] > 0 for h in hist)
+
+    store.vacuum("t", keep=1)
+    with pytest.raises(FileNotFoundError):
+        store.read("t", version=0)
+    assert store.read("t", version=2).count() == 6
+
+
+def test_apply_changes_schema_evolution(spark, tmp_path):
+    """evolve_schema=True admits inserts with a NEW column: old rows read NULL
+    for it, and the evolved schema persists; without the flag the new column
+    is dropped by the align-to-current projection."""
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.sources.state import StateStore
+
+    store = StateStore(spark, str(tmp_path / "ev"))
+    store.write("t", spark.range(2).select(F.col("id").alias("k")))
+    newrows = spark.range(2, 4).select(
+        F.col("id").alias("k"), F.lit("x").alias("tag")
+    )
+    store.apply_changes("t", inserts=newrows, evolve_schema=True)
+    got = store.read("t")
+    assert set(got.columns) == {"k", "tag"}
+    vals = {r.k: r.tag for r in got.collect()}
+    assert vals[0] is None and vals[2] == "x"

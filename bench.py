@@ -71,6 +71,7 @@ HEADLINE = [
     "a_winsorize_normalize",
     "j_bloom_prefilter",
     "g_triangle_count",
+    "w_ewma_grouped_map",
 ]
 
 

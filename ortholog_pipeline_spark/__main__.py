@@ -98,6 +98,11 @@ def main(argv: list[str] | None = None) -> int:
         help="run the data-quality suite over the state snapshots",
     )
     mode.add_argument(
+        "--history",
+        metavar="TABLE",
+        help="print retained snapshot versions of a state table",
+    )
+    mode.add_argument(
         "--vacuum-state",
         action="store_true",
         help="vacuum old snapshot versions + compact current ones",
@@ -118,6 +123,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="ortholog-pipeline-run")
     store = StateStore(spark, args.state_dir)
     run_ts = dt.datetime.now()
+
+    if args.history:
+        for h in store.history(args.history):
+            mark = "*" if h["current"] else " "
+            print(f"{mark} v{h['version']}  {h['bytes']} bytes  mtime={h['modified']}")
+        return 0
 
     if args.validate_state:
         res = run_state_validation(store)

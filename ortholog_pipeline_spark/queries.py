@@ -4316,3 +4316,58 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_triangles"),
         F.lit(n_edges).cast("long").alias("n_edges"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA via applyInPandas — the grouped-map Pandas surface, oracled
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_ewma_grouped_map",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase' AND user_id % 8 = 0
+    ),
+    s AS (
+      SELECT user_id, event_id, rn,
+             SUM(value * POWER(0.9, -rn)) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS acc
+      FROM e
+    )
+    SELECT user_id, event_id,
+           ROUND(0.1 * POWER(0.9, rn) * acc / (1.0 - POWER(0.9, rn)), 4) AS ewma
+    FROM s
+    """,
+)
+def w_ewma_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user via ``applyInPandas`` —
+    the grouped-map Pandas surface on a genuinely sequential recurrence
+    (y_i = a*x_i + (1-a)*y_{i-1}, which no built-in window frame expresses).
+    One shuffle on the group key; each group processed as a single Arrow
+    batch. The oracle unrolls the recurrence algebraically (factored prefix
+    sum with 0.9^-rn weights) — float drift between the recursive and the
+    factored form is absorbed by the rounding."""
+    ev = _t(spark, sf_dir, "events")
+    src = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 8 == 0)
+    ).select("user_id", "event_id", "ts", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        y = pdf["value"].ewm(alpha=0.1, adjust=True).mean()
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ewma": (y).round(4),
+            }
+        )
+
+    return src.groupBy("user_id").applyInPandas(
+        ewma, "user_id long, event_id long, ewma double"
+    )

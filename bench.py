@@ -72,6 +72,8 @@ HEADLINE = [
     "j_bloom_prefilter",
     "g_triangle_count",
     "w_ewma_grouped_map",
+    "a_pareto_customers",
+    "a_event_transitions",
 ]
 
 

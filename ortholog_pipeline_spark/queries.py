@@ -4371,3 +4371,104 @@ def w_ewma_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.groupBy("user_id").applyInPandas(
         ewma, "user_id long, event_id long, ewma double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration — top customers covering 80% of revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_pareto_customers",
+    """
+    WITH r AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT c_custkey, rev_cents,
+             SUM(rev_cents) OVER (
+               ORDER BY rev_cents DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_cents,
+             SUM(rev_cents) OVER () AS total_cents
+      FROM r
+    )
+    SELECT c_custkey, rev_cents, CAST(cum_cents AS BIGINT) AS cum_cents
+    FROM c WHERE cum_cents - rev_cents < 0.8 * total_cents
+    """,
+)
+def a_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest prefix of customers (by revenue,
+    descending) covering 80% of total revenue. The oracle's naive
+    `SUM OVER (ORDER BY ...)` is a single-partition window; the engine runs
+    the distributed two-phase prefix sum (`ranking.global_prefix_sum`:
+    range-partition + Arrow local sums + broadcast offsets) over integer
+    cents, so the cumulative pass scales. The 80% threshold check is exact
+    integer x 0.8 arithmetic in both engines."""
+    from ortholog_pipeline_spark.operators.ranking import global_prefix_sum
+
+    orders = _t(spark, sf_dir, "orders")
+    r = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    # total order: revenue DESC then custkey — encode as (-rev, key) ascending
+    r2 = r.withColumn("_negrev", -F.col("rev_cents"))
+    cum = global_prefix_sum(
+        r2, ["_negrev", "c_custkey"], "rev_cents", out_col="cum_cents"
+    )
+    total = r.agg(F.sum("rev_cents")).collect()[0][0]
+    return (
+        cum.filter(
+            (F.col("cum_cents") - F.col("rev_cents"))
+            < F.lit(0.8) * F.lit(total)
+        )
+        .select("c_custkey", "rev_cents", "cum_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transitions — per-user Markov transition counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_event_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type)
+                                 AS DOUBLE), 6) AS p
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def a_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    LEAD over the (user, time) window pairs consecutive events (one shuffle on
+    user), then a count + per-source normalization. The transition matrix is
+    event-type² small, so the normalizing window runs on a tiny frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    cnt = s.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    return cnt.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 6).alias("p"),
+    )

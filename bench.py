@@ -74,6 +74,9 @@ HEADLINE = [
     "w_ewma_grouped_map",
     "a_pareto_customers",
     "a_event_transitions",
+    "j_spatial_grid_join",
+    "j_cooccurrence_lift",
+    "a_ab_test_welch",
 ]
 
 

@@ -4481,3 +4481,233 @@ def a_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial proximity join — grid-cell blocking (geohash shape)
+# ---------------------------------------------------------------------------
+
+#: Synthetic coordinates in [0,1)^2 from md5 bits of the customer key; epsilon
+#: is the proximity radius AND the grid pitch, so all matches lie in the same
+#: or an adjacent cell — the standard grid-blocked spatial join.
+_GEO_EPS = 0.02
+
+
+def _geo_coord(key: F.Column, salt: str) -> F.Column:
+    """Uniform [0,1) coordinate: md5 bucket / 1e6 (portable arithmetic)."""
+    from ortholog_pipeline_spark.operators.sampling import BUCKETS, sample_bucket
+
+    return sample_bucket(key, salt).cast("double") / F.lit(float(BUCKETS))
+
+
+@register(
+    "j_spatial_grid_join",
+    f"""
+    WITH p AS (
+      SELECT c_custkey AS id,
+             (CAST(('0x' || substr(md5('gx' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 AS x,
+             (CAST(('0x' || substr(md5('gy' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 AS y
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    a AS (
+      SELECT id, x, y,
+             CAST(FLOOR(x / {_GEO_EPS}) AS BIGINT) AS cx,
+             CAST(FLOOR(y / {_GEO_EPS}) AS BIGINT) AS cy
+      FROM p
+    ),
+    probes AS (
+      SELECT id, x, y, cx + dx AS cx, cy + dy AS cy
+      FROM a
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+    )
+    SELECT l.id AS id_1, r.id AS id_2,
+           ROUND(sqrt((l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)), 6)
+             AS dist
+    FROM probes l JOIN a r ON l.cx = r.cx AND l.cy = r.cy
+    WHERE l.id < r.id
+      AND sqrt((l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y))
+          < {_GEO_EPS}
+    """,
+)
+def j_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join via grid-cell blocking (the geohash shape):
+    points bucket into eps-pitch cells map-side; one side probes its 3x3 cell
+    neighborhood (a 9x explode of the SMALL per-point key set, not the data),
+    the equi-join on the cell key generates candidates, and the exact distance
+    predicate verifies. At 100 TB this is the standard spatial join: shuffle
+    is cell-key-bounded, and no pair outside adjacent cells is ever formed —
+    versus the quadratic cross-join a naive distance join plans."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    p = cust.select(
+        F.col("c_custkey").alias("id"),
+        _geo_coord(F.col("c_custkey"), "gx").alias("x"),
+        _geo_coord(F.col("c_custkey"), "gy").alias("y"),
+    )
+    a = p.withColumn(
+        "cx", F.floor(F.col("x") / _GEO_EPS).cast("long")
+    ).withColumn("cy", F.floor(F.col("y") / _GEO_EPS).cast("long"))
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    probes = a.select(
+        F.col("id"), "x", "y", "cx", "cy", offsets.alias("o")
+    ).select(
+        "id",
+        "x",
+        "y",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    l = probes.withColumnsRenamed({"id": "id_1", "x": "x1", "y": "y1"})
+    r = a.withColumnsRenamed({"id": "id_2", "x": "x2", "y": "y2"})
+    dist = F.sqrt(
+        (F.col("x1") - F.col("x2")) * (F.col("x1") - F.col("x2"))
+        + (F.col("y1") - F.col("y2")) * (F.col("y1") - F.col("y2"))
+    )
+    return (
+        l.join(r, ["cx", "cy"])
+        .filter((F.col("id_1") < F.col("id_2")) & (dist < _GEO_EPS))
+        .select("id_1", "id_2", F.round(dist, 6).alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence — item-item lift over order baskets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_cooccurrence_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 200 AS item FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+    item_n AS (SELECT item, COUNT(*) AS c FROM b GROUP BY item),
+    pair_n AS (
+      SELECT a.item AS item_1, c.item AS item_2, COUNT(*) AS cp
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.item < c.item
+      GROUP BY 1, 2
+    )
+    SELECT item_1, item_2, CAST(cp AS BIGINT) AS n_pair,
+           ROUND(cp * 1.0 * (SELECT n_orders FROM n) / (i1.c * i2.c), 6)
+             AS lift
+    FROM pair_n
+    JOIN item_n i1 ON i1.item = item_1
+    JOIN item_n i2 ON i2.item = item_2
+    WHERE cp >= 5
+    """,
+)
+def j_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence with lift over order baskets (the recsys /
+    association-rules shape): distinct (basket, item), self-join within the
+    basket to form ordered pairs (fanout bounded by basket size, the classic
+    market-basket explode), then lift = P(a,b)/(P(a)P(b)). Baskets with a hot
+    item would salt the self-join at scale; here the shuffle key is the
+    basket id, which is unskewed by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = (
+        li.select("l_orderkey", (F.col("l_partkey") % 200).alias("item"))
+        .dropDuplicates()
+        .persist()
+    )
+    n_orders = b.select("l_orderkey").distinct().count()
+    item_n = b.groupBy("item").agg(F.count("*").alias("c"))
+    a = b.withColumnRenamed("item", "item_1")
+    c = b.withColumnRenamed("item", "item_2")
+    pair_n = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("item_1") < F.col("item_2"))
+        .groupBy("item_1", "item_2")
+        .agg(F.count("*").alias("cp"))
+        .filter(F.col("cp") >= 5)
+    )
+    i1 = F.broadcast(item_n.withColumnsRenamed({"item": "item_1", "c": "c1"}))
+    i2 = F.broadcast(item_n.withColumnsRenamed({"item": "item_2", "c": "c2"}))
+    return (
+        pair_n.join(i1, "item_1")
+        .join(i2, "item_2")
+        .select(
+            "item_1",
+            "item_2",
+            F.col("cp").alias("n_pair"),
+            F.round(
+                F.col("cp") * F.lit(float(n_orders)) / (F.col("c1") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout — hash-assigned arms, Welch's t statistic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_ab_test_welch",
+    f"""
+    WITH assigned AS (
+      SELECT CASE WHEN ({_BUCKET_SQL.format(key='user_id').replace("'s0'", "'ab'")})
+                  < 500000 THEN 'A' ELSE 'B' END AS arm,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(value) AS mu,
+             VAR_SAMP(value) AS v
+      FROM assigned GROUP BY arm
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           ROUND(a.mu, 6) AS mean_a, ROUND(b.mu, 6) AS mean_b,
+           ROUND((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_welch
+    FROM s a, s b WHERE a.arm = 'A' AND b.arm = 'B'
+    """,
+)
+def a_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: users hash into A/B arms (the same md5 coin as
+    the sampling operators, so assignment is engine- and rerun-stable), then
+    Welch's t over purchase values — one conditional aggregation, one 2-row
+    self-join. The arm assignment being a pure hash expression is the point:
+    no assignment table to join at 100 TB."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm = F.when(
+        SMP.sample_bucket(F.col("user_id"), "ab") < SMP.BUCKETS // 2, "A"
+    ).otherwise("B")
+    s = (
+        ev.select(arm.alias("arm"), "value")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mu"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = s.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("mu").alias("mu_a"), F.col("v").alias("v_a")
+    )
+    b = s.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("mu").alias("mu_b"), F.col("v").alias("v_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round("mu_a", 6).alias("mean_a"),
+        F.round("mu_b", 6).alias("mean_b"),
+        F.round(
+            (F.col("mu_a") - F.col("mu_b"))
+            / F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")),
+            4,
+        ).alias("t_welch"),
+    )

@@ -225,3 +225,25 @@ def test_anomaly_stats_broadcast_back(spark):
     plan = _plan(spark, "a_anomaly_zscore")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_spatial_join_no_cartesian(spark):
+    """Grid blocking must make the proximity join an equi-join on cell keys —
+    never a cartesian/nested-loop distance join."""
+    plan = _plan(spark, "j_spatial_grid_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cooccurrence_joins_on_basket(spark):
+    """The pair generation must shuffle on the basket key (equi-join), with
+    the item count tables broadcast."""
+    plan = _plan(spark, "j_cooccurrence_lift")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # item_n lookups
+
+
+def test_ewma_single_group_shuffle(spark):
+    """applyInPandas must introduce exactly one group-key exchange."""
+    plan = _plan(spark, "w_ewma_grouped_map")
+    assert plan.count("Arguments: hashpartitioning") == 1

@@ -1100,3 +1100,50 @@ def test_triangle_count_hand_graph(spark):
     e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
     assert e1.join(e2, "y").join(e3, ["x", "z"]).count() == 2
+
+
+def test_spatial_grid_finds_planted_neighbors(spark):
+    """A planted pair closer than eps must be found even when it straddles a
+    cell boundary; a far pair must not."""
+    from pyspark.sql import functions as F
+
+    eps = 0.02
+    pts = spark.createDataFrame(
+        [
+            (1, 0.019999, 0.5),  # cell 0 in x
+            (2, 0.020001, 0.5),  # cell 1 in x — boundary-straddling neighbor
+            (3, 0.5, 0.5),       # far from both
+        ],
+        "id long, x double, y double",
+    )
+    a = pts.withColumn("cx", F.floor(F.col("x") / eps).cast("long")).withColumn(
+        "cy", F.floor(F.col("y") / eps).cast("long")
+    )
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    probes = a.select("id", "x", "y", "cx", "cy", offs.alias("o")).select(
+        "id",
+        "x",
+        "y",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    l = probes.withColumnsRenamed({"id": "id_1", "x": "x1", "y": "y1"})
+    r = a.withColumnsRenamed({"id": "id_2", "x": "x2", "y": "y2"})
+    dist = F.sqrt(
+        (F.col("x1") - F.col("x2")) ** 2 + (F.col("y1") - F.col("y2")) ** 2
+    )
+    got = {
+        (row.id_1, row.id_2)
+        for row in l.join(r, ["cx", "cy"])
+        .filter((F.col("id_1") < F.col("id_2")) & (dist < eps))
+        .collect()
+    }
+    assert got == {(1, 2)}

@@ -102,7 +102,9 @@ def weighted_sample_topk(
         float(BUCKETS)
     )
     w = F.greatest(weight_col.cast("double"), F.lit(1.0))
-    prio = F.round(F.log(u) / w, 6)
+    # + 0.0 canonicalizes IEEE negative zero: round(-1e-9, 6) is -0.0, which
+    # engines (and the driver's "%.6f" hashing) render differently from 0.0
+    prio = F.round(F.log(u) / w, 6) + F.lit(0.0)
     return (
         df.withColumn("_prio", prio)
         .orderBy(F.col("_prio").desc(), F.col(key_col).asc())

@@ -803,27 +803,61 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_score",
     f"""
-    WITH scored AS (
+    WITH c AS (
       SELECT lang,
-        0.4 * LEAST(1.0, len({_TOKS_SQL}) / 100.0)
-        + 0.3 * (len(list_distinct({_TOKS_SQL})) * 1.0 / len({_TOKS_SQL}))
-        + 0.3 * (len(list_filter({_TOKS_SQL},
-                    t -> list_contains({_STOPS_SQL}, t))) * 1.0 / len({_TOKS_SQL}))
-        AS q
+             len({_TOKS_SQL}) AS n,
+             len(list_distinct({_TOKS_SQL})) AS d,
+             len(list_filter({_TOKS_SQL},
+                 t -> list_contains({_STOPS_SQL}, t))) AS s
       FROM documents
+    ),
+    scored AS (
+      -- quality_score is exactly rational: q = (4*min(n,100)*n + 300*(d+s))
+      -- / (1000*n); round to micro-units IN INTEGER ARITHMETIC (half-up) so
+      -- both engines produce the identical value — ROUND(double, 6) differs
+      -- between Spark (BigDecimal on the exact binary expansion) and DuckDB
+      -- (multiply-then-nearbyint) on halfway cases, observed at sf0.1
+      SELECT lang,
+             CASE WHEN n = 0 THEN 0
+                  ELSE ((4 * LEAST(n, 100) * n + 300 * (d + s)) * 2000000
+                        + 1000 * n) // (2000 * n) END AS qm
+      FROM c
     )
-    SELECT lang, ROUND(AVG(q), 4) AS avg_quality,
-           ROUND(MIN(q), 4) AS min_quality, ROUND(MAX(q), 4) AS max_quality
+    SELECT lang,
+           ROUND(SUM(qm) / (COUNT(*) * 1000000.0), 4) AS avg_quality,
+           ROUND(MIN(qm) / 1000000.0, 4) AS min_quality,
+           ROUND(MAX(qm) / 1000000.0, 4) AS max_quality
     FROM scored GROUP BY lang
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language aggregate of the composite quality score, computed in
+    EXACT integer micro-units (the score is rational: see the oracle comment;
+    `functions.text.quality_score` keeps the float form for in-engine
+    filtering where cross-engine bit-equality doesn't matter)."""
     d = _t(spark, sf_dir, "documents")
-    q = TXT.quality_score("text")
-    return d.groupBy("lang").agg(
-        F.round(F.avg(q), 4).alias("avg_quality"),
-        F.round(F.min(q), 4).alias("min_quality"),
-        F.round(F.max(q), 4).alias("max_quality"),
+    toks = TXT.tokens("text")
+    n = F.size(toks).cast("long")
+    dd = F.size(F.array_distinct(toks)).cast("long")
+    stop_arr = F.array(*[F.lit(x) for x in TXT.STOPWORDS])
+    ss = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("long")
+    # exact integer floor division: (num - num%den)/den — the numerator is an
+    # exact multiple of den and stays < 2^53 (num ~ 2e9*n), so the one double
+    # division is exact; Column has no `div` operator and float `/`+cast
+    # truncation would not be
+    num = (4 * F.least(n, F.lit(100)) * n + 300 * (dd + ss)) * 2000000 + 1000 * n
+    den = 2000 * n
+    qm = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        ((num - F.pmod(num, den)) / den).cast("long")
+    )
+    return d.select("lang", qm.alias("qm")).groupBy("lang").agg(
+        F.round(F.sum("qm") / (F.count("*") * F.lit(1000000.0)), 4).alias(
+            "avg_quality"
+        ),
+        F.round(F.min("qm") / F.lit(1000000.0), 4).alias("min_quality"),
+        F.round(F.max("qm") / F.lit(1000000.0), 4).alias("max_quality"),
     )
 
 
@@ -3487,7 +3521,7 @@ def a_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(
                ln((({_BUCKET_SQL.format(key='doc_id').replace("'s0'", "'w0'")}) + 1)
                   / 1000000.0)
-               / GREATEST(CAST(n_chars AS DOUBLE), 1.0), 6) AS prio
+               / GREATEST(CAST(n_chars AS DOUBLE), 1.0), 6) + 0.0 AS prio
       FROM documents
     )
     SELECT doc_id, n_chars, prio FROM p ORDER BY prio DESC, doc_id LIMIT 50

@@ -192,7 +192,14 @@ def run_agr_load(
                 F.col("species_type_key_2").alias("species_type_key"),
             )
         )
-        .dropDuplicates(["curie"])
+        # deterministic by construction: the same curie can appear on many
+        # lines (and, in a malformed file, with differing symbols) — a
+        # dropDuplicates pick would be partitioning-dependent; reduce instead
+        .groupBy("curie")
+        .agg(
+            F.min("gene_symbol").alias("gene_symbol"),
+            F.min("species_type_key").alias("species_type_key"),
+        )
     )
     max_rgd = rgd_ids.agg(F.max("rgd_id")).collect()[0][0] or 0
     minted = (
@@ -296,7 +303,23 @@ def run_agr_load(
             "is_best_rev_score",
             "methods_matched",
         )
-        .dropDuplicates(["gene_rgd_id_1", "gene_rgd_id_2", "methods_matched"])
+        # same key from multiple lines may disagree on the best-score flags
+        # (the reference's parallel upsert is last-wins-racy here,
+        # AgrTsvLoader.java:152-194); define the merge: Y beats N
+        .groupBy("gene_rgd_id_1", "gene_rgd_id_2", "methods_matched")
+        .agg(
+            F.min("confidence").alias("confidence"),
+            F.max("is_best_score").alias("is_best_score"),
+            F.max("is_best_rev_score").alias("is_best_rev_score"),
+        )
+        .select(
+            "gene_rgd_id_1",
+            "gene_rgd_id_2",
+            "confidence",
+            "is_best_score",
+            "is_best_rev_score",
+            "methods_matched",
+        )
     )
 
     # S12 upsert on the 3-col key (Dao.java:825-849) as a full-outer verdict join

@@ -215,7 +215,7 @@ def j1_resolution_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY l_orderkey
         ORDER BY CASE WHEN n_at_max = 1 THEN l_quantity ELSE 0 END DESC,
-                 pref DESC, l_linenumber ASC
+                 pref DESC, l_linenumber ASC, l_partkey ASC
       ) AS rn FROM cand
     ) WHERE rn = 1
     """,
@@ -225,12 +225,16 @@ def w1_best_fit_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     when it is a STRICT max; otherwise the preference flag then a deterministic
     tiebreak decide over ALL candidates (OrthologRelationLoader.java:537-578)."""
     li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data — two
+    # lines can share a linenumber — so the tiebreak needs l_partkey to be
+    # total (an incomplete ordering made the pick partitioning-dependent,
+    # caught by the sf0.1 parity sweep)
     out = bestfit.pick_best(
         li,
         ["l_orderkey"],
         evidence=F.col("l_quantity"),
         prefer=F.when(F.col("l_returnflag") == "R", 1).otherwise(0),
-        order_cols=[F.col("l_linenumber").asc()],
+        order_cols=[F.col("l_linenumber").asc(), F.col("l_partkey").asc()],
     )
     return out.select("l_orderkey", "l_partkey", "l_linenumber")
 
@@ -249,7 +253,7 @@ def w1_best_fit_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY l_orderkey, l_partkey
                ORDER BY CASE l_returnflag WHEN 'R' THEN 3 WHEN 'A' THEN 2
                                           ELSE 1 END DESC,
-                        l_linenumber ASC
+                        l_linenumber ASC, l_linestatus ASC
              ) AS rn
       FROM lineitem
     )
@@ -270,8 +274,11 @@ def w2_duplicate_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("l_returnflag") == "A", 2)
         .otherwise(1)
     )
+    # l_linenumber is not unique within (order, part) in the synthetic data;
+    # two tied rows can differ in l_linestatus, which the deleted/fenced split
+    # reads — the extra l_linestatus key makes the pick total where it matters
     w = Window.partitionBy("l_orderkey", "l_partkey").orderBy(
-        prio.desc(), F.col("l_linenumber").asc()
+        prio.desc(), F.col("l_linenumber").asc(), F.col("l_linestatus").asc()
     )
     ranked = li.withColumn("rn", F.row_number().over(w))
     return ranked.groupBy("l_returnflag").agg(

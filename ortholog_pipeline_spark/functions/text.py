@@ -159,3 +159,31 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     budgets than whitespace counting (punctuation and digit runs count)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def hashed_feature_weight(tok: Column, mod: int = 101, salt: str = "w|") -> Column:
+    """Hashing-trick feature weight for one token: md5(salt||token) mod ``mod``,
+    shifted to be centered on zero ([-50, 50] for the default mod=101). Stands in
+    for a trained fastText-style linear model's weight table — the HASHING and
+    SCORING plumbing is the real, tested part; swap the md5 weight for a
+    broadcast-joined learned table in production."""
+    from ortholog_pipeline_spark.operators.dedup import hex_hash64
+
+    return F.pmod(hex_hash64(F.concat(F.lit(salt), tok)), F.lit(mod)) - F.lit(
+        (mod - 1) // 2
+    )
+
+
+def linear_quality_score(col: Column | str, mod: int = 101) -> Column:
+    """fastText-shape linear document scorer: mean hashed-feature weight over
+    the token bag, as an exactly-reproducible double (one integer sum, one
+    final division — no float accumulation order to diverge across engines).
+    Pure Catalyst array expressions: map-side, no shuffle, no UDF."""
+    t = tokens(col)
+    weights = F.transform(t, lambda tok: hashed_feature_weight(tok, mod))
+    s = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        F.round(s.cast("double") / F.size(t), 6)
+    )

@@ -126,6 +126,56 @@ def hashed_shingles31(text_col: str, k: int = 3) -> Column:
     return F.array_distinct(F.filter(abc, lambda x: x.isNotNull()))
 
 
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Exact repeated-substring detection (the ExactSubstr pass of
+    training-data dedup, cf. Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better"): hash fixed-length token spans on a stride
+    grid and report spans that occur in ≥ 2 distinct documents.
+
+    Scale shape: span hashing is a pure map-side explode (~n_tokens/stride
+    rows per doc, each a 32-char hash — no token text leaves the mapper);
+    the wide ops are the two aggregation shuffles the exact distinct-document
+    count needs ((span_hash, doc_id) dedup, then span_hash), both with
+    map-side partial aggregation.
+    Contrast with suffix-array approaches: this finds duplication at span
+    granularity (enough to flag/cut boilerplate) without a global sort.
+    Output: one row per duplicated span with its document spread and total
+    occurrence count."""
+    from ortholog_pipeline_spark.functions.text import tokens
+
+    t = tokens(text_col)
+    n = F.size(t)
+    starts = F.when(
+        n >= span,
+        F.sequence(F.lit(1), F.greatest(n - (span - 1), F.lit(1)), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = df.select(
+        F.col(id_col),
+        F.explode(starts).alias("start"),
+        t.alias("_toks"),
+    ).select(
+        id_col,
+        F.md5(F.array_join(F.slice("_toks", F.col("start"), span), " ")).alias(
+            "span_hash"
+        ),
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """MinHash signature via single-md5 + affine rehash: sig[h] = min over shingles of
     (A_h·hash31(s) + B_h) mod P. Pure array expressions — computed map-side, and ~16×

@@ -140,3 +140,20 @@ def reservoir_per_key(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def kfold_assign(
+    df: DataFrame, key_col: str, k: int = 5, salt: str = "fold|"
+) -> DataFrame:
+    """Cross-validation fold labels: fold = md5(salt||key) mod k. Same hash
+    contract as the Bernoulli sampler — membership is a pure function of the
+    row key, so folds are disjoint BY CONSTRUCTION and identical on any
+    cluster, any partitioning, any engine, and any rerun (no seed state to
+    persist). Map-side only: the label costs one md5 and no shuffle."""
+    return df.withColumn(
+        "fold",
+        F.pmod(
+            hex_hash64(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+            F.lit(k),
+        ),
+    )

@@ -4752,3 +4752,284 @@ def a_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("t_welch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 7 — mergeable frequency/set sketches, exact-substring dedup, model-based
+# quality filtering, CV fold hygiene
+# ---------------------------------------------------------------------------
+
+_CM_W, _CM_D = 8192, 4
+
+
+@register(
+    "a_countmin_freq",
+    f"""
+    WITH d AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+    h AS (
+      SELECT depth,
+             (CAST(('0x' || substr(md5('cm|' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               >> (depth * 13)) % {_CM_W} AS slot
+      FROM lineitem, d
+    ),
+    sk AS (SELECT depth, slot, CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY depth, slot),
+    ex AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_exact FROM lineitem GROUP BY 1
+      ORDER BY n_exact DESC, l_partkey LIMIT 20
+    ),
+    pr AS (
+      SELECT ex.l_partkey, ex.n_exact, d.depth,
+             (CAST(('0x' || substr(md5('cm|' || CAST(ex.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               >> (d.depth * 13)) % {_CM_W} AS slot
+      FROM ex, d
+    )
+    SELECT pr.l_partkey, pr.n_exact, MIN(sk.cnt) AS cm_estimate
+    FROM pr JOIN sk USING (depth, slot)
+    GROUP BY 1, 2
+    """,
+)
+def a_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (w=8192, d=4) frequency estimates for the 20 hottest
+    part keys, side-by-side with exact counts so the overestimate bias is
+    visible. Every counter is md5-derived → the DuckDB oracle checks the
+    ESTIMATES exactly, not approximately.
+
+    Scale: the sketch shuffle is bounded by d·w counter rows per map partition
+    (partial agg combines first) — frequency estimation over 100 TB moves ~128 KB
+    per partition. Mergeable across days by summing counters. The exact top-20
+    here is demo-only contrast (it is the expensive side at scale; a real
+    deployment keeps the sketch + a heavy-hitters heap instead)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sketch = SK.cm_sketch(li, "l_partkey", width=_CM_W, depth=_CM_D)
+    # the 20-row exact-contrast frame feeds both the probe and the final join —
+    # persist so its full-table aggregation runs once, not twice
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "l_partkey")
+        .limit(20)
+        .persist()
+    )
+    est = SK.cm_estimate(sketch, top, "l_partkey", width=_CM_W, depth=_CM_D)
+    return top.join(est, "l_partkey").select("l_partkey", "n_exact", "cm_estimate")
+
+
+_KMV_K = 128
+_KMV_NUM = float((_KMV_K - 1) * (1 << 60))  # (k-1)·2^60, exact in double
+
+
+@register(
+    "a_kmv_set_ops",
+    f"""
+    WITH g AS (
+      SELECT DISTINCT year(o_orderdate) AS grp, o_custkey
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+    ),
+    hd AS (
+      SELECT DISTINCT grp,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM g
+    ),
+    sk AS (
+      SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hd
+      QUALIFY rn <= {_KMV_K}
+    ),
+    est AS (
+      SELECT grp,
+             CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE CAST({int(_KMV_NUM)} AS DOUBLE) / CAST(MAX(h) AS DOUBLE) END AS kmv_estimate
+      FROM sk GROUP BY grp
+    ),
+    mg AS (SELECT h, COUNT(*) AS n_grps FROM sk GROUP BY h),
+    tu AS (SELECT h, n_grps FROM mg ORDER BY h LIMIT {_KMV_K}),
+    ua AS (
+      SELECT MAX(h) AS h_k,
+             CAST(SUM(CASE WHEN n_grps = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      FROM tu
+    ),
+    ex AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN grp = 1995 THEN o_custkey END) AS BIGINT) AS n_exact_1995,
+             CAST(COUNT(DISTINCT CASE WHEN grp = 1996 THEN o_custkey END) AS BIGINT) AS n_exact_1996
+      FROM g
+    ),
+    xi AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_intersect FROM (
+        SELECT o_custkey FROM g GROUP BY o_custkey HAVING COUNT(*) = 2
+      )
+    )
+    SELECT ROUND(e95.kmv_estimate, 4) AS est_1995,
+           ROUND(e96.kmv_estimate, 4) AS est_1996,
+           ex.n_exact_1995, ex.n_exact_1996,
+           ROUND(ua.n_both / {_KMV_K}.0, 6) AS jaccard_est,
+           ROUND((ua.n_both / {_KMV_K}.0) * (CAST({int(_KMV_NUM)} AS DOUBLE) / CAST(ua.h_k AS DOUBLE)), 4) AS intersect_est,
+           xi.n_exact_intersect
+    FROM (SELECT kmv_estimate FROM est WHERE grp = 1995) e95,
+         (SELECT kmv_estimate FROM est WHERE grp = 1996) e96, ua, ex, xi
+    """,
+)
+def a_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k, k=128) distinct sketches for the 1995 and 1996 customer
+    sets, including what HLL cannot do: a set INTERSECTION estimate (Jaccard
+    from the k smallest hashes of the merged sketch × the union estimate),
+    with exact counts alongside. md5 hashing → the DuckDB oracle reproduces
+    every sketch row and checks the estimates bit-for-bit.
+
+    Scale: per-group state is k rows (the rank filter compiles to
+    WindowGroupLimit — no full per-group sort output); merging sketches is a
+    union + re-rank over 2k rows. The exact columns are demo-only contrast."""
+    od = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate").isin(1995, 1996))
+    grp = od.select(F.year("o_orderdate").alias("grp"), "o_custkey")
+    sk = SK.kmv_sketch(grp, "o_custkey", ["grp"], k=_KMV_K)
+    ests = SK.kmv_distinct_estimate(sk, ["grp"], k=_KMV_K)
+    e95 = ests.filter(F.col("grp") == 1995).select(
+        F.round("kmv_estimate", 4).alias("est_1995")
+    )
+    e96 = ests.filter(F.col("grp") == 1996).select(
+        F.round("kmv_estimate", 4).alias("est_1996")
+    )
+    merged = sk.groupBy("h").agg(F.count(F.lit(1)).alias("n_grps"))
+    ua = (
+        merged.orderBy("h")
+        .limit(_KMV_K)
+        .agg(
+            F.max("h").alias("h_k"),
+            F.sum((F.col("n_grps") == 2).cast("long")).alias("n_both"),
+        )
+    )
+    gd = grp.distinct()
+    ex = gd.agg(
+        F.countDistinct(
+            F.when(F.col("grp") == 1995, F.col("o_custkey"))
+        ).alias("n_exact_1995"),
+        F.countDistinct(
+            F.when(F.col("grp") == 1996, F.col("o_custkey"))
+        ).alias("n_exact_1996"),
+    )
+    xi = (
+        gd.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("ny"))
+        .filter(F.col("ny") == 2)
+        .agg(F.count(F.lit(1)).alias("n_exact_intersect"))
+    )
+    union_est = F.lit(_KMV_NUM) / F.col("h_k").cast("double")
+    return (
+        e95.crossJoin(e96)
+        .crossJoin(ex)
+        .crossJoin(ua)
+        .crossJoin(xi)
+        .select(
+            "est_1995",
+            "est_1996",
+            "n_exact_1995",
+            "n_exact_1996",
+            F.round(F.col("n_both") / F.lit(float(_KMV_K)), 6).alias("jaccard_est"),
+            F.round(
+                (F.col("n_both") / F.lit(float(_KMV_K))) * union_est, 4
+            ).alias("intersect_est"),
+            "n_exact_intersect",
+        )
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, md5(array_to_string(toks[st:st+7], ' ')) AS span_hash
+      FROM t, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(toks) - 7, 1), 4)) AS st)
+      WHERE len(toks) >= 8
+    )
+    SELECT span_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(doc_id) AS first_doc
+    FROM s GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection (ExactSubstr dedup à la Lee et al.
+    2022): 8-token spans on a stride-4 grid, reported when they recur in ≥ 2
+    distinct documents — the span-granular signal used to cut boilerplate and
+    verbatim repeats that document-level MinHash keeps. Map-side span hashing
+    + two bounded aggregation shuffles; no suffix array, no global sort."""
+    return DD.repeated_spans(
+        _t(spark, sf_dir, "documents"), span=8, stride=4
+    )
+
+
+@register(
+    "text_quality_classifier",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    w AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             COALESCE(CASE WHEN len(toks) = 0 THEN 0
+                  ELSE list_aggregate(list_transform(toks, x ->
+                    CAST(('0x' || substr(md5('w|' || x), 1, 15)) AS BIGINT) % 101 - 50), 'sum')
+             END, 0) AS s
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN n_tokens = 0 THEN 0.0 ELSE ROUND(CAST(s AS DOUBLE) / n_tokens, 6) END AS lm_score,
+           CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM w
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering in the fastText-classifier shape used by
+    CCNet/LLaMA-style corpus pipelines: hashed bag-of-words features × a
+    weight table, mean-pooled to a per-document score, thresholded to a
+    keep/drop label. Weights here are md5-derived stand-ins (so the oracle
+    checks the scoring EXACTLY); production swaps in a learned table via
+    broadcast join without changing the plan. Pure Catalyst array expressions:
+    map-side, zero shuffle, zero UDFs; the score is one integer sum + one
+    final division so no float-order divergence exists."""
+    docs = _t(spark, sf_dir, "documents")
+    score = TXT.linear_quality_score("text")
+    return docs.select(
+        "doc_id",
+        TXT.token_count("text").cast("long").alias("n_tokens"),
+        score.alias("lm_score"),
+        (score > 0).cast("int").alias("keep"),
+    )
+
+
+@register(
+    "sample_kfold",
+    r"""
+    WITH f AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS fold,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    sp AS (SELECT fp, COUNT(DISTINCT fold) AS nf FROM f GROUP BY fp)
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs
+    FROM f JOIN sp USING (fp)
+    GROUP BY fold
+    """,
+)
+def sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation fold assignment + leakage audit: 5 hash-disjoint folds
+    (same content-hash contract as the samplers — rerun-, partitioning- and
+    engine-stable), and per fold the count of documents whose exact-dup
+    fingerprint also appears in ANOTHER fold — the train/eval contamination
+    that random per-row folding silently creates. One fingerprint shuffle +
+    one broadcast-back join."""
+    from ortholog_pipeline_spark.functions.text import fingerprint
+
+    docs = SMP.kfold_assign(_t(spark, sf_dir, "documents"), "doc_id", k=5)
+    f = docs.select("doc_id", "n_chars", "fold", fingerprint("text").alias("fp"))
+    spread = f.groupBy("fp").agg(F.countDistinct("fold").alias("nf"))
+    return (
+        f.join(spread, "fp")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum((F.col("nf") > 1).cast("long")).alias("n_leaky_docs"),
+        )
+    )

@@ -247,3 +247,41 @@ def test_ewma_single_group_shuffle(spark):
     """applyInPandas must introduce exactly one group-key exchange."""
     plan = _plan(spark, "w_ewma_grouped_map")
     assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_countmin_probe_broadcasts_into_sketch(spark):
+    """CM estimate joins the tiny probe frame into the sketch as a broadcast —
+    the sketch (bounded at depth*width rows) must never sort-merge."""
+    plan = _plan(spark, "a_countmin_freq")
+    assert "BroadcastHashJoin" in plan
+    # exact top-20 side: global top-k without a single-partition window
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_kmv_rank_filter_compiles_to_group_limit(spark):
+    """The rn <= k filter over the per-group hash sort must run as
+    WindowGroupLimit (each group keeps k rows through the sort) — not as a
+    full window materialization followed by a filter."""
+    plan = _plan(spark, "a_kmv_set_ops")
+    assert "WindowGroupLimit" in plan
+
+
+def test_substring_spans_two_bounded_shuffles(spark):
+    """Span hashing is map-side; the wide ops are exactly the two aggregation
+    exchanges the exact distinct-doc count requires — (span_hash, doc_id)
+    dedup, then span_hash — both preceded by partial aggregation, and no join
+    anywhere."""
+    import re
+
+    plan = _plan(spark, "dedup_substring_spans")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_quality_classifier_is_map_side_only(spark):
+    """fastText-shape scoring is pure projection: no exchange, no join, no
+    window — the whole plan must collapse into the scan's codegen stage."""
+    plan = _plan(spark, "text_quality_classifier")
+    assert "Exchange" not in plan
+    assert "Join" not in plan

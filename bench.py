@@ -83,6 +83,12 @@ HEADLINE = [
     "dedup_substring_spans",
     "text_quality_classifier",
     "sample_kfold",
+    # round-2 wave 8: join-size estimation, BPE stats, mixture, k-anon, DAU
+    "a_cm_join_size",
+    "text_bpe_pair_stats",
+    "sample_domain_mixture",
+    "a_k_anonymity",
+    "w_cumulative_distinct_users",
 ]
 
 

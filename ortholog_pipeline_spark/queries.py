@@ -5033,3 +5033,224 @@ def sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("nf") > 1).cast("long")).alias("n_leaky_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 8 — sketch-based join planning, BPE pair statistics, domain mixture
+# rebalancing, k-anonymity audit, cumulative distinct users
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_cm_join_size",
+    f"""
+    WITH d AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+    ho AS (
+      SELECT depth,
+             (CAST(('0x' || substr(md5('cm|' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               >> (depth * 13)) % {_CM_W} AS slot
+      FROM orders, d WHERE o_orderstatus = 'F'
+    ),
+    hl AS (
+      SELECT depth,
+             (CAST(('0x' || substr(md5('cm|' || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               >> (depth * 13)) % {_CM_W} AS slot
+      FROM lineitem, d
+    ),
+    so AS (SELECT depth, slot, CAST(COUNT(*) AS BIGINT) AS cnt_o FROM ho GROUP BY depth, slot),
+    sl AS (SELECT depth, slot, CAST(COUNT(*) AS BIGINT) AS cnt_l FROM hl GROUP BY depth, slot),
+    prod AS (
+      SELECT so.depth, CAST(SUM(cnt_o * cnt_l) AS BIGINT) AS est
+      FROM so JOIN sl ON so.depth = sl.depth AND so.slot = sl.slot
+      GROUP BY so.depth
+    ),
+    est AS (SELECT MIN(est) AS est_join_size FROM prod),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT est.est_join_size, ex.n_exact FROM est, ex
+    """,
+)
+def a_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min sketches (the AMS/CM inner
+    product): |A ⋈ B on key| ≈ min over depths of Σ_slot cntA·cntB. This is
+    how a planner sizes a join WITHOUT running it — each side is sketched
+    independently (possibly on different days), and the dot product runs over
+    ≤ d·w counter rows. The exact join count is computed alongside so the
+    (upward-biased) estimate is auditable; both are integers, so the DuckDB
+    oracle checks the estimate exactly."""
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    so = SK.cm_sketch(od, "o_orderkey", width=_CM_W, depth=_CM_D).withColumnRenamed(
+        "cnt", "cnt_o"
+    )
+    sl = SK.cm_sketch(li, "l_orderkey", width=_CM_W, depth=_CM_D).withColumnRenamed(
+        "cnt", "cnt_l"
+    )
+    est = (
+        so.join(sl, ["depth", "slot"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("cnt_o") * F.col("cnt_l")).alias("est"))
+        .agg(F.min("est").alias("est_join_size"))
+    )
+    ex = (
+        od.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return est.crossJoin(ex)
+
+
+@register(
+    "text_bpe_pair_stats",
+    rf"""
+    WITH tok AS (SELECT unnest({_TOKS_SQL}) AS t FROM documents),
+    vc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+    pr AS (
+      SELECT substr(t, i, 2) AS pair, cnt
+      FROM vc, LATERAL (SELECT unnest(generate_series(1, length(t) - 1)) AS i)
+      WHERE length(t) >= 2
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+    FROM pr GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 10
+    """,
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of BPE tokenizer training — the adjacent-symbol-pair count
+    whose argmax becomes the next merge rule. Uses the standard scaling trick:
+    aggregate the corpus to (distinct word, frequency) FIRST (vocabulary-sized,
+    not corpus-sized), then explode each word's character pairs weighted by its
+    frequency. Top-10 via TakeOrderedAndProject with a total tie-break order."""
+    docs = _t(spark, sf_dir, "documents")
+    vc = (
+        docs.select(F.explode(TXT.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = F.when(
+        F.length("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("t") - 1),
+            lambda i: F.col("t").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        vc.select(F.explode(pairs).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(10)
+    )
+
+
+@register(
+    "sample_domain_mixture",
+    rf"""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens,
+             CAST(substr(source, 4) AS INT) AS idx
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM s)
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(idx + 1 AS DOUBLE) / 210.0, 6) AS target_share,
+           ROUND(CAST(idx + 1 AS DOUBLE) * total_tokens / 210.0 / n_tokens, 6) AS sampling_weight
+    FROM s, t
+    """,
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (the data-mixing step of corpus assembly):
+    given a target share per source (here a deterministic ramp standing in for
+    a tuned mixture table), compute each source's token mass and the sampling
+    weight target_share / current_share that a weighted sampler would apply to
+    hit the mixture. One aggregation + a broadcast of the 1-row total — the
+    weights themselves are a map-side formula, identical in any engine (single
+    integer-fed divisions in a fixed order)."""
+    docs = _t(spark, sf_dir, "documents")
+    s = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(TXT.tokens("text"))).alias("n_tokens"),
+        )
+        .withColumn("idx", F.substring("source", 4, 10).cast("int"))
+    )
+    total = s.agg(F.sum("n_tokens").alias("total_tokens"))
+    return s.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round((F.col("idx") + 1).cast("double") / F.lit(210.0), 6).alias(
+            "target_share"
+        ),
+        F.round(
+            (F.col("idx") + 1).cast("double")
+            * F.col("total_tokens")
+            / F.lit(210.0)
+            / F.col("n_tokens"),
+            6,
+        ).alias("sampling_weight"),
+    )
+
+
+@register(
+    "a_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 10
+    """,
+)
+def a_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-identifier:
+    every equivalence class smaller than k=10 — the rows a release would have
+    to suppress or generalize. One aggregation with map-side combine; the
+    HAVING filter runs post-agg on the tiny group frame."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 10)
+    )
+
+
+@register(
+    "w_cumulative_distinct_users",
+    """
+    WITH fd AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1),
+    nd AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new_users FROM fd GROUP BY 1),
+    ad AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active FROM events GROUP BY 1)
+    SELECT ad.day, COALESCE(nd.n_new_users, 0) AS n_new_users, ad.n_active,
+           CAST(SUM(COALESCE(nd.n_new_users, 0)) OVER (ORDER BY ad.day) AS BIGINT) AS n_cum_users
+    FROM ad LEFT JOIN nd ON ad.day = nd.day
+    """,
+)
+def w_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the classic "distinct-to-date"
+    metric that a naive per-day COUNT(DISTINCT ...) over expanding windows
+    makes quadratic. Linear shape: each user collapses to their FIRST day (one
+    user-keyed aggregation), daily first-appearance counts are the increments,
+    and the running sum executes over the calendar-bounded day frame (≤ one
+    row per day regardless of input size — the ORDER-only window is bounded by
+    construction, not by data volume)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    fd = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    nd = fd.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    ad = ev.groupBy("day").agg(F.countDistinct("user_id").alias("n_active"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ad.join(nd, "day", "left")
+        .withColumn("n_new_users", F.coalesce("n_new_users", F.lit(0)))
+        .select(
+            "day",
+            "n_new_users",
+            "n_active",
+            F.sum("n_new_users").over(w).alias("n_cum_users"),
+        )
+    )

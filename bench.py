@@ -150,15 +150,28 @@ def main() -> None:
         # collect the previous query's garbage OUTSIDE the next measurement
         spark.sparkContext._jvm.System.gc()
 
+    def _best2(fn) -> float:
+        """min of two full executions (same steady-state estimator as the
+        headline loop), cache-cleared between runs."""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        return round(best, 3)
+
     # dedup scaling probe: same operator, 10x the documents (rotated replicas) —
     # the number the judge reads against dedup_minhash_lsh for the growth ratio
     from ortholog_pipeline_spark.operators import dedup as DD
 
     docs10 = _documents_10x(spark, sf_dir)
-    t0 = time.perf_counter()
-    DD.minhash_lsh_dedup(docs10, k=3, num_hashes=16, bands=4, threshold=0.5).count()
-    timings["dedup_minhash_lsh_10x"] = round(time.perf_counter() - t0, 3)
-    spark.catalog.clearCache()
+    timings["dedup_minhash_lsh_10x"] = _best2(
+        lambda: DD.minhash_lsh_dedup(
+            docs10, k=3, num_hashes=16, bands=4, threshold=0.5
+        ).count()
+    )
 
     # ANN scaling probe: 10x the embeddings (component-rotated replicas keep
     # norms and neighborhood structure but land in different LSH buckets), same
@@ -185,10 +198,7 @@ def main() -> None:
     for p in parts[1:]:
         emb10 = emb10.unionByName(p)
     q20 = emb.filter(F.col("vec_id") < 20)
-    t0 = time.perf_counter()
-    SIM.lsh_topk(emb10, q20, k=10).count()
-    timings["ann_lsh_topk_10x"] = round(time.perf_counter() - t0, 3)
-    spark.catalog.clearCache()
+    timings["ann_lsh_topk_10x"] = _best2(lambda: SIM.lsh_topk(emb10, q20, k=10).count())
 
     # stored-index probe: build the dedup band index once (untimed), then time
     # ONLY the batch probe — the number that substantiates "per-ingest cost is
@@ -203,9 +213,9 @@ def main() -> None:
         store = StateStore(spark, td)
         DI.build_dedup_index(store, docs.filter(F.col("doc_id") % 10 != 7))
         batch = docs.filter(F.col("doc_id") % 10 == 7)
-        t0 = time.perf_counter()
-        DI.probe_dedup_index(store, batch, threshold=0.5).count()
-        timings["dedup_index_probe"] = round(time.perf_counter() - t0, 3)
+        timings["dedup_index_probe"] = _best2(
+            lambda: DI.probe_dedup_index(store, batch, threshold=0.5).count()
+        )
 
     total = round(sum(timings.values()), 3)
     print(

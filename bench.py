@@ -89,6 +89,8 @@ HEADLINE = [
     "sample_domain_mixture",
     "a_k_anonymity",
     "w_cumulative_distinct_users",
+    # round-2 wave 9: entity resolution
+    "er_entity_clusters",
 ]
 
 

@@ -5254,3 +5254,66 @@ def w_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_new_users").over(w).alias("n_cum_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 9 — entity resolution (blocking → candidate scoring → transitive merge)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "er_entity_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT LEAST(a.c_custkey, b.c_custkey) AS u, GREATEST(a.c_custkey, b.c_custkey) AS v
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+       AND levenshtein(a.c_name, b.c_name) = 1
+    ),
+    sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach(a, b) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+    ),
+    comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT component AS cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY component
+    """,
+)
+def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: candidate pairs from the FastSS
+    deletion-neighborhood join (never all-pairs — |s|+1 variants per distinct
+    name, one equi-join on the variant key), constrained to the same blocking
+    key (nation), then transitively merged with the same large-star/small-star
+    connected-components used for near-dup clustering. Output: one row per
+    merged entity with its representative (min key) and member count. The
+    DuckDB oracle reproduces the closure over the identical levenshtein=1
+    pair set with a recursive CTE."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    pairs = DD.editdist1_join(cust, "c_name")
+    m1 = cust.select(
+        F.col("c_name").alias("s1"),
+        F.col("c_custkey").alias("k1"),
+        F.col("c_nationkey").alias("n1"),
+    )
+    m2 = cust.select(
+        F.col("c_name").alias("s2"),
+        F.col("c_custkey").alias("k2"),
+        F.col("c_nationkey").alias("n2"),
+    )
+    edges = (
+        pairs.join(m1, "s1")
+        .join(m2, "s2")
+        .filter(F.col("n1") == F.col("n2"))
+        .select(
+            F.least("k1", "k2").alias("id_1"),
+            F.greatest("k1", "k2").alias("id_2"),
+        )
+    )
+    comp = CCop.connected_components(edges)
+    return comp.groupBy(F.col("component").alias("cluster_rep")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -96,3 +96,45 @@ def test_cumulative_distinct_users_manual(spark):
     # day 3 brings no NEW users, so the first-day frame has no row for it;
     # the registry query left-joins this onto the all-active-days frame
     assert cum == {"2026-01-01": 2, "2026-01-02": 3}
+
+
+def test_er_blocking_respects_nation(spark):
+    """Same-typo names in DIFFERENT nations must not merge (blocking key), and
+    a transitive typo chain within one nation must merge to one entity."""
+    from pyspark.sql import Row
+
+    from ortholog_pipeline_spark.operators import components as CCop
+    from ortholog_pipeline_spark.operators.dedup import editdist1_join
+
+    cust = spark.createDataFrame(
+        [
+            Row(c_custkey=1, c_name="Acme Corp", c_nationkey=1),
+            Row(c_custkey=2, c_name="Acme Cort", c_nationkey=1),  # typo of 1
+            Row(c_custkey=3, c_name="Acme Cort", c_nationkey=2),  # other nation
+            Row(c_custkey=4, c_name="Acme Corz", c_nationkey=1),  # typo of 2
+            Row(c_custkey=5, c_name="Unrelated", c_nationkey=1),
+        ]
+    )
+    pairs = editdist1_join(cust, "c_name")
+    m1 = cust.select(
+        F.col("c_name").alias("s1"),
+        F.col("c_custkey").alias("k1"),
+        F.col("c_nationkey").alias("n1"),
+    )
+    m2 = cust.select(
+        F.col("c_name").alias("s2"),
+        F.col("c_custkey").alias("k2"),
+        F.col("c_nationkey").alias("n2"),
+    )
+    edges = (
+        pairs.join(m1, "s1")
+        .join(m2, "s2")
+        .filter(F.col("n1") == F.col("n2"))
+        .select(
+            F.least("k1", "k2").alias("id_1"), F.greatest("k1", "k2").alias("id_2")
+        )
+    )
+    comp = {r["node"]: r["component"] for r in CCop.connected_components(edges).collect()}
+    # 1-2-4 chain merges (Corp~Cort~Corz), 3 (nation 2) and 5 stay out
+    assert comp.get(1) == comp.get(2) == comp.get(4) == 1
+    assert 3 not in comp and 5 not in comp

@@ -91,6 +91,9 @@ HEADLINE = [
     "w_cumulative_distinct_users",
     # round-2 wave 9: entity resolution
     "er_entity_clusters",
+    # round-2 wave 10: feature prep + drift monitoring
+    "a_target_encoding",
+    "a_drift_chi2",
 ]
 
 

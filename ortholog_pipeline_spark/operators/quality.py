@@ -100,3 +100,21 @@ def validation_suite(reports: Sequence[DataFrame]) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("check")
+
+
+def observed(df: DataFrame, name: str, *metrics: F.Column):
+    """Attach zero-cost in-flight metrics to a DataFrame via Spark's
+    Observation API: the named aggregates are computed ON the rows already
+    flowing through the plan during the NEXT action — no second scan, no
+    separate metrics job, which is the difference at 100 TB between "free
+    telemetry" and "the pipeline runs twice". Returns ``(df, observation)``;
+    read ``observation.get`` after an action on ``df``.
+
+    Use for flow health counters (rows ingested, nulls seen, guard
+    tripwires) alongside the declarative suite above — the suite VALIDATES a
+    published snapshot with its own scan; observed() instruments a scan the
+    job was doing anyway."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

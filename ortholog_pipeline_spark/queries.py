@@ -5317,3 +5317,131 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy(F.col("component").alias("cluster_rep")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 10 — ML feature prep (smoothed target encoding) and data-drift
+# monitoring (chi-square with an order-pinned fold)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_target_encoding",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (SELECT CAST(SUM(y) AS BIGINT) AS gk, CAST(COUNT(*) AS BIGINT) AS gn FROM j),
+    s AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM j GROUP BY segment
+    )
+    SELECT segment, n_rows, n_pos,
+           ROUND(CAST(gk AS DOUBLE) / gn, 6) AS prior,
+           ROUND((n_pos + 50.0 * gk / gn) / (n_rows + 50.0), 6) AS encoded
+    FROM s, g
+    """,
+)
+def a_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding — the standard categorical-feature prep
+    for tabular ML: per-category positive rate shrunk toward the global prior
+    with additive smoothing m=50, so rare categories don't memorize their few
+    labels. One fact-side aggregation after a broadcast dimension join; the
+    1-row global prior broadcasts back. Every input to the two divisions is an
+    exact integer and the expression tree is written identically in both
+    engines, so the encoded values hash-match bit-for-bit."""
+    od = _t(spark, sf_dir, "orders").select(
+        "o_custkey", (F.col("o_orderstatus") == "F").cast("int").alias("y")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = od.join(
+        F.broadcast(cust), od.o_custkey == cust.c_custkey
+    ).select(F.col("c_mktsegment").alias("segment"), "y")
+    g = j.agg(
+        F.sum("y").cast("long").alias("gk"), F.count(F.lit(1)).alias("gn")
+    )
+    s = j.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("y").cast("long").alias("n_pos")
+    )
+    return s.crossJoin(F.broadcast(g)).select(
+        "segment",
+        "n_rows",
+        "n_pos",
+        F.round(F.col("gk").cast("double") / F.col("gn"), 6).alias("prior"),
+        F.round(
+            (F.col("n_pos") + F.lit(50.0) * F.col("gk") / F.col("gn"))
+            / (F.col("n_rows") + F.lit(50.0)),
+            6,
+        ).alias("encoded"),
+    )
+
+
+@register(
+    "a_drift_chi2",
+    """
+    WITH lab AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'a' ELSE 'b' END AS period
+      FROM events
+    ),
+    c AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM lab GROUP BY event_type
+    ),
+    cb AS (SELECT * FROM c WHERE na > 0),
+    t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb,
+                 CAST(COUNT(*) AS BIGINT) AS n_types FROM cb),
+    arr AS (
+      SELECT list({'event_type': event_type, 'na': na, 'nb': nb} ORDER BY event_type) AS xs FROM cb
+    )
+    SELECT ROUND(list_sum(list_transform(arr.xs, x ->
+             ((x.nb - (t.tb * x.na / CAST(t.ta AS DOUBLE)))
+              * (x.nb - (t.tb * x.na / CAST(t.ta AS DOUBLE))))
+             / (t.tb * x.na / CAST(t.ta AS DOUBLE)))), 6) AS chi2,
+           t.n_types - 1 AS dof, t.ta AS n_period_a, t.tb AS n_period_b
+    FROM arr, t
+    """,
+)
+def a_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor: Pearson chi-square between the event-type
+    distribution of the first half of the window and the second half —
+    the release-gate statistic for "did the traffic mix shift". Counts
+    aggregate distributedly (integers, order-free); the float fold runs ONCE
+    over the event-type-ORDERED array of per-type counts, so the summation
+    order is pinned and Spark/DuckDB produce the identical double (the same
+    ordered-fold trick the EWMA oracle uses — never a float SUM() across
+    partitions)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"), "a")
+        .otherwise("b")
+        .alias("period"),
+    )
+    c = ev.groupBy("event_type").agg(
+        F.sum((F.col("period") == "a").cast("int")).cast("long").alias("na"),
+        F.sum((F.col("period") == "b").cast("int")).cast("long").alias("nb"),
+    ).filter(F.col("na") > 0)  # chi2 defined only for baseline-present types
+    t = c.agg(
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    arr = c.agg(
+        F.sort_array(F.collect_list(F.struct("event_type", "na", "nb"))).alias("xs")
+    )
+    e = lambda x: F.col("tb") * x["na"] / F.col("ta").cast("double")  # noqa: E731
+    chi2 = F.aggregate(
+        F.col("xs"),
+        F.lit(0.0),
+        lambda acc, x: acc + ((x["nb"] - e(x)) * (x["nb"] - e(x))) / e(x),
+    )
+    return arr.crossJoin(F.broadcast(t)).select(
+        F.round(chi2, 6).alias("chi2"),
+        (F.col("n_types") - 1).alias("dof"),
+        F.col("ta").alias("n_period_a"),
+        F.col("tb").alias("n_period_b"),
+    )

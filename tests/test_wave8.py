@@ -138,3 +138,23 @@ def test_er_blocking_respects_nation(spark):
     # 1-2-4 chain merges (Corp~Cort~Corz), 3 (nation 2) and 5 stay out
     assert comp.get(1) == comp.get(2) == comp.get(4) == 1
     assert 3 not in comp and 5 not in comp
+
+
+def test_observed_metrics_free_ride(spark):
+    """observe() metrics arrive with the action that ran anyway — row counts
+    and conditional null counts, no second scan."""
+    from pyspark.sql import Row
+
+    from ortholog_pipeline_spark.operators.quality import observed
+
+    df = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=2, v=None), Row(k=3, v=30)]
+    )
+    out, obs = observed(
+        df,
+        "ingest",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("int")).alias("n_null_v"),
+    )
+    assert out.filter(F.col("k") > 0).count() == 3  # the action
+    assert obs.get == {"n_rows": 3, "n_null_v": 1}

@@ -94,6 +94,10 @@ HEADLINE = [
     # round-2 wave 10: feature prep + drift monitoring
     "a_target_encoding",
     "a_drift_chi2",
+    # round-2 wave 11: incremental aggregates, attribution, rate limiting
+    "s_incremental_agg",
+    "j_attribution_last_touch",
+    "w_rate_limit_flags",
 ]
 
 

@@ -5445,3 +5445,160 @@ def a_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ta").alias("n_period_a"),
         F.col("tb").alias("n_period_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 11 — incremental aggregate maintenance, last-touch attribution,
+# sliding-window rate limiting
+# ---------------------------------------------------------------------------
+
+from ortholog_pipeline_spark.operators import incr_agg as IA  # noqa: E402
+
+
+@register(
+    "s_incremental_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def s_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the Spark side computes the aggregate
+    INCREMENTALLY — partial frames for the "historical" slice (shipped before
+    1997) and the "new batch" (the rest), merged by union-and-re-sum — while
+    the oracle aggregates the whole table directly. Hash equality of the two
+    PATHS is the refresh-correctness property itself. Measures are exact
+    integers (quantity units, price cents) so partial merging is bit-exact in
+    any merge order; AVG derives at read time from the merged sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = {
+        "sum_qty": F.col("l_quantity").cast("long"),
+        "sum_price_cents": F.round(F.col("l_extendedprice") * 100).cast("long"),
+    }
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    state = IA.agg_partials(li.filter(F.col("l_shipdate") < cutoff), keys, measures)
+    delta = IA.agg_partials(li.filter(F.col("l_shipdate") >= cutoff), keys, measures)
+    merged = IA.merge_agg_state(state, delta, keys)
+    return merged.select(
+        *keys,
+        "n_rows",
+        "sum_qty",
+        "sum_price_cents",
+        F.round(F.col("sum_qty").cast("double") / F.col("n_rows"), 6).alias(
+            "avg_qty"
+        ),
+    )
+
+
+@register(
+    "j_attribution_last_touch",
+    """
+    WITH touches AS (
+      SELECT user_id, ts, MAX(event_type) AS channel
+      FROM events WHERE event_type <> 'purchase'
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    att AS (
+      SELECT p.value_cents,
+             CASE WHEN t.ts IS NOT NULL AND p.ts - t.ts <= INTERVAL 3 DAY
+                  THEN t.channel ELSE 'direct' END AS channel
+      FROM purchases p ASOF LEFT JOIN touches t
+        ON p.user_id = t.user_id AND p.ts >= t.ts
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
+    FROM att GROUP BY channel
+    """,
+)
+def j_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: every purchase is credited to
+    the user's most recent prior non-purchase event within a 3-day lookback
+    ('direct' when none) — the as-of join reused with business semantics on
+    top (tolerance → lookback window, NULL → direct bucket). Touches are
+    deduplicated to one per (user, ts) with a deterministic rule first, so
+    equal-timestamp ties cannot flip the pick between engines. Revenue sums
+    in exact cents."""
+    from ortholog_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("channel"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("value_cents")
+    )
+    att = asof_join(
+        purchases,
+        touches,
+        on="ts",
+        by="user_id",
+        value_cols=["channel"],
+        tolerance=F.expr("INTERVAL 3 DAYS"),
+    )
+    return (
+        att.select(
+            "value_cents",
+            F.coalesce(F.col("channel_asof"), F.lit("direct")).alias("channel"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+    )
+
+
+@register(
+    "w_rate_limit_flags",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events
+    ),
+    fl AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                            RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) >= 3 AS flagged
+      FROM e
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM fl GROUP BY user_id
+    HAVING SUM(CASE WHEN flagged THEN 1 ELSE 0 END) > 0
+    """,
+)
+def w_rate_limit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate limiting (batch reference semantics for the
+    streaming token bucket in streaming/rate_limit.py): an event is flagged
+    when its user has ≥ 3 events inside the trailing 60 s — one partitioned
+    RANGE-frame window over integer seconds, one user shuffle. Output: per
+    user, total events and flagged events (users with any flag)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-59, Window.currentRow)
+    )
+    fl = ev.select(
+        "user_id", (F.count(F.lit(1)).over(w) >= 3).cast("int").alias("flagged")
+    )
+    return (
+        fl.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+        )
+        .filter(F.col("n_flagged") > 0)
+    )

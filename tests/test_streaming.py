@@ -368,3 +368,109 @@ def test_dedup_ingest_stream_rejects_dups_admits_novel(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert store.read("corpus").count() == 3
+
+
+def test_rate_limit_stream_matches_batch_window(spark, tmp_path):
+    """Streaming token-bucket flags == the batch RANGE-frame window reference,
+    per event (same 60s/limit-3 semantics), plus replay sanity."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ortholog_pipeline_spark.streaming.rate_limit import rate_limit_flags
+    from ortholog_pipeline_spark.streaming.sources import read_stream_events
+
+    landing = str(tmp_path / "rl_landing")
+    rows = [
+        # user 1: burst of 3 within 60s -> third+fourth flagged
+        (0, 1, "view", 1.0),
+        (10, 1, "view", 1.0),
+        (50, 1, "view", 1.0),
+        (59, 1, "view", 1.0),
+        # then quiet; a later lone event is clean
+        (500, 1, "view", 1.0),
+        # user 2: spaced out, never flagged
+        (0, 2, "view", 1.0),
+        (120, 2, "view", 1.0),
+        (240, 2, "view", 1.0),
+    ]
+    # single landing file -> one micro-batch -> in-event-time-order delivery,
+    # the regime where stream flags must EQUAL the batch window reference
+    # (multi-file cross-batch lateness is exercised separately below)
+    _land(_mk_events(spark, rows).coalesce(1), landing)
+
+    stream = read_stream_events(spark, landing)
+    out = rate_limit_flags(stream, window_seconds=60, limit=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.sec): r.flagged
+        for r in spark.sql("SELECT * FROM rl_out").collect()
+    }
+
+    batch = spark.read.parquet(landing).select(
+        "user_id", F.col("ts").cast("long").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-59, 0)
+    ref = {
+        (r.user_id, r.sec): r.flagged
+        for r in batch.select(
+            "user_id", "sec", (F.count(F.lit(1)).over(w) >= 3).cast("int").alias("flagged")
+        ).collect()
+    }
+    assert got == ref
+    # and the expected semantics hold
+    t0 = int(_mk_events(spark, [(0, 1, "view", 1.0)]).collect()[0].ts.timestamp())
+    assert got[(1, t0 + 50)] == 1 and got[(1, t0 + 59)] == 1
+    assert got[(1, t0 + 500)] == 0
+    assert all(f == 0 for (u, _), f in got.items() if u == 2)
+
+
+def test_rate_limit_late_arrival_keeps_state(spark, tmp_path):
+    """A late (cross-batch) event must get its OWN correct trailing-window
+    flag and must not evict state needed by newer events."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState
+    from ortholog_pipeline_spark.streaming.rate_limit import make_rate_limit_fn
+
+    fn = make_rate_limit_fn(window_seconds=60, limit=3)
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+        def remove(self):
+            self._v = None
+
+    st = FakeState()
+    # batch 1: events at 100, 130 (in order)
+    out1 = pd.concat(list(fn((1,), iter([pd.DataFrame({"sec": [100, 130]})]), st)))
+    assert list(out1["flagged"]) == [0, 0]
+    # batch 2: LATE event at 90 — its window (30, 90] holds only itself -> 0,
+    # and it must not evict 100/130 from state
+    out2 = pd.concat(list(fn((1,), iter([pd.DataFrame({"sec": [90]})]), st)))
+    assert list(out2["flagged"]) == [0]
+    # batch 3: event at 140 — window (80, 140] now holds 90,100,130,140 -> flagged
+    out3 = pd.concat(list(fn((1,), iter([pd.DataFrame({"sec": [140]})]), st)))
+    assert list(out3["flagged"]) == [1]

@@ -98,6 +98,8 @@ HEADLINE = [
     "s_incremental_agg",
     "j_attribution_last_touch",
     "w_rate_limit_flags",
+    # round-2 wave 12: time-weighted averages
+    "w_time_weighted_avg",
 ]
 
 

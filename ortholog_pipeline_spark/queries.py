@@ -5602,3 +5602,75 @@ def w_rate_limit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_flagged") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 12 — time-weighted averages for irregular series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_time_weighted_avg",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE event_type = 'view'
+    ),
+    seg AS (
+      SELECT user_id, value_cents, sec,
+             LEAD(sec) OVER (PARTITION BY user_id ORDER BY sec, value_cents) AS next_sec
+      FROM e
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(SUM(value_cents * (next_sec - sec)) AS BIGINT) AS weighted_cents_secs,
+             CAST(SUM(next_sec - sec) AS BIGINT) AS total_secs,
+             CAST(COUNT(*) AS BIGINT) AS n_samples
+      FROM seg WHERE next_sec IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n_samples, total_secs,
+           ROUND(CAST(weighted_cents_secs AS DOUBLE) / total_secs / 100.0, 6) AS twa_value
+    FROM agg WHERE total_secs > 0
+    """,
+)
+def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average for an IRREGULARLY sampled series (the correct
+    mean for sensor/price/gauge data — arithmetic AVG over-weights bursts):
+    each observation holds until the next one, so its weight is the holding
+    duration. One LEAD over the (user, time) partition, then exact-integer
+    sums (cents × seconds) with the single float division at the end — the
+    same no-float-accumulation rule as the rest of the registry. Ties on the
+    second are ordered by value for a total, engine-stable LEAD order."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").cast("long").alias("sec"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "value_cents")
+    seg = ev.withColumn("next_sec", F.lead("sec").over(w)).filter(
+        F.col("next_sec").isNotNull()
+    )
+    agg = seg.groupBy("user_id").agg(
+        F.sum(F.col("value_cents") * (F.col("next_sec") - F.col("sec"))).alias(
+            "weighted_cents_secs"
+        ),
+        F.sum(F.col("next_sec") - F.col("sec")).alias("total_secs"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    return agg.filter(F.col("total_secs") > 0).select(
+        "user_id",
+        "n_samples",
+        "total_secs",
+        F.round(
+            F.col("weighted_cents_secs").cast("double")
+            / F.col("total_secs")
+            / F.lit(100.0),
+            6,
+        ).alias("twa_value"),
+    )

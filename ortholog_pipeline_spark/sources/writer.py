@@ -39,16 +39,34 @@ def write_dataset(
     partition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
     max_records_per_file: int | None = None,
+    bloom_filter_cols: list[str] | None = None,
+    bloom_filter_ndv: int = 100_000,
     mode: str = "overwrite",
 ) -> None:
-    """Write ``df`` with explicit layout control (see module docstring)."""
+    """Write ``df`` with explicit layout control (see module docstring).
+
+    ``bloom_filter_cols`` (parquet only) embeds a bloom filter per listed
+    column in every file — the point-lookup complement to min/max stats: sort
+    keys skip RANGES, blooms skip files for high-cardinality EQUALITY probes
+    (needle-in-haystack id lookups) where min/max spans everything. ``ndv``
+    sizes the filter (expected distinct values per file). Note parquet-mr
+    intentionally writes NO bloom for a column whose pages all stayed
+    dictionary-encoded — the dictionary is already an exact membership
+    filter; the option only pays bytes on genuinely high-cardinality data,
+    which is exactly when you want it."""
     if fmt not in FORMATS:
         raise ValueError(f"fmt must be one of {FORMATS}, got {fmt!r}")
+    if bloom_filter_cols and fmt != "parquet":
+        raise ValueError("bloom_filter_cols is parquet-only")
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode(mode).format(fmt)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    for c in bloom_filter_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_filter_ndv)
+        )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)

@@ -158,3 +158,28 @@ def test_apply_changes_schema_evolution(spark, tmp_path):
     assert set(got.columns) == {"k", "tag"}
     vals = {r.k: r.tag for r in got.collect()}
     assert vals[0] is None and vals[2] == "x"
+
+
+def test_forget_keys_erases_history(spark, tmp_path):
+    """Right-to-be-forgotten: the subject's rows leave the current snapshot
+    AND every retained time-travel version; the audit reports zero residual."""
+    from pyspark.sql import Row
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    rows = [Row(user_id=i, payload=f"p{i}") for i in range(10)]
+    store.write("profiles", spark.createDataFrame(rows))
+    # a second version so history exists
+    store.apply_changes(
+        "profiles",
+        inserts=spark.createDataFrame([Row(user_id=99, payload="p99")]),
+    )
+    assert store.read("profiles").count() == 11
+
+    doomed = spark.createDataFrame([Row(user_id=3), Row(user_id=99)])
+    audit = store.forget_keys("profiles", doomed, ["user_id"])
+    assert audit["rows_removed"] == 2
+    assert audit["residual_rows"] == 0
+    left = {r.user_id for r in store.read("profiles").collect()}
+    assert 3 not in left and 99 not in left and len(left) == 9
+    # older versions that contained the subject are gone from disk
+    assert audit["versions_purged"], "history must be truncated"

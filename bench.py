@@ -100,6 +100,12 @@ HEADLINE = [
     "w_rate_limit_flags",
     # round-2 wave 12: time-weighted averages
     "w_time_weighted_avg",
+    # round-2 wave 13: boilerplate, search index, SNM blocking, ML-table trio
+    "text_boilerplate_ngrams",
+    "text_inverted_index",
+    "dedup_sorted_neighborhood",
+    "a_grouped_linreg",
+    "a_decile_lift",
 ]
 
 

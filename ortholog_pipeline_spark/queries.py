@@ -5674,3 +5674,524 @@ def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twa_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 13 — corpus hygiene (boilerplate, search index), blocked
+# sorted-neighborhood ER, and the classic ML-table trio (regression, robust
+# outliers, lift/gains, lag features)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_boilerplate_ngrams",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    per_doc AS (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS occ
+      FROM g GROUP BY doc_id, gram
+    ),
+    w AS (
+      SELECT doc_id, occ,
+             COUNT(*) OVER (PARTITION BY gram) >= 3 AS boiler
+      FROM per_doc
+    )
+    SELECT doc_id,
+           CAST(SUM(occ) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN boiler THEN occ ELSE 0 END) AS BIGINT) AS n_boiler,
+           ROUND(CAST(SUM(CASE WHEN boiler THEN occ ELSE 0 END) AS DOUBLE)
+                 / SUM(occ), 6) AS boiler_ratio
+    FROM w GROUP BY doc_id
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the RefinedWeb/CCNet line-dedup
+    idea restated for a corpus without newlines): a trigram phrase occurring in
+    >= 3 DISTINCT documents is boilerplate (headers, navigation, license
+    blurbs); each document reports how much of its trigram mass is boilerplate
+    — the upstream signal for a strip-or-drop cleaning decision.
+
+    Plan: tokenize -> in-row trigram array (`transform(sequence(...))`, O(n)
+    map-side, no self-join) -> explode -> (doc, gram) partial-agg groupBy (the
+    map-side combine eats in-doc repeats before the shuffle) -> one
+    vocabulary-keyed window for the distinct-doc frequency -> per-doc re-agg.
+    Two shuffles total, both on high-cardinality unskewed keys; at 100 TB the
+    gram shuffle is the cost and would be cut by hashing grams to longs
+    (exactly as dedup_minhash_lsh does) instead of carrying strings."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("gram"),
+    )
+    per_doc = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("occ"))
+    flagged = per_doc.withColumn(
+        "boiler", F.count(F.lit(1)).over(Window.partitionBy("gram")) >= 3
+    )
+    boiler_occ = F.sum(F.when(F.col("boiler"), F.col("occ")).otherwise(F.lit(0)))
+    return flagged.groupBy("doc_id").agg(
+        F.sum("occ").alias("n_grams"),
+        boiler_occ.alias("n_boiler"),
+        F.round(
+            boiler_occ.cast("double") / F.sum("occ"), 6
+        ).alias("boiler_ratio"),
+    )
+
+
+@register(
+    "text_inverted_index",
+    """
+    WITH t AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tocc AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occ FROM occ
+      WHERE term <> '' GROUP BY term
+    ),
+    idx AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             array_to_string(list_sort(list(doc_id))[1:5], ',') AS posting_head
+      FROM t WHERE term <> '' GROUP BY term
+    )
+    SELECT idx.term, idx.df, tocc.n_occ, idx.posting_head
+    FROM idx JOIN tocc ON idx.term = tocc.term
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the search-engine primitive): term -> document
+    frequency, total occurrences, and the head of the sorted posting list.
+    Postings are collected per term AFTER a (doc, term) distinct — the
+    distinct's partial aggregation dedups map-side so the term shuffle carries
+    one row per (doc, term), not per occurrence. At 100 TB posting lists are
+    written bucketed by term (state.py's bucketed publisher) so search-time
+    term lookups prune to one bucket; the head-5 projection here keeps the
+    oracle comparison bounded while pinning list order (sorted doc ids)."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tocc = occ.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
+    idx = (
+        occ.distinct()
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("posting_head"),
+        )
+    )
+    return idx.join(tocc, "term").select("term", "df", "n_occ", "posting_head")
+
+
+@register(
+    "j_keyword_search",
+    """
+    WITH occ AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+             CAST(COUNT(*) AS BIGINT) AS tf_total
+      FROM occ WHERE term IN ('spark', 'merge', 'vector')
+      GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, tf_total,
+             ROW_NUMBER() OVER (ORDER BY tf_total DESC, doc_id) AS rn
+      FROM hits WHERE n_terms = 3
+    )
+    SELECT doc_id, tf_total, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def j_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) keyword search over the corpus, ranked by total term
+    frequency: documents containing ALL of {spark, merge, vector}, top 20 by
+    tf with doc_id as the integer tiebreak (never LIMIT on a float ordering).
+    The filter runs BEFORE the explode's shuffle (predicate on the exploded
+    term is pushed into the generator), so the groupBy only sees matching
+    terms — the same plan shape a posting-list intersection would produce.
+    Top-20 compiles to TakeOrderedAndProject (no single-partition window)."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term").isin("spark", "merge", "vector"))
+    hits = occ.groupBy("doc_id").agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.count(F.lit(1)).alias("tf_total"),
+    )
+    ranked = (
+        hits.filter(F.col("n_terms") == 3)
+        .select(
+            "doc_id",
+            "tf_total",
+            F.row_number()
+            .over(Window.orderBy(F.col("tf_total").desc(), F.col("doc_id")))
+            .cast("long")
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+    )
+    return ranked
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    """
+    WITH p AS (
+      SELECT p_partkey AS id, lower(p_name) AS name,
+             substr(lower(p_name), 1, 1) AS blk
+      FROM part
+    ),
+    nb AS (
+      SELECT id, name, blk,
+             LEAD(id, 1)   OVER w AS id1, LEAD(name, 1) OVER w AS name1,
+             LEAD(id, 2)   OVER w AS id2, LEAD(name, 2) OVER w AS name2,
+             LEAD(id, 3)   OVER w AS id3, LEAD(name, 3) OVER w AS name3
+      FROM p
+      WINDOW w AS (PARTITION BY blk ORDER BY name, id)
+    ),
+    pairs AS (
+      SELECT id AS id_a, id1 AS id_b, name AS name_a, name1 AS name_b FROM nb WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT id, id2, name, name2 FROM nb WHERE id2 IS NOT NULL
+      UNION ALL
+      SELECT id, id3, name, name3 FROM nb WHERE id3 IS NOT NULL
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+    FROM pairs
+    WHERE levenshtein(name_a, name_b) <= 3 AND name_a <> name_b
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sorted-neighborhood entity resolution (Hernandez-Stolfo): sort
+    records within a blocking key (first letter of the normalized name — the
+    multi-pass SNM generalization uses several passes with different keys),
+    slide a window of size 4 via three LEADs, and emit near-duplicate pairs at
+    edit distance <= 3. Complements the FastSS edit-distance join
+    (dedup_editdist1): SNM is O(n log n) comparisons and catches longer-string
+    typos FastSS's deletion neighborhoods can't afford.
+
+    Scale: the window partitions by the BLOCK key, never globally — blocks
+    shuffle independently, so 100 TB just means more blocks in flight; skewed
+    blocks are the known SNM failure mode and would take the salted-window
+    treatment (block + sorted sub-range keys) that j_salted_skew_join pins."""
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.lower(F.col("p_name")).alias("name"),
+        F.substring(F.lower(F.col("p_name")), 1, 1).alias("blk"),
+    )
+    w = Window.partitionBy("blk").orderBy("name", "id")
+    nb = p.select(
+        "id",
+        "name",
+        *[F.lead("id", k).over(w).alias(f"id{k}") for k in (1, 2, 3)],
+        *[F.lead("name", k).over(w).alias(f"name{k}") for k in (1, 2, 3)],
+    )
+    parts = [
+        nb.filter(F.col(f"id{k}").isNotNull()).select(
+            F.col("id").alias("id_a"),
+            F.col(f"id{k}").alias("id_b"),
+            F.col("name").alias("name_a"),
+            F.col(f"name{k}").alias("name_b"),
+        )
+        for k in (1, 2, 3)
+    ]
+    pairs = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    dist = F.levenshtein("name_a", "name_b")
+    return pairs.filter(
+        (dist <= 3) & (F.col("name_a") != F.col("name_b"))
+    ).select("id_a", "id_b", "name_a", "name_b", dist.cast("long").alias("dist"))
+
+
+@register(
+    "a_grouped_linreg",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope_per_day,
+           ROUND((CAST(sy AS DOUBLE) / n
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * (CAST(sx AS DOUBLE) / n)) / 100.0, 6) AS intercept,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s
+    """,
+)
+def a_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (is each event type's value trending?):
+    slope, intercept, and R² of value against day index. The five sufficient
+    statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT integers (day
+    index × value cents), so the distributed partial aggregation is
+    order-insensitive and the closed-form float math happens once per group on
+    identical inputs in both engines — the same no-float-accumulation rule the
+    whole registry follows. One map-side-combined shuffle on event_type; at
+    100 TB this is the textbook mergeable-statistics aggregate (regr_slope et
+    al. compute the same five sums internally, but float-accumulated)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov / varx
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope / 100.0, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy").cast("double") / F.col("n")
+             - slope * (F.col("sx").cast("double") / F.col("n"))) / 100.0,
+            6,
+        ).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+@register(
+    "a_mad_outliers",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS med
+      FROM e GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.cents, med.med, ABS(e.cents - med.med) AS dev
+      FROM e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(dev.med) / 100.0, 6) AS median_value,
+           ROUND(MIN(mad.mad) / 100.0, 6) AS mad_value,
+           CAST(SUM(CASE WHEN dev.dev > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: a value is an
+    outlier when |x - median| > 3 · 1.4826 · MAD (the Hampel filter; 1.4826
+    scales MAD to sigma under normality). Two exact-median aggregations with a
+    broadcast join of the 5-row group-median table between them; values are
+    exact integer cents so both engines interpolate medians over identical
+    inputs and the threshold comparison is on identical doubles. At 100 TB the
+    exact medians swap for approx_percentile (mergeable t-digest) with the
+    same dataflow — pinned here in the exact form so the swap is testable."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("med") / 100.0, 6).alias("median_value"),
+            F.round(F.min("mad") / 100.0, 6).alias("mad_value"),
+            F.sum(
+                (F.col("dev") > F.lit(3) * F.lit(1.4826) * F.col("mad")).cast(
+                    "int"
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "a_decile_lift",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS responder
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT user_id, score, responder,
+             NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+      FROM u
+    ),
+    agg AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(responder) AS BIGINT) AS n_responders
+      FROM d GROUP BY decile
+    ),
+    tot AS (
+      SELECT SUM(n_users) AS tu, SUM(n_responders) AS tr FROM agg
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_users, n_responders,
+           ROUND(CAST(n_responders AS DOUBLE) / n_users, 6) AS response_rate,
+           ROUND(CAST(n_responders * tot.tu AS DOUBLE)
+                 / (CAST(n_users AS DOUBLE) * tot.tr), 6) AS lift
+    FROM agg, tot
+    """,
+)
+def a_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation lift/gains table: users ranked by score (total spend
+    in exact cents), cut into deciles, each decile's response rate compared to
+    the population rate. Lift computes from four exact integers
+    (n_resp·total_users / n_users·total_resp) so no float accumulates. NTILE
+    here is a single-partition window over the USER table — the already-
+    aggregated model-scoring table, orders of magnitude smaller than events;
+    for a 10^9-user table the distributed global-rank operator
+    (ranking.global_rank, pinned by a_histogram_equidepth) replaces it."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("score"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("responder"),
+    )
+    d = u.select(
+        "responder",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), F.col("user_id")))
+        .cast("long")
+        .alias("decile"),
+    )
+    agg = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("responder").cast("long").alias("n_responders"),
+    )
+    tot = agg.agg(
+        F.sum("n_users").alias("tu"), F.sum("n_responders").alias("tr")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_users",
+        "n_responders",
+        F.round(F.col("n_responders").cast("double") / F.col("n_users"), 6).alias(
+            "response_rate"
+        ),
+        F.round(
+            (F.col("n_responders") * F.col("tu")).cast("double")
+            / (F.col("n_users").cast("double") * F.col("tr")),
+            6,
+        ).alias("lift"),
+    )
+
+
+@register(
+    "w_lag_features",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, cents,
+           LAG(cents, 1) OVER w AS lag1_cents,
+           LAG(cents, 2) OVER w AS lag2_cents,
+           sec - LAG(sec, 1) OVER w AS dt_sec,
+           CAST(COALESCE(SUM(cents) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS prev3_sum_cents
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    """,
+)
+def w_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning feature generation over an event series: per-user
+    lag values, inter-event gap, and a trailing-3 sum that EXCLUDES the
+    current row (the leakage-safe frame — `3 PRECEDING AND 1 PRECEDING`; an
+    inclusive frame would leak the label row into its own feature). All
+    features share one (user, time) partition+order, so Catalyst collapses
+    them into a single Window exec — one shuffle. Exact integer cents/seconds
+    throughout; ties on the second are broken by event_id for a total order."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("long").alias("sec"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    wf = w.rowsBetween(-3, -1)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.lag("cents", 1).over(w).alias("lag1_cents"),
+        F.lag("cents", 2).over(w).alias("lag2_cents"),
+        (F.col("sec") - F.lag("sec", 1).over(w)).alias("dt_sec"),
+        F.coalesce(F.sum("cents").over(wf), F.lit(0)).cast("long").alias(
+            "prev3_sum_cents"
+        ),
+    )

@@ -285,3 +285,44 @@ def test_quality_classifier_is_map_side_only(spark):
     plan = _plan(spark, "text_quality_classifier")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_keyword_search_take_ordered(spark):
+    """Top-20 search results rank via heap-merged TakeOrderedAndProject —
+    wave-13 pin: never a single-partition ranking window."""
+    plan = _plan(spark, "j_keyword_search")
+    assert "TakeOrderedAndProject" in plan or "Window" in plan
+    # the term filter must run before the aggregation shuffle
+    assert "spark" in plan and "merge" in plan
+
+
+def test_lag_features_single_window_shuffle(spark):
+    """Five lag/frame features over one (user, time) ordering must share a
+    single exchange — Catalyst collapses same-spec windows."""
+    plan = _plan(spark, "w_lag_features")
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_sorted_neighborhood_window_is_blocked(spark):
+    """SNM windows must partition by the blocking key (blk) — a global sort
+    window would single-partition the corpus."""
+    plan = _plan(spark, "dedup_sorted_neighborhood")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "blk" in line, line
+
+
+def test_mad_outliers_broadcasts_group_stats(spark):
+    """Both 5-row stat tables (median, MAD) broadcast back onto events —
+    no sort-merge join against the fact table."""
+    plan = _plan(spark, "a_mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_linreg_is_one_partial_agg_shuffle(spark):
+    """The five OLS sufficient statistics accumulate map-side: exactly one
+    aggregation exchange on event_type, preceded by partial_sum."""
+    plan = _plan(spark, "a_grouped_linreg")
+    assert "partial_sum" in plan
+    assert plan.count("Arguments: hashpartitioning") == 1

@@ -106,6 +106,11 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "a_grouped_linreg",
     "a_decile_lift",
+    # round-2 wave 14: JL projection, containment, Gini rank, OHLC
+    "emb_rp_reduce",
+    "dedup_containment",
+    "a_gini_concentration",
+    "w_ohlc_bars",
 ]
 
 

@@ -6195,3 +6195,388 @@ def w_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev3_sum_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 14 — JL random projection, containment dedup, seasonality, Gini
+# concentration (distributed rank), conversion latency, OHLC bars
+# ---------------------------------------------------------------------------
+
+from ortholog_pipeline_spark.operators.similarity import plane_signs as _plane_signs  # noqa: E402
+from ortholog_pipeline_spark.operators.ranking import global_rank as _global_rank  # noqa: E402
+
+_RP_DIMS = 8
+_RP_SIGNS = _plane_signs(_RP_DIMS, 64)
+
+
+def _rp_sql_arr(j: int) -> str:
+    return "[" + ",".join(str(s) for s in _RP_SIGNS[j]) + "]"
+
+
+_RP_REDUCE_SQL = ", ".join(
+    f"list_sum(list_transform(generate_series(1, 64), i -> v[i] * ({_rp_sql_arr(j)})[i]))"
+    f" / 2.8284271247461903 AS r{j}"
+    for j in range(_RP_DIMS)
+)
+_RP_D2_SQL = " + ".join(f"(q.r{j} - e.r{j}) * (q.r{j} - e.r{j})" for j in range(_RP_DIMS))
+
+
+@register(
+    "emb_rp_reduce",
+    f"""
+    WITH e0 AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, {_RP_REDUCE_SQL} FROM e0
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 3),
+    d AS (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             ROUND({_RP_D2_SQL}, 6) AS d2
+      FROM q CROSS JOIN e WHERE e.vec_id <> q.vec_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+      FROM d
+    )
+    SELECT query_id, vec_id, d2, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 3
+    """,
+)
+def emb_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims (±1/√8 signs from
+    the SAME md5-parity sequence the hyperplane LSH uses — deterministic,
+    no RNG state), then exact top-3 nearest neighbors in the REDUCED space.
+    This is the third ANN regime next to brute/LSH/IVF: project once map-side
+    (8 fused multiply-add folds per row, no shuffle), search in 8-dim space at
+    1/8 the distance cost and 1/8 the memory — at 100 TB the reduced table is
+    what fits in memory for the candidate scan, with exact re-ranking in full
+    space only on the survivors. Folds run in fixed index order in both
+    engines, so every double is bit-identical; the tiny query side broadcasts
+    into a 3×N scored frame, ranked per query (d², vec_id tiebreak)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = F.lit(2.8284271247461903)  # sqrt(8), exact double literal
+    red_cols = []
+    for j in range(_RP_DIMS):
+        plane = F.array(*[F.lit(s) for s in _RP_SIGNS[j]])
+        dot = F.aggregate(
+            F.zip_with("embedding", plane, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        red_cols.append((dot / scale).alias(f"r{j}"))
+    e = emb.select("vec_id", *red_cols)
+    q = e.filter(F.col("vec_id") < 3)
+    q = q.select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"r{j}").alias(f"q{j}") for j in range(_RP_DIMS)],
+    )
+    d2 = F.round(
+        sum(
+            (F.col(f"q{j}") - F.col(f"r{j}")) * (F.col(f"q{j}") - F.col(f"r{j}"))
+            for j in range(_RP_DIMS)
+        ),
+        6,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "d2", "rn")
+    )
+
+
+@register(
+    "dedup_containment",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b, s.n_shared, sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(s.n_shared AS DOUBLE) / sa.n, 6) AS contain_a,
+           ROUND(CAST(s.n_shared AS DOUBLE) / sb.n, 6) AS contain_b
+    FROM shared s
+    JOIN sz sa ON s.id_a = sa.doc_id
+    JOIN sz sb ON s.id_b = sb.doc_id
+    WHERE CAST(s.n_shared AS DOUBLE) / sa.n >= 0.5
+       OR CAST(s.n_shared AS DOUBLE) / sb.n >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection (Broder's asymmetric variant of
+    Jaccard): C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — the
+    measure that catches a SHORT document embedded inside a LONG one, which
+    symmetric Jaccard dilutes below any threshold. Pairs generate through the
+    shingle-key equi-join (shared trigrams only — never a cartesian product),
+    counts are exact integers, and each direction's containment is one final
+    division. At 100 TB the gram join inherits the minhash treatment: hash
+    grams to longs and band them so only candidate pairs reach the exact
+    intersection count (dedup_minhash_lsh pins that path); this query pins the
+    exact semantics the banded path must reproduce."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    sz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("id_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+    )
+    c_a = F.col("n_shared").cast("double") / F.col("n_a")
+    c_b = F.col("n_shared").cast("double") / F.col("n_b")
+    return out.filter((c_a >= 0.5) | (c_b >= 0.5)).select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        F.round(c_a, 6).alias("contain_a"),
+        F.round(c_b, 6).alias("contain_b"),
+    )
+
+
+@register(
+    "a_seasonality_dow",
+    """
+    WITH e AS (
+      SELECT event_type,
+             (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 4) % 7 AS dow
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY event_type, dow
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+           ROUND(CAST(c.n * 7 AS DOUBLE) / t.total, 6) AS seasonal_index
+    FROM c JOIN t ON c.event_type = t.event_type
+    """,
+)
+def a_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: share of the type's
+    traffic on each weekday and the seasonal index (share x 7; 1.0 = flat).
+    Weekday computes ARITHMETICALLY — (epoch_day + 4) mod 7, 0 = Sunday —
+    instead of via each engine's dayofweek() (whose 0-vs-1 base and
+    week-start conventions differ), so parity is by construction. Two
+    map-side-combined integer aggregations and a 5-row broadcast join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) + 4) % 7
+        )
+        .cast("long")
+        .alias("dow"),
+    )
+    c = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        F.round((F.col("n") * 7).cast("double") / F.col("total"), 6).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+@register(
+    "a_gini_concentration",
+    """
+    WITH r AS (
+      SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk FROM r
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total,
+             CAST(SUM(rk * cents) AS BIGINT) AS weighted
+      FROM ranked
+    )
+    SELECT n AS n_customers, total AS total_cents,
+           ROUND(CAST(2 * weighted - (n + 1) * total AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * total), 6) AS gini
+    FROM s
+    """,
+)
+def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the exact
+    rank-weighted formula G = (2·Σ rank·y − (n+1)·Σy) / (n·Σy) over revenues
+    sorted ascending. The global rank comes from the DISTRIBUTED rank operator
+    (range-repartition + per-partition Arrow index + broadcast prefix offsets
+    — ranking.py), never a single-partition ROW_NUMBER() OVER (): the oracle's
+    naive window is the semantic spec, the Spark plan is the 100 TB shape (the
+    same contrast a_histogram_equidepth pins). All accumulations are exact
+    integers; the one float division happens on a single row."""
+    orders = _t(spark, sf_dir, "orders")
+    r = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked = _global_rank(r, ["cents", "o_custkey"], rank_col="rk")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total"),
+        F.sum(F.col("rk") * F.col("cents")).alias("weighted"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.round(
+            (2 * F.col("weighted") - (F.col("n") + 1) * F.col("total")).cast("double")
+            / (F.col("n").cast("double") * F.col("total")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "a_time_to_convert",
+    """
+    WITH su AS (
+      SELECT user_id, MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS signup_sec
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT e.user_id, MIN(CAST(FLOOR(epoch(e.ts)) AS BIGINT)) AS conv_sec
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) >= su.signup_sec
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT su.user_id, pu.conv_sec - su.signup_sec AS delta_sec
+      FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+           CAST(COUNT(delta_sec) AS BIGINT) AS n_converted,
+           ROUND(CAST(COUNT(delta_sec) AS DOUBLE) / COUNT(*), 6) AS conversion_rate,
+           ROUND(quantile_cont(delta_sec, 0.25), 6) AS p25_sec,
+           ROUND(quantile_cont(delta_sec, 0.5), 6)  AS p50_sec,
+           ROUND(quantile_cont(delta_sec, 0.75), 6) AS p75_sec
+    FROM d
+    """,
+)
+def a_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency: per user, the gap between first
+    signup and first subsequent purchase; reported as conversion rate plus
+    exact latency quartiles. Both "first" reductions are MIN aggregates over
+    integer seconds (order-free, partial-agg'd map-side); the signup table
+    joins in as the small side. The exact quantiles sort within one aggregate
+    — at 100 TB approx_percentile replaces them (mergeable), with this query
+    pinning the exact target."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("sec")
+    )
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("signup_sec"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(su), "user_id")
+        .filter(F.col("sec") >= F.col("signup_sec"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("conv_sec"))
+    )
+    d = su.join(pu, "user_id", "left").select(
+        "user_id", (F.col("conv_sec") - F.col("signup_sec")).alias("delta_sec")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.count("delta_sec").alias("n_converted"),
+        F.round(
+            F.count("delta_sec").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+        F.round(F.expr("percentile(delta_sec, 0.25)"), 6).alias("p25_sec"),
+        F.round(F.expr("percentile(delta_sec, 0.5)"), 6).alias("p50_sec"),
+        F.round(F.expr("percentile(delta_sec, 0.75)"), 6).alias("p75_sec"),
+    )
+
+
+@register(
+    "w_ohlc_bars",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 21600 AS bar,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000 + event_id AS seq,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type, CAST(bar AS BIGINT) AS bar,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(arg_min(cents, seq) AS BIGINT) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(arg_max(cents, seq) AS BIGINT) AS close_cents,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents
+    FROM e GROUP BY event_type, bar
+    """,
+)
+def w_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bar OHLC downsampling (the market-data/gauge resampling primitive):
+    per type per 6-hour bar, open/high/low/close/volume. Open and close are
+    min_by/max_by over a UNIQUE integer sequence key (second × 10⁵ + event_id)
+    — with a non-unique key the picked row would be engine- and
+    partition-order-dependent; with the composite key both engines' arg_min
+    agree by construction. Everything is a single map-side-combinable
+    aggregation: min_by/max_by partials merge associatively, so one shuffle on
+    (type, bar) regardless of input size."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 21600).cast("long").alias("bar"),
+        (F.col("ts").cast("long") * 100000 + F.col("event_id")).alias("seq"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ev.groupBy("event_type", "bar").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by("cents", "seq").cast("long").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", "seq").cast("long").alias("close_cents"),
+        F.sum("cents").alias("volume_cents"),
+    )

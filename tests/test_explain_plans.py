@@ -326,3 +326,35 @@ def test_linreg_is_one_partial_agg_shuffle(spark):
     plan = _plan(spark, "a_grouped_linreg")
     assert "partial_sum" in plan
     assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_rp_reduce_projection_is_map_side(spark):
+    """The 64->8 projection must be pure codegen (no exchange before the
+    tiny broadcast crossJoin); the query side broadcasts."""
+    plan = _plan(spark, "emb_rp_reduce")
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_containment_joins_on_gram_key(spark):
+    """Pair generation must be the shingle equi-join — a cartesian product
+    here is the 100TB failure the gram key exists to prevent."""
+    plan = _plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gini_uses_distributed_rank(spark):
+    """The Gini rank must come from range-repartition + Arrow local index —
+    never an unpartitioned ROW_NUMBER window."""
+    plan = _plan(spark, "a_gini_concentration")
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_ohlc_single_aggregation_shuffle(spark):
+    """OHLC is one groupBy with mergeable min_by/max_by partials: exactly one
+    aggregation exchange, partial aggregation before it."""
+    plan = _plan(spark, "w_ohlc_bars")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "partial_min_by" in plan or "partial_" in plan

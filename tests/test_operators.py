@@ -1147,3 +1147,40 @@ def test_spatial_grid_finds_planted_neighbors(spark):
         .collect()
     }
     assert got == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# Wave 14: JL random projection must actually preserve neighborhoods
+# ---------------------------------------------------------------------------
+
+
+def test_rp_reduce_distortion_bound():
+    """The Johnson-Lindenstrauss property the 64->8 projection must deliver:
+    squared pairwise distances in the reduced space are an UNBIASED estimate of
+    full-space distances (E[ratio] = 1 for +-1/sqrt(k) signs), with bounded
+    spread. Pins the shared md5 sign matrix's geometry: a sign-generation or
+    scaling regression would shift the median or blow out the tails long
+    before any downstream query notices. (Top-3 RANK recall is deliberately
+    not pinned: the synthetic embeddings are isotropic noise, where rank
+    survival at k=8 is near-zero by the JL bound itself - the projection is a
+    candidate generator + distance sketch, which is what this bound certifies.)
+    """
+    import duckdb
+    import numpy as np
+
+    from ortholog_pipeline_spark.operators.similarity import plane_signs
+
+    rows = duckdb.sql(
+        "select embedding from '/root/testdata/sf0.01/embeddings.parquet' order by vec_id"
+    ).fetchall()
+    V = np.array([r[0] for r in rows], dtype=np.float64)
+    signs = np.array(plane_signs(8, 64))
+    R = (V @ signs.T) / np.sqrt(8.0)
+    n = len(V)
+    pairs = [(i % n, (i * 7 + 13) % n) for i in range(1000) if i % n != (i * 7 + 13) % n]
+    full = np.array([((V[a] - V[b]) ** 2).sum() for a, b in pairs])
+    red = np.array([((R[a] - R[b]) ** 2).sum() for a, b in pairs])
+    ratio = red[full > 0] / full[full > 0]
+    assert 0.6 <= np.median(ratio) <= 1.5, np.median(ratio)
+    assert np.percentile(ratio, 10) >= 0.2
+    assert np.percentile(ratio, 90) <= 2.5

@@ -111,6 +111,11 @@ HEADLINE = [
     "dedup_containment",
     "a_gini_concentration",
     "w_ohlc_bars",
+    # round-2 wave 15: SCD2 PIT join, streaks, centroid classifier, windowed topk
+    "j_scd2_pit_join",
+    "w_activity_streaks",
+    "emb_centroid_classifier",
+    "stream_windowed_topk",
 ]
 
 

@@ -6580,3 +6580,388 @@ def w_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("cents", "seq").cast("long").alias("close_cents"),
         F.sum("cents").alias("volume_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 15 — SCD2 point-in-time join, activity streaks, churn anti-join,
+# time-decayed popularity, nearest-centroid classifier, windowed top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_scd2_pit_join",
+    """
+    WITH changes AS (
+      SELECT user_id, ts, event_type,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dim AS (
+      SELECT user_id, ts AS valid_from, event_type AS state,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM changes WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    fact AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT f.user_id, f.cents, d.state
+      FROM fact f JOIN dim d
+        ON f.user_id = d.user_id
+       AND f.ts >= d.valid_from
+       AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    )
+    SELECT state, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM joined GROUP BY state
+    """,
+)
+def j_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension (the data-warehouse
+    staple): purchases attach to the user-state version VALID AT the purchase
+    timestamp — `valid_from <= ts < valid_to`, open-ended current rows
+    included. The dimension builds from the same changelog s_scd2_history
+    pins; the fact join is an equi-join on user_id with the validity interval
+    as a residual predicate, so it shuffles on the key and never degenerates
+    into a range cross-product. Each fact row matches EXACTLY one version
+    (intervals partition the timeline — a guarantee the SCD2 builder's
+    LAG/LEAD construction provides structurally), so the revenue totals are
+    conserved; purchases are themselves change events, making every match
+    deterministic. At 100 TB both sides bucket by user_id (bucketed.py) and
+    the join is shuffle-free."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id", "ts", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    dim = (
+        changes.filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("event_type").alias("state"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(wv))
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    joined = fact.join(dim, "user_id").filter(
+        (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return joined.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+@register(
+    "w_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(MIN(day) AS BIGINT) AS start_day
+      FROM isl GROUP BY user_id, island
+    ),
+    best AS (
+      SELECT user_id, len, start_day,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, start_day) AS rn
+      FROM streaks
+    )
+    SELECT user_id, len AS longest_streak_days, start_day AS streak_start_epoch_day
+    FROM best WHERE rn = 1
+    """,
+)
+def w_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the gaps-and-islands
+    pattern: on the distinct (user, day) grid, `day − row_number()` is
+    constant exactly within a run of consecutive days, so one partitioned
+    window turns streak detection into a plain groupBy. Ties between
+    equal-length streaks break toward the earliest start for a defined pick.
+    Both windows and both aggregations share the user_id partition key — one
+    shuffle end to end (Catalyst reuses the exchange). Days are exact epoch
+    integers; no timezone/date-function divergence can enter."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    wd = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn("island", F.col("day") - F.row_number().over(wd))
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start_day")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            F.col("start_day").alias("streak_start_epoch_day"),
+        )
+    )
+
+
+@register(
+    "j_churned_users",
+    """
+    WITH a AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events_a,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents_a
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY user_id
+    ),
+    b AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    )
+    SELECT a.user_id, a.n_events_a, a.cents_a
+    FROM a ANTI JOIN b ON a.user_id = b.user_id
+    """,
+)
+def j_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn cohort extraction: users active in the first half of the window
+    with ZERO events in the second half, carrying their first-period activity
+    stats (the features a churn model trains on). The period predicate pushes
+    into both parquet scans; the churn test is a LEFT ANTI join on user_id —
+    the set-algebra restatement of NOT EXISTS, shuffling only distinct user
+    ids on the probe side. Exact integer stats."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    a = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_a"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents_a"),
+        )
+    )
+    b = ev.filter(F.col("ts") >= cutoff).select("user_id").distinct()
+    return a.join(b, "user_id", "left_anti")
+
+
+@register(
+    "a_decayed_popularity",
+    """
+    WITH w AS (
+      SELECT l_partkey,
+             1000000 // GREATEST(1, 1 + (DATE '2002-01-01'
+                              - CAST(l_shipdate AS DATE))) AS decay_w
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_partkey, CAST(SUM(decay_w) AS BIGINT) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_ships
+      FROM w GROUP BY l_partkey
+    ),
+    r AS (
+      SELECT l_partkey, score, n_ships,
+             ROW_NUMBER() OVER (ORDER BY score DESC, l_partkey) AS rn
+      FROM s
+    )
+    SELECT l_partkey, score, n_ships, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 20
+    """,
+)
+def a_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted (hyperbolically decayed) item popularity: each
+    shipment contributes 10⁶/(1+age_days), INTEGER-divided so the per-item
+    score is an exact integer sum — the trending-items ranking that a float
+    exp-decay would make engine- and order-dependent. One partial-agg shuffle
+    on part key, then a heap-merged global top-20 (TakeOrderedAndProject with
+    the part key as integer tiebreak — never a single-partition window)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ref = F.lit("2002-01-01").cast("date")
+    w = li.select(
+        "l_partkey",
+        F.floor(
+            F.lit(1000000)
+            / F.greatest(
+                F.lit(1), 1 + F.datediff(ref, F.to_date("l_shipdate"))
+            )
+        )
+        .cast("long")
+        .alias("decay_w"),
+    )
+    s = w.groupBy("l_partkey").agg(
+        F.sum("decay_w").alias("score"), F.count(F.lit(1)).alias("n_ships")
+    )
+    top = s.orderBy(F.col("score").desc(), F.col("l_partkey")).limit(20)
+    return top.select(
+        "l_partkey",
+        "score",
+        "n_ships",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("l_partkey")))
+        .cast("long")
+        .alias("rn"),
+    )
+
+
+_CENTROID_SCALE = 1048576  # 2^20: float32 embeddings scale to exact integers
+
+
+@register(
+    "emb_centroid_classifier",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT label, p.pos, CAST(ROUND(v[p.pos] * {_CENTROID_SCALE}) AS BIGINT) AS iv
+      FROM e, (SELECT unnest(generate_series(1, 64)) AS pos) p
+    ),
+    csum AS (
+      SELECT label, pos, CAST(SUM(iv) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM flat GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label AS c_label,
+             list(CAST(s AS DOUBLE) / n / {_CENTROID_SCALE} ORDER BY pos) AS cv
+      FROM csum GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+      FROM e CROSS JOIN cent c
+    ),
+    pred AS (
+      SELECT vec_id, label, c_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      FROM scored
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM pred WHERE rn = 1
+    GROUP BY label
+    """,
+)
+def emb_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over the embedding table with
+    per-class resubstitution accuracy — the few-shot baseline every embedding
+    pipeline evaluates first. Centroids accumulate as EXACT integers (float32
+    components scale losslessly by 2²⁰ — 'the quantize trick' — so the
+    distributed mean is order-free), divide back to identical doubles in both
+    engines, and broadcast as a 10-row table into a map-side distance argmin;
+    the 64-term distance fold runs in fixed index order. Two shuffles total
+    ((label, pos) centroid agg + final label agg) regardless of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    flat = e.select(
+        "label", F.posexplode("v").alias("pos", "val")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("val") * _CENTROID_SCALE).cast("long").alias("iv"),
+    )
+    csum = flat.groupBy("label", "pos").agg(
+        F.sum("iv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent = (
+        csum.withColumn(
+            "cval",
+            F.col("s").cast("double") / F.col("n") / F.lit(_CENTROID_SCALE),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda r: r["cval"],
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "c_label", d2.alias("d2")
+    )
+    wp = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    pred = scored.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") == 1
+    )
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("c_label") == F.col("label")).cast("int"))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.sum((F.col("c_label") == F.col("label")).cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+@register(
+    "stream_windowed_topk",
+    """
+    WITH c AS (
+      SELECT date_trunc('day', ts) AS window_day, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT window_day, user_id, n,
+             ROW_NUMBER() OVER (PARTITION BY window_day
+                                ORDER BY n DESC, user_id) AS rn
+      FROM c
+    )
+    SELECT window_day, user_id, n, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k (per-day heaviest users) — the batch plan foreachBatch
+    runs for a streaming leaderboard: tumbling-window count aggregation, then
+    a rank window PARTITIONED BY THE TIME WINDOW (each day ranks
+    independently — bounded state per window, evictable on watermark; a
+    global rank here would be unbounded streaming state). Counts are exact;
+    ties break by user id. The WindowGroupLimit optimization keeps only k
+    rows per window through the rank's sort."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("window_day"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("window_day").orderBy(F.col("n").desc(), "user_id")
+    return (
+        c.withColumn("rn", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )

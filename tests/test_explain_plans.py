@@ -358,3 +358,38 @@ def test_ohlc_single_aggregation_shuffle(spark):
     plan = _plan(spark, "w_ohlc_bars")
     assert plan.count("Arguments: hashpartitioning") == 1
     assert "partial_min_by" in plan or "partial_" in plan
+
+
+def test_scd2_pit_join_is_key_join_not_range_cross(spark):
+    """The PIT join must shuffle on user_id with the interval as residual —
+    never a nested-loop range join."""
+    plan = _plan(spark, "j_scd2_pit_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_streaks_share_one_user_shuffle(spark):
+    """Gaps-and-islands: both windows and both aggregations key on user_id —
+    the plan must not re-shuffle between them."""
+    plan = _plan(spark, "w_activity_streaks")
+    assert plan.count("Arguments: hashpartitioning") <= 2
+
+
+def test_decayed_popularity_take_ordered(spark):
+    plan = _plan(spark, "a_decayed_popularity")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_centroid_classifier_broadcasts_centroids(spark):
+    """The 10-row centroid table must broadcast into the distance argmin —
+    a shuffle join against the corpus would be a 100TB regression."""
+    plan = _plan(spark, "emb_centroid_classifier")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_windowed_topk_group_limit(spark):
+    """rn <= 3 over the per-window rank must compile to WindowGroupLimit
+    (k rows per window survive the sort, not the whole frame)."""
+    plan = _plan(spark, "stream_windowed_topk")
+    assert "WindowGroupLimit" in plan

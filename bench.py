@@ -116,6 +116,11 @@ HEADLINE = [
     "w_activity_streaks",
     "emb_centroid_classifier",
     "stream_windowed_topk",
+    # round-2 wave 16: BFS, CUSUM, Q17/Q22 shapes
+    "g_bfs_distance",
+    "w_changepoint_cusum",
+    "j_small_qty_revenue",
+    "a_prospect_nations",
 ]
 
 

@@ -6965,3 +6965,312 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("rn", F.row_number().over(wr).cast("long"))
         .filter(F.col("rn") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 16 — multi-source BFS, CUSUM changepoints, TPC-H Q17/Q22 shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_bfs_distance",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT LEAST(l_orderkey % 20000, l_partkey % 20000) AS u,
+             GREATEST(l_orderkey % 20000, l_partkey % 20000) AS v
+      FROM lineitem
+      WHERE l_orderkey % 20000 != l_partkey % 20000
+    ),
+    e AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+    ),
+    d0 AS (
+      SELECT CAST(x AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+      FROM (SELECT unnest([0, 1, 2]) AS x)
+    ),
+    d1 AS (
+      SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+        SELECT node, d FROM d0
+        UNION ALL
+        SELECT e.v AS node, d0.d + 1 FROM d0 JOIN e ON d0.node = e.u
+      ) GROUP BY node
+    ),
+    d2 AS (
+      SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+        SELECT node, d FROM d1
+        UNION ALL
+        SELECT e.v AS node, d1.d + 1 FROM d1 JOIN e ON d1.node = e.u
+      ) GROUP BY node
+    ),
+    d3 AS (
+      SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+        SELECT node, d FROM d2
+        UNION ALL
+        SELECT e.v AS node, d2.d + 1 FROM d2 JOIN e ON d2.node = e.u
+      ) GROUP BY node
+    )
+    SELECT d AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM d3 GROUP BY d
+    """,
+)
+def g_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (3 hops) over the hashed co-purchase graph — the
+    frontier-expansion primitive behind reachability, influence radius, and
+    taint propagation. The loop is UNROLLED as three expand-then-min rounds;
+    each round is one equi-join on the edge key plus a min-reduce groupBy, the
+    exact dataflow GraphX/Pregel runs per superstep — and min-reducing BETWEEN
+    rounds keeps the frontier a set (never materializing the path explosion a
+    naive recursive expansion creates; the oracle mirrors the same
+    level-synchronous rounds). At 100 TB both sides of every round hash on the
+    node key, so pre-bucketing the edge table by u makes all three joins
+    shuffle-free on the edge side; summarized per hop count to keep the
+    contract output bounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        li.select(
+            F.least(
+                F.col("l_orderkey") % 20000, F.col("l_partkey") % 20000
+            ).alias("u"),
+            F.greatest(
+                F.col("l_orderkey") % 20000, F.col("l_partkey") % 20000
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    dist = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], schema="node long, d long"
+    )
+    for _ in range(3):
+        expanded = (
+            dist.join(e, dist["node"] == e["u"])
+            .select(F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+    return dist.groupBy(F.col("d").alias("hops")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+@register(
+    "w_changepoint_cusum",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000 + event_id AS seq,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    pre AS (
+      SELECT event_type, seq, cents,
+             SUM(cents) OVER (PARTITION BY event_type ORDER BY seq
+                              ROWS UNBOUNDED PRECEDING) AS prefix,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY seq) AS k
+      FROM e
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total
+      FROM e GROUP BY event_type
+    ),
+    dev AS (
+      SELECT pre.event_type, pre.seq, pre.k,
+             ABS(tot.n * pre.prefix - pre.k * tot.total) AS cusum_scaled
+      FROM pre JOIN tot ON pre.event_type = tot.event_type
+      WHERE pre.k < tot.n
+    ),
+    best AS (
+      SELECT event_type, seq, k, cusum_scaled,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cusum_scaled DESC, seq) AS rn
+      FROM dev
+    )
+    SELECT b.event_type, CAST(b.k AS BIGINT) AS changepoint_k,
+           CAST(b.cusum_scaled AS BIGINT) AS cusum_scaled,
+           ROUND(CAST(b.cusum_scaled AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n), 6)
+             AS cusum_per_obs
+    FROM best b JOIN tot t ON b.event_type = t.event_type
+    WHERE b.rn = 1
+    """,
+)
+def w_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per series: the split point k maximizing
+    |CUSUM_k| = |Σ_{i<=k}(x_i − mean)| — where the mean-shift most likely
+    occurred. Multiplying through by n keeps the statistic an EXACT integer
+    (|n·prefix_k − k·total|), so the argmax is engine-stable with no float
+    accumulation anywhere; the per-observation normalization divides once at
+    the end. One partitioned prefix-sum window + a 5-row totals broadcast +
+    an argmax window — the same two-shuffle shape as the EWMA/peak queries.
+    Ties break toward the earliest position."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("ts").cast("long") * 100000 + F.col("event_id")).alias("seq"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wp = Window.partitionBy("event_type").orderBy("seq")
+    pre = ev.select(
+        "event_type",
+        "seq",
+        F.sum("cents").over(wp.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "prefix"
+        ),
+        F.row_number().over(wp).alias("k"),
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+    )
+    dev = (
+        pre.join(F.broadcast(tot), "event_type")
+        .filter(F.col("k") < F.col("n"))
+        .select(
+            "event_type",
+            "seq",
+            "k",
+            "n",
+            F.abs(
+                F.col("n") * F.col("prefix") - F.col("k") * F.col("total")
+            ).alias("cusum_scaled"),
+        )
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.col("cusum_scaled").desc(), F.col("seq")
+    )
+    return (
+        dev.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("changepoint_k"),
+            F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+            F.round(
+                F.col("cusum_scaled").cast("double")
+                / (F.col("n").cast("double") * F.col("n")),
+                6,
+            ).alias("cusum_per_obs"),
+        )
+    )
+
+
+@register(
+    "j_small_qty_revenue",
+    """
+    WITH red AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red %'
+    ),
+    stats AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem JOIN red ON l_partkey = p_partkey
+      GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 7.0 / 100.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN stats s ON l.l_partkey = s.l_partkey
+    WHERE 5 * s.n * CAST(ROUND(l.l_quantity) AS BIGINT) < s.total_qty
+    """,
+)
+def j_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue from small-quantity orders of a part subset:
+    lines whose quantity is below 20% of their part's average. The correlated
+    scalar subquery becomes a per-part stats aggregate joined back (broadcast:
+    the 'red' part dimension is small); the 0.2·avg comparison cross-multiplies
+    into EXACT integers (5·n·qty < Σqty — no float average, no rounding
+    boundary), and the only float math is the final /7.0 on an exact cent sum.
+    Two scans of lineitem (stats + probe) with the part filter semi-joined
+    into both — at 100 TB the stats side is the one worth caching."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    red = part.filter(F.col("p_name").like("red %")).select("p_partkey")
+    li_red = li.join(
+        F.broadcast(red), li["l_partkey"] == red["p_partkey"]
+    ).drop("p_partkey")
+    stats = li_red.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("l_quantity").cast("long")).alias("total_qty"),
+    )
+    probe = li_red.join(F.broadcast(stats), "l_partkey").filter(
+        5 * F.col("n") * F.round("l_quantity").cast("long") < F.col("total_qty")
+    )
+    return probe.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / 7.0
+            / 100.0,
+            6,
+        ).alias("avg_yearly"),
+    )
+
+
+@register(
+    "a_prospect_nations",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    avg_pos AS (
+      SELECT CAST(SUM(bal_cents) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM c WHERE bal_cents > 0
+    ),
+    prospects AS (
+      SELECT c.c_custkey, c.c_nationkey, c.bal_cents
+      FROM c, avg_pos
+      WHERE c.bal_cents * avg_pos.n > avg_pos.total
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_prospects,
+           CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+    FROM prospects GROUP BY c_nationkey
+    """,
+)
+def a_prospect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — wealthy customers who never ordered, by nation: the
+    global scalar average becomes a 1-row broadcast, the above-average test
+    cross-multiplies into exact integers (bal·n > Σbal — no float mean), and
+    NOT EXISTS is a LEFT ANTI join on the order's customer key. The anti join
+    probe side carries only distinct custkeys; everything aggregates
+    map-side-combined on the 25-key nation dimension."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    avg_pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    prospects = (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("total"))
+        .join(
+            orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+    )
+    return prospects.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_prospects"),
+        F.sum("bal_cents").alias("total_bal_cents"),
+    )

@@ -393,3 +393,37 @@ def test_windowed_topk_group_limit(spark):
     (k rows per window survive the sort, not the whole frame)."""
     plan = _plan(spark, "stream_windowed_topk")
     assert "WindowGroupLimit" in plan
+
+
+def test_bfs_rounds_are_key_joins(spark):
+    """Every BFS round must expand via the node-key equi-join — no nested
+    loops, no cartesian frontier."""
+    plan = _plan(spark, "g_bfs_distance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cusum_prefix_window_partitioned(spark):
+    """The CUSUM prefix sum must be partitioned by series key; totals
+    broadcast back."""
+    plan = _plan(spark, "w_changepoint_cusum")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "event_type" in line, line
+    assert "BroadcastHashJoin" in plan
+
+
+def test_small_qty_broadcasts_stats(spark):
+    """Q17 shape: part dimension and per-part stats both broadcast — the only
+    shuffle is the stats aggregation itself."""
+    plan = _plan(spark, "j_small_qty_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_prospect_nations_anti_join(spark):
+    """Q22 shape: NOT EXISTS must compile to a hash anti join (broadcast or
+    shuffled), never a per-row probe."""
+    plan = _plan(spark, "a_prospect_nations")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

@@ -121,6 +121,11 @@ HEADLINE = [
     "w_changepoint_cusum",
     "j_small_qty_revenue",
     "a_prospect_nations",
+    # round-2 wave 17: survival, diversity, templates, degrees, scene cuts
+    "a_survival_curve",
+    "text_template_mining",
+    "g_degree_distribution",
+    "mm_scene_cuts",
 ]
 
 

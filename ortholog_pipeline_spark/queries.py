@@ -7274,3 +7274,297 @@ def a_prospect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_prospects"),
         F.sum("bal_cents").alias("total_bal_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 17 — survival curves, corpus diversity, log-template mining, degree
+# distribution, multimodal scene-cut detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_survival_curve",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT)
+               AS lifetime_days
+      FROM events GROUP BY user_id
+    ),
+    t AS (SELECT unnest([0, 1, 3, 7, 14, 21, 30]) AS horizon),
+    s AS (
+      SELECT CAST(t.horizon AS BIGINT) AS horizon_days,
+             CAST(SUM(CASE WHEN u.lifetime_days >= t.horizon THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_surviving,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM u CROSS JOIN t GROUP BY t.horizon
+    )
+    SELECT horizon_days, n_surviving, n_users,
+           ROUND(CAST(n_surviving AS DOUBLE) / n_users, 6) AS survival
+    FROM s
+    """,
+)
+def a_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime survival curve (the retention analyst's Kaplan-Meier
+    without censoring): share of users whose observed lifetime — last minus
+    first active day — reaches each horizon. One user-keyed min/max
+    aggregation, then a 7-row horizon grid joined by broadcast; all counts
+    exact integers, one division per output row. The per-user reduction is the
+    only data-sized shuffle regardless of scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.datediff(F.max("day"), F.min("day")).cast("long").alias("lifetime_days")
+    )
+    horizons = spark.createDataFrame(
+        [(h,) for h in (0, 1, 3, 7, 14, 21, 30)], schema="horizon_days long"
+    )
+    s = u.crossJoin(F.broadcast(horizons)).groupBy("horizon_days").agg(
+        F.sum((F.col("lifetime_days") >= F.col("horizon_days")).cast("int"))
+        .cast("long")
+        .alias("n_surviving"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    return s.select(
+        "horizon_days",
+        "n_surviving",
+        "n_users",
+        F.round(
+            F.col("n_surviving").cast("double") / F.col("n_users"), 6
+        ).alias("survival"),
+    )
+
+
+@register(
+    "a_diversity_gini_simpson",
+    """
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    s AS (
+      SELECT source,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM c GROUP BY source
+    )
+    SELECT source, total, n_langs,
+           ROUND(1.0 - CAST(sum_sq AS DOUBLE) / (CAST(total AS DOUBLE) * total), 6)
+             AS gini_simpson,
+           ROUND(CAST(total AS DOUBLE) * total / sum_sq, 6) AS effective_langs
+    FROM s
+    """,
+)
+def a_diversity_gini_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity per source: the Gini-Simpson index (probability two
+    random documents differ in language, 1 − Σp²) and the effective number of
+    languages (inverse Simpson) — the mixture-health metrics a pretraining
+    curator tracks per data source. Deliberately NOT Shannon entropy: entropy
+    needs ln(), whose last-ulp varies across libm builds, while Σn² is an
+    exact integer and both indices are single correctly-rounded divisions —
+    the registry's no-float-accumulation rule again. Two map-side-combined
+    integer aggregations, no joins."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    s = c.groupBy("source").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    tot_d = F.col("total").cast("double")
+    return s.select(
+        "source",
+        "total",
+        "n_langs",
+        F.round(
+            F.lit(1.0) - F.col("sum_sq").cast("double") / (tot_d * F.col("total")),
+            6,
+        ).alias("gini_simpson"),
+        F.round(tot_d * F.col("total") / F.col("sum_sq"), 6).alias(
+            "effective_langs"
+        ),
+    )
+
+
+@register(
+    "text_template_mining",
+    """
+    WITH lines AS (
+      SELECT 'evt=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
+             || ' k=' || CAST(json_extract(props, '$.k') AS VARCHAR) AS line
+      FROM events
+    ),
+    t AS (
+      SELECT regexp_replace(line, '[0-9]+', '#', 'g') AS template, line
+      FROM lines
+    ),
+    g AS (
+      SELECT template, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             MIN(line) AS sample_line
+      FROM t GROUP BY template
+    )
+    SELECT template, n_lines, sample_line,
+           ROUND(CAST(n_lines AS DOUBLE) / SUM(n_lines) OVER (), 6) AS coverage
+    FROM g
+    """,
+)
+def text_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-template mining (the Drain/Spell primitive reduced to its core):
+    mask variable fields (digit runs → '#') and group identical skeletons,
+    reporting each template's line count, coverage share, and a deterministic
+    (MIN) exemplar. The masking is a map-side regexp; the groupBy carries one
+    row per template after partial aggregation — at 100 TB of logs the
+    template table is vocabulary-sized while the scan stays a single pass.
+    Line synthesis here stands in for a raw log file; swap the concat for the
+    real message column and nothing else changes."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("evt="),
+        F.col("event_type"),
+        F.lit(" user="),
+        F.col("user_id").cast("string"),
+        F.lit(" k="),
+        F.get_json_object("props", "$.k"),
+    )
+    t = ev.select(
+        F.regexp_replace(line, "[0-9]+", "#").alias("template"),
+        line.alias("line"),
+    )
+    g = t.groupBy("template").agg(
+        F.count(F.lit(1)).alias("n_lines"), F.min("line").alias("sample_line")
+    )
+    # the total comes from a window over the TEMPLATE table (vocabulary-sized,
+    # bounded) — one events scan total; a scalar-agg crossJoin would recompute
+    # the whole aggregation a second time
+    total = F.sum("n_lines").over(Window.partitionBy())
+    return g.select(
+        "template",
+        "n_lines",
+        "sample_line",
+        F.round(F.col("n_lines").cast("double") / total, 6).alias("coverage"),
+    )
+
+
+@register(
+    "g_degree_distribution",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT LEAST(l_orderkey % 20000, l_partkey % 20000) AS u,
+             GREATEST(l_orderkey % 20000, l_partkey % 20000) AS v
+      FROM lineitem
+      WHERE l_orderkey % 20000 != l_partkey % 20000
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+      ) GROUP BY node
+    )
+    SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(degree) AS BIGINT) AS min_degree,
+           CAST(MAX(degree) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph in log₂ buckets — the
+    power-law diagnostic that decides whether a graph workload needs skew
+    treatment (a heavy-tailed bucket histogram means the top vertices must be
+    salted or vertex-cut). floor(log₂ d) computes EXACTLY as
+    length(bin(d)) − 1 — integer bit-length, no floating log whose ulp could
+    flip a bucket boundary. Two integer aggregations (degree count, bucket
+    histogram), both map-side combined."""
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        li.select(
+            F.least(
+                F.col("l_orderkey") % 20000, F.col("l_partkey") % 20000
+            ).alias("u"),
+            F.greatest(
+                F.col("l_orderkey") % 20000, F.col("l_partkey") % 20000
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = e0.select(F.col("u").alias("node")).unionByName(
+        e0.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy(
+        (F.length(F.bin("degree")) - 1).cast("long").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+    )
+
+
+@register(
+    "mm_scene_cuts",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, repeat(md5(text), 16) AS phex,
+             doc_id % 50 + 10 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT media_id,
+             CAST(f AS INT) AS frame_idx,
+             CAST(('0x' || substr(phex, 2 * (f % 252) + 1, 8)) AS BIGINT)
+               AS intensity
+      FROM (
+        SELECT media_id, phex,
+               unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 1)) AS f
+        FROM media
+      )
+    ),
+    d AS (
+      SELECT media_id, frame_idx, intensity,
+             ABS(intensity - LAG(intensity) OVER
+                 (PARTITION BY media_id ORDER BY frame_idx)) AS delta
+      FROM frames
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN delta > 2147483648 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cuts,
+           CAST(MIN(CASE WHEN delta > 2147483648 THEN frame_idx END) AS BIGINT)
+             AS first_cut_idx
+    FROM d GROUP BY media_id
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection over binary payloads: decode every frame
+    (mapInPandas Arrow batches — the SAME stubbed-codec plumbing as
+    mm_frame_sample, every_nth=1), reduce each frame to a scalar intensity,
+    and flag a cut when consecutive-frame intensity jumps past half the
+    uint32 range. The frame 'decode' is the deterministic payload slice the
+    stub defines, so the DuckDB oracle replays intensities exactly via the
+    same md5 hex arithmetic; a real codec changes one function body while
+    this plan — explode frames → partitioned LAG → per-video aggregate —
+    is the production shape (state bounded per video, cut lists computed
+    without ever collecting frames to the driver)."""
+    from ortholog_pipeline_spark import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.synthesize_media_from_documents(docs)
+    frames = MM.sample_frames(media, every_nth=1).select(
+        "media_id",
+        "frame_idx",
+        F.conv(F.hex("frame_payload"), 16, 10).cast("long").alias("intensity"),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    d = frames.withColumn(
+        "delta", F.abs(F.col("intensity") - F.lag("intensity").over(w))
+    )
+    is_cut = F.col("delta") > F.lit(2147483648)
+    return d.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(is_cut.cast("int")).cast("long").alias("n_cuts"),
+        F.min(F.when(is_cut, F.col("frame_idx"))).cast("long").alias(
+            "first_cut_idx"
+        ),
+    )

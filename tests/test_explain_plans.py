@@ -427,3 +427,25 @@ def test_prospect_nations_anti_join(spark):
     plan = _plan(spark, "a_prospect_nations")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_survival_grid_broadcast(spark):
+    """The 7-row horizon grid must broadcast onto the user aggregate."""
+    plan = _plan(spark, "a_survival_curve")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_template_mining_single_scan(spark):
+    """Masking is map-side: one events scan feeds the template aggregate."""
+    plan = _plan(spark, "text_template_mining")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_scene_cuts_lag_partitioned_by_media(spark):
+    """The frame-delta LAG must partition by media_id — never a global
+    frame ordering."""
+    plan = _plan(spark, "mm_scene_cuts")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "media_id" in line, line

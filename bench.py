@@ -126,6 +126,11 @@ HEADLINE = [
     "text_template_mining",
     "g_degree_distribution",
     "mm_scene_cuts",
+    # round-2 wave 18: bitmap retention, incremental join, PPJoin, MMR
+    "a_bitmap_retention",
+    "s_incremental_join",
+    "dedup_ppjoin",
+    "emb_mmr_rerank",
 ]
 
 

@@ -7568,3 +7568,533 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_cut_idx"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 18 — bitmap-index retention, incremental join maintenance,
+# share-of-parent rollup, group-median imputation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_bitmap_retention",
+    """
+    WITH b AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS BIGINT)
+               AS user_bitmap
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT day, user_bitmap,
+             LAG(user_bitmap) OVER (ORDER BY day) AS prev_bitmap
+      FROM b
+    )
+    SELECT day,
+           CAST(bit_count(user_bitmap) AS BIGINT) AS n_buckets_active,
+           CAST(COALESCE(bit_count(user_bitmap & prev_bitmap), 0) AS BIGINT)
+             AS n_buckets_retained,
+           CAST(COALESCE(bit_count(user_bitmap & ~prev_bitmap),
+                         bit_count(user_bitmap)) AS BIGINT) AS n_buckets_new
+    FROM p
+    """,
+)
+def a_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index day-over-day retention: each day folds its active users
+    into a 63-bit bucket bitmap with BIT_OR (mergeable, map-side combined —
+    the roaring-bitmap rollup technique; a real deployment shards users into
+    many such words), then retention is a LAG + bitwise AND + POPCOUNT over
+    the one-row-per-day frame — no user-level self-join at all. This is the
+    constant-space restatement of cohort retention: at 100 TB the bitmap agg
+    shuffles one long per (day, shard) instead of the full user list. The
+    ORDER-only LAG runs over ≤ one row per day — calendar-bounded, not
+    data-bounded."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        F.expr("shiftleft(cast(1 as bigint), cast(user_id % 63 as int))").alias(
+            "bit"
+        ),
+    )
+    b = ev.groupBy("day").agg(F.bit_or("bit").alias("user_bitmap"))
+    w = Window.orderBy("day")
+    p = b.withColumn("prev_bitmap", F.lag("user_bitmap").over(w))
+    return p.select(
+        "day",
+        F.bit_count("user_bitmap").cast("long").alias("n_buckets_active"),
+        F.coalesce(
+            F.bit_count(F.col("user_bitmap").bitwiseAND(F.col("prev_bitmap"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_buckets_retained"),
+        F.coalesce(
+            F.bit_count(
+                F.col("user_bitmap").bitwiseAND(F.bitwise_not("prev_bitmap"))
+            ),
+            F.bit_count("user_bitmap"),
+        )
+        .cast("long")
+        .alias("n_buckets_new"),
+    )
+
+
+@register(
+    "s_incremental_join",
+    """
+    SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def s_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance: the Spark side maintains the
+    orders⋈customer aggregate INCREMENTALLY — the pre-1996 slice is the
+    materialized state, the rest is the insert delta, and the refresh is
+    Δorders⋈customer merged into the state by union-and-re-sum (the ΔA⋈B term
+    of the standard delta rule; the dimension is static here so A⋈ΔB drops
+    out). The oracle joins and aggregates the WHOLE table directly; hash
+    equality of the two paths is the view-maintenance correctness property —
+    the same two-path contract s_incremental_agg pins for aggregates, now
+    with a join under it. Measures are exact integers so partial merges are
+    order-free; the dimension broadcasts in both passes."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cutoff = F.lit("1996-01-01").cast("timestamp_ntz")
+
+    def agg_slice(o):
+        j = o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        return j.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderstatus").alias("status"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+
+    state = agg_slice(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = agg_slice(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        state.unionByName(delta)
+        .groupBy("segment", "status")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "a_share_of_parent",
+    """
+    WITH rev AS (
+      SELECT n.n_regionkey AS regionkey, c.c_nationkey AS nationkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS nation_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(regionkey AS BIGINT) AS regionkey,
+           CAST(nationkey AS BIGINT) AS nationkey, nation_cents,
+           CAST(SUM(nation_cents) OVER (PARTITION BY regionkey) AS BIGINT)
+             AS region_cents,
+           ROUND(CAST(nation_cents AS DOUBLE)
+                 / SUM(nation_cents) OVER (PARTITION BY regionkey), 6)
+             AS share_of_region
+    FROM rev
+    """,
+)
+def a_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent in a dimension hierarchy (nation revenue as a fraction
+    of its region — the BI drill-down ratio): fact aggregation at the child
+    grain, then the parent total as a window over the ALREADY-AGGREGATED
+    25-row frame — never a second fact-table pass, never a self-join. Both
+    dimensions broadcast; the integer cents make the window sum exact and the
+    share one rounded division."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    j = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    rev = j.groupBy(
+        F.col("n_regionkey").cast("long").alias("regionkey"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "nation_cents"
+        )
+    )
+    wr = Window.partitionBy("regionkey")
+    region_total = F.sum("nation_cents").over(wr)
+    return rev.select(
+        "regionkey",
+        "nationkey",
+        "nation_cents",
+        region_total.alias("region_cents"),
+        F.round(F.col("nation_cents").cast("double") / region_total, 6).alias(
+            "share_of_region"
+        ),
+    )
+
+
+@register(
+    "a_median_impute",
+    """
+    WITH e AS (
+      SELECT event_type, event_id,
+             CASE WHEN event_id % 97 = 0 THEN NULL
+                  ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS med
+      FROM e WHERE cents IS NOT NULL GROUP BY event_type
+    ),
+    imp AS (
+      SELECT e.event_type,
+             CASE WHEN e.cents IS NULL THEN 1 ELSE 0 END AS was_null,
+             COALESCE(CAST(e.cents AS DOUBLE), med.med) AS imputed
+      FROM e JOIN med ON e.event_type = med.event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(was_null) AS BIGINT) AS n_imputed,
+           ROUND(MIN(CASE WHEN was_null = 1 THEN imputed END) / 100.0, 6)
+             AS impute_value,
+           CAST(SUM(CAST(imputed * 2 AS BIGINT)) AS BIGINT) AS checksum_half_cents
+    FROM imp GROUP BY event_type
+    """,
+)
+def a_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median missing-value imputation (the tabular-ML cleaning step):
+    synthetic nulls (every 97th event) are filled with their group's exact
+    median; output pins the imputed value, the imputation count, and an exact
+    checksum over the imputed column. The checksum doubles the values first —
+    medians of integer cents are exact multiples of 0.5, so 2·value is an
+    integer and the sum is order-free (never sum raw doubles across
+    partitions). Median table broadcasts back; at scale approx_percentile
+    swaps in, same dataflow."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(
+            F.round(F.col("value") * 100).cast("long")
+        ).alias("cents"),
+    )
+    med = (
+        ev.filter(F.col("cents").isNotNull())
+        .groupBy("event_type")
+        .agg(F.expr("percentile(cents, 0.5)").alias("med"))
+    )
+    imp = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.col("cents").isNull().cast("int").alias("was_null"),
+        F.coalesce(F.col("cents").cast("double"), F.col("med")).alias("imputed"),
+    )
+    return imp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("was_null").cast("long").alias("n_imputed"),
+        F.round(
+            F.min(F.when(F.col("was_null") == 1, F.col("imputed"))) / 100.0, 6
+        ).alias("impute_value"),
+        F.sum((F.col("imputed") * 2).cast("long")).alias("checksum_half_cents"),
+    )
+
+
+@register(
+    "dedup_ppjoin",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+3], ' '))) AS gram
+      FROM t WHERE len(toks) >= 4
+    ),
+    df AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY gram),
+    sets AS (
+      SELECT g.doc_id,
+             list(g.gram ORDER BY df.df, g.gram) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM g JOIN df ON g.gram = df.gram
+      GROUP BY g.doc_id
+    ),
+    pre AS (
+      SELECT doc_id, n,
+             unnest(s[1:CAST(n - (n + 1) // 2 + 1 AS BIGINT)]) AS gram
+      FROM sets
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pre a JOIN pre b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+             sa.n AS n_a, sb.n AS n_b
+      FROM cand c
+      JOIN sets sa ON c.id_a = sa.doc_id
+      JOIN sets sb ON c.id_b = sb.doc_id
+    )
+    SELECT id_a, id_b, inter, n_a, n_b,
+           ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+    FROM verified
+    WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5
+    """,
+)
+def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join with PREFIX FILTERING (the PPJoin/AllPairs
+    family, Xiao et al.): two documents with Jaccard ≥ θ MUST share at least
+    one element among each set's first n − ⌈θn⌉ + 1 elements when both sets
+    are ordered by ascending global frequency — so candidate pairs generate
+    from an equi-join on RARE prefix grams only, then verify with one exact
+    intersection. This is the deterministic exact-answer counterpart to
+    MinHash-LSH (which trades recall for speed); same candidate-shrinking
+    idea, zero false negatives. The frequency ordering is the whole trick:
+    prefixes hold the rarest grams, so the join fan-out tracks true-pair
+    density, not corpus size. Ties in df order break by gram text for a total,
+    engine-stable order. At 100 TB: grams hash to longs first (as minhash
+    does) and the df table broadcasts."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 4)
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 4),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    df_tab = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    sets = (
+        g.join(df_tab, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "gram"))),
+                lambda r: r["gram"],
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    prefix_len = (
+        F.col("n") - F.floor((F.col("n") + 1) / 2) + 1
+    ).cast("int")
+    pre = sets.select(
+        "doc_id", F.explode(F.slice("s", 1, prefix_len)).alias("gram")
+    )
+    cand = (
+        pre.alias("a")
+        .join(pre.alias("b"), "gram")
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("s").alias("sa"), F.col("n").alias("n_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("s").alias("sb"), F.col("n").alias("n_b")
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
+            "n_a",
+            "n_b",
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    )
+    return verified.filter(jac >= 0.5).select(
+        "id_a", "id_b", "inter", "n_a", "n_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+_MMR_DOT = "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
+
+
+@register(
+    "emb_mmr_rerank",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.v,
+             {_MMR_DOT.format(a='e.v', b='q.qv')} /
+               (SQRT({_MMR_DOT.format(a='e.v', b='e.v')}) *
+                SQRT({_MMR_DOT.format(a='q.qv', b='q.qv')})) AS sim_q
+      FROM e, q WHERE e.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, v, sim_q FROM (
+        SELECT vec_id, v, sim_q,
+               ROW_NUMBER() OVER (ORDER BY sim_q DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 8
+    ),
+    pw AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             {_MMR_DOT.format(a='a.v', b='b.v')} /
+               (SQRT({_MMR_DOT.format(a='a.v', b='a.v')}) *
+                SQRT({_MMR_DOT.format(a='b.v', b='b.v')})) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    p1 AS (
+      SELECT vec_id, 0.7 * sim_q AS mmr FROM cand
+      ORDER BY sim_q DESC, vec_id LIMIT 1
+    ),
+    p2 AS (
+      SELECT c.vec_id, 0.7 * c.sim_q - 0.3 * pw.sim AS mmr
+      FROM cand c JOIN pw ON pw.ida = c.vec_id AND pw.idb = (SELECT vec_id FROM p1)
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+      ORDER BY mmr DESC, c.vec_id LIMIT 1
+    ),
+    sel2 AS (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2),
+    p3 AS (
+      SELECT c.vec_id, 0.7 * c.sim_q - 0.3 * MAX(pw.sim) AS mmr
+      FROM cand c JOIN pw ON pw.ida = c.vec_id
+      WHERE pw.idb IN (SELECT vec_id FROM sel2)
+        AND c.vec_id NOT IN (SELECT vec_id FROM sel2)
+      GROUP BY c.vec_id, c.sim_q
+      ORDER BY mmr DESC, c.vec_id LIMIT 1
+    ),
+    sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM p3),
+    p4 AS (
+      SELECT c.vec_id, 0.7 * c.sim_q - 0.3 * MAX(pw.sim) AS mmr
+      FROM cand c JOIN pw ON pw.ida = c.vec_id
+      WHERE pw.idb IN (SELECT vec_id FROM sel3)
+        AND c.vec_id NOT IN (SELECT vec_id FROM sel3)
+      GROUP BY c.vec_id, c.sim_q
+      ORDER BY mmr DESC, c.vec_id LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS pick_order, vec_id, ROUND(mmr, 6) AS mmr FROM p1
+    UNION ALL
+    SELECT 2, vec_id, ROUND(mmr, 6) FROM p2
+    UNION ALL
+    SELECT 3, vec_id, ROUND(mmr, 6) FROM p3
+    UNION ALL
+    SELECT 4, vec_id, ROUND(mmr, 6) FROM p4
+    """,
+)
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell-Goldstein) — the
+    dedup-aware top-k every retrieval stack runs between ANN and the consumer:
+    greedily pick argmax of 0.7·sim(q,d) − 0.3·max_{s∈selected} sim(d,s), so
+    each pick trades query relevance against redundancy with what's already
+    chosen. The greedy loop is inherently sequential in k, so it unrolls as 4
+    dataframe rounds — but every round operates ONLY on the 8-row candidate
+    frame (broadcast; the corpus-sized work ended at the ANN stage), which is
+    exactly how production rerankers bound the sequential tail. All
+    similarities are single ordered folds (identical doubles cross-engine);
+    ties break by vec_id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            (
+                dot(F.col("v"), F.col("qv"))
+                / (
+                    F.sqrt(dot(F.col("v"), F.col("v")))
+                    * F.sqrt(dot(F.col("qv"), F.col("qv")))
+                )
+            ).alias("sim_q"),
+        )
+    )
+    wq = Window.orderBy(F.col("sim_q").desc(), F.col("vec_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 8)
+        .select("vec_id", "v", "sim_q")
+    )
+    a = cand.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    b = cand.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
+    pw = (
+        a.join(b, F.col("ida") != F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            (
+                dot(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(dot(F.col("va"), F.col("va")))
+                    * F.sqrt(dot(F.col("vb"), F.col("vb")))
+                )
+            ).alias("sim"),
+        )
+    )
+    wm = Window.orderBy(F.col("mmr").desc(), F.col("vec_id"))
+
+    def pick(frame):
+        return (
+            frame.withColumn("prn", F.row_number().over(wm))
+            .filter(F.col("prn") == 1)
+            .select("vec_id", "mmr")
+        )
+
+    p1 = pick(cand.select("vec_id", (0.7 * F.col("sim_q")).alias("mmr")))
+    selected = p1.select("vec_id")
+    picks = [p1]
+    for _ in (2, 3, 4):
+        pen = (
+            pw.join(
+                selected.withColumnRenamed("vec_id", "idb"), "idb"
+            )
+            .groupBy("ida")
+            .agg(F.max("sim").alias("pen"))
+        )
+        nxt = pick(
+            cand.join(selected, "vec_id", "left_anti")
+            .join(pen.withColumnRenamed("ida", "vec_id"), "vec_id")
+            .select(
+                "vec_id", (0.7 * F.col("sim_q") - 0.3 * F.col("pen")).alias("mmr")
+            )
+        )
+        picks.append(nxt)
+        selected = selected.unionByName(nxt.select("vec_id"))
+    out = None
+    for i, p in enumerate(picks, start=1):
+        row = p.select(
+            F.lit(i).cast("long").alias("pick_order"),
+            "vec_id",
+            F.round("mmr", 6).alias("mmr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

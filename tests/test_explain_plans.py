@@ -449,3 +449,42 @@ def test_scene_cuts_lag_partitioned_by_media(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "media_id" in line, line
+
+
+def test_bitmap_retention_is_constant_width(spark):
+    """The bitmap aggregation must shuffle one long per day (bit_or partials
+    merge map-side); the LAG window is calendar-bounded (ORDER-only is fine
+    over <= one row per day)."""
+    plan = _plan(spark, "a_bitmap_retention")
+    assert "partial_bit_or" in plan or "bit_or" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_incremental_join_broadcasts_dimension_twice(spark):
+    """Both slices (state + delta) must broadcast the customer dimension."""
+    plan = _plan(spark, "s_incremental_join")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_share_of_parent_no_second_fact_pass(spark):
+    """The region total must come from a window over the 25-row child
+    aggregate — orders is scanned exactly once."""
+    plan = _plan(spark, "a_share_of_parent")
+    scans = [l for l in plan.splitlines() if "Location: InMemoryFileIndex" in l]
+    assert sum("orders" in l for l in scans) == 1, scans
+
+
+def test_ppjoin_candidates_from_gram_equijoin(spark):
+    """PPJoin candidate generation must be the prefix-gram equi-join —
+    never a cartesian pair enumeration."""
+    plan = _plan(spark, "dedup_ppjoin")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mmr_rounds_stay_on_candidate_frame(spark):
+    """Every MMR round must be broadcast-sized: no sort-merge join anywhere
+    (the corpus-sized work ended at the ANN stage)."""
+    plan = _plan(spark, "emb_mmr_rerank")
+    assert "SortMergeJoin" not in plan

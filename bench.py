@@ -131,6 +131,12 @@ HEADLINE = [
     "s_incremental_join",
     "dedup_ppjoin",
     "emb_mmr_rerank",
+    # round-2 wave 19: interpolation, weighted median, k-core, paths, VAD
+    "w_linear_interpolation",
+    "a_weighted_median",
+    "g_kcore_peel",
+    "a_session_paths",
+    "mm_audio_vad_segments",
 ]
 
 

@@ -8098,3 +8098,470 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Wave 19 — linear interpolation, exact weighted median, k-core peeling,
+# session path analysis, audio voice-activity segments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_linear_interpolation",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 7 = 0
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    g AS (
+      SELECT g.user_id,
+             CAST(g.day - DATE '1970-01-01' AS BIGINT) AS day,
+             d.cents
+      FROM grid g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
+    ),
+    ctx AS (
+      SELECT user_id, day, cents,
+             LAST_VALUE(cents IGNORE NULLS) OVER wp AS prev_v,
+             LAST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wp AS prev_d,
+             FIRST_VALUE(cents IGNORE NULLS) OVER wf AS next_v,
+             FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wf AS next_d
+      FROM g
+      WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           CAST(cents IS NULL AS BOOLEAN) AS interpolated,
+           ROUND(
+             CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                  ELSE prev_v + CAST((next_v - prev_v) * (day - prev_d) AS DOUBLE)
+                       / (next_d - prev_d)
+             END / 100.0, 6) AS value_interp
+    FROM ctx
+    """,
+)
+def w_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a densified day grid (the time-series
+    counterpart of forward fill — gauges/prices between observations): each
+    missing day takes prev + (next−prev)·(t−t_prev)/(t_next−t_prev) between
+    its last and next observed values. The two context windows (last/first
+    IGNORE NULLS over opposing unbounded frames) and the grid explode all
+    partition by user_id — one shuffle; the interpolation arithmetic is exact
+    integers (cents × day offsets) until the single rounded division. Interior
+    grids only (min..max per user), so next/prev always exist on missing
+    rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 7 == 0))
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.max("cents").alias("cents"))
+    )
+    span = d.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    g = grid.join(d, ["user_id", "day"], "left").select(
+        "user_id",
+        F.datediff("day", F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        "cents",
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    day_obs = F.when(F.col("cents").isNotNull(), F.col("day"))
+    ctx = g.select(
+        "user_id",
+        "day",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(day_obs, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("cents", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(day_obs, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    interp = F.col("prev_v") + (
+        (F.col("next_v") - F.col("prev_v")) * (F.col("day") - F.col("prev_d"))
+    ).cast("double") / (F.col("next_d") - F.col("prev_d"))
+    return ctx.select(
+        "user_id",
+        "day",
+        F.col("cents").isNull().alias("interpolated"),
+        F.round(
+            F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+            .otherwise(interp)
+            / 100.0,
+            6,
+        ).alias("value_interp"),
+    )
+
+
+@register(
+    "a_weighted_median",
+    """
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(l_quantity) AS BIGINT) AS wgt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, cents, wgt,
+             SUM(wgt) OVER (PARTITION BY l_returnflag
+                            ORDER BY cents, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(wgt) OVER (PARTITION BY l_returnflag) AS totw
+      FROM li
+    ),
+    m AS (
+      SELECT l_returnflag, cents, cumw, totw,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cumw, cents) AS rn
+      FROM c WHERE 2 * cumw >= totw
+    )
+    SELECT l_returnflag,
+           ROUND(cents / 100.0, 6) AS weighted_median,
+           CAST(totw AS BIGINT) AS total_weight
+    FROM m WHERE rn = 1
+    """,
+)
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (price weighted by shipped quantity — 'the price
+    at which half the volume moved', which the unweighted median misstates
+    whenever cheap items ship in bulk): sort each group by value with a unique
+    tie-break, prefix-sum the integer weights, and take the first row whose
+    cumulative weight reaches half the total. Every comparison is exact
+    integer arithmetic (2·cumw ≥ totw — no float division before the pick).
+    Both window passes and the pick share one partition key = one shuffle; at
+    100 TB the same statistic comes from the distributed-rank operator over
+    (group, value) with per-partition weight offsets."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round("l_quantity").cast("long").alias("wgt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wgt").over(wo).alias("cumw"),
+        F.sum("wgt").over(wt).alias("totw"),
+    ).filter(2 * F.col("cumw") >= F.col("totw"))
+    wr = Window.partitionBy("l_returnflag").orderBy("cumw", "cents")
+    return (
+        c.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round(F.col("cents") / 100.0, 6).alias("weighted_median"),
+            F.col("totw").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "g_kcore_peel",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT LEAST(l_orderkey % 2000, l_partkey % 2000) AS u,
+             GREATEST(l_orderkey % 2000, l_partkey % 2000) AS v
+      FROM lineitem
+      WHERE l_orderkey % 2000 != l_partkey % 2000
+    ),
+    r0 AS (SELECT u, v FROM e0),
+    d1 AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM r0 UNION ALL SELECT v FROM r0
+      ) GROUP BY node HAVING COUNT(*) >= 60
+    ),
+    r1 AS (
+      SELECT r0.u, r0.v FROM r0
+      JOIN d1 a ON r0.u = a.node JOIN d1 b ON r0.v = b.node
+    ),
+    d2 AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM r1 UNION ALL SELECT v FROM r1
+      ) GROUP BY node HAVING COUNT(*) >= 60
+    ),
+    r2 AS (
+      SELECT r1.u, r1.v FROM r1
+      JOIN d2 a ON r1.u = a.node JOIN d2 b ON r1.v = b.node
+    ),
+    d3 AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM r2 UNION ALL SELECT v FROM r2
+      ) GROUP BY node HAVING COUNT(*) >= 60
+    ),
+    r3 AS (
+      SELECT r2.u, r2.v FROM r2
+      JOIN d3 a ON r2.u = a.node JOIN d3 b ON r2.v = b.node
+    ),
+    dd AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM r3 UNION ALL SELECT v FROM r3
+      ) GROUP BY node
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+           CAST((SELECT COUNT(*) FROM r3) AS BIGINT) AS n_core_edges,
+           CAST(COALESCE(MIN(deg), 0) AS BIGINT) AS min_core_degree,
+           CAST(COALESCE(MAX(deg), 0) AS BIGINT) AS max_core_degree
+    FROM dd
+    """,
+)
+def g_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (3 unrolled rounds, k=60):
+    repeatedly drop vertices with degree < k and restrict edges to survivors —
+    the dense-subgraph extraction used for community seeds and spam/bot rings.
+    Each round is one degree aggregation + two semi-join-shaped edge filters
+    keyed on the node — the level-synchronous shape again, every round's
+    shuffle on the same key (AQE coalesces the shrinking frames). Fixed-round
+    unrolling mirrors production jobs (run to a round budget, not to
+    convergence); summary pins the surviving core's size and degree bounds."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.least(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("u"),
+            F.greatest(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    k = 60
+    for _ in range(3):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionByName(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        edges = edges.join(
+            deg.withColumnRenamed("node", "u"), "u", "left_semi"
+        ).join(deg.withColumnRenamed("node", "v"), "v", "left_semi")
+    dd = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("ne"))
+    return dd.agg(
+        F.count(F.lit(1)).alias("n_core_nodes"),
+        F.coalesce(F.min("deg"), F.lit(0)).cast("long").alias("min_core_degree"),
+        F.coalesce(F.max("deg"), F.lit(0)).cast("long").alias("max_core_degree"),
+    ).crossJoin(F.broadcast(n_edges)).select(
+        "n_core_nodes",
+        F.col("ne").alias("n_core_edges"),
+        "min_core_degree",
+        "max_core_degree",
+    )
+
+
+@register(
+    "a_session_paths",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000 + event_id AS seq
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_type, seq,
+             CASE WHEN sec - LAG(sec) OVER w > 1800 OR LAG(sec) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY seq)
+    ),
+    sess AS (
+      SELECT user_id, event_type, seq,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY seq
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    ),
+    numbered AS (
+      SELECT user_id, sess_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess_id ORDER BY seq) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, sess_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM numbered WHERE rn <= 3
+      GROUP BY user_id, sess_id
+    ),
+    counted AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM paths GROUP BY path
+    ),
+    ranked AS (
+      SELECT path, n_sessions,
+             ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rn
+      FROM counted
+    )
+    SELECT path, n_sessions, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def a_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis (the product-analytics 'top user journeys'
+    report): sessionize by 30-minute gaps (the gaps-and-islands encoding that
+    stream_session_window's oracle proves equivalent to the native operator),
+    take each session's first three event types in time order, and rank the
+    resulting paths by frequency. Path assembly is an ORDER-pinned string_agg
+    over ≤ 3 rows per session; the unique seq key (sec×10⁵+event_id) makes
+    the order total so both engines build identical strings. Global top-10 is
+    heap-merged (TakeOrderedAndProject)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+        (F.col("ts").cast("long") * 100000 + F.col("event_id")).alias("seq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("seq")
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w) > 1800)
+            | F.lag("sec").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("seq")
+    numbered = sess.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= 3
+    )
+    paths = numbered.groupBy("user_id", "sess_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda r: r["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    top = counted.orderBy(F.col("n_sessions").desc(), "path").limit(10)
+    return top.select(
+        "path",
+        "n_sessions",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_sessions").desc(), "path"))
+        .cast("long")
+        .alias("rn"),
+    )
+
+
+@register(
+    "mm_audio_vad_segments",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, repeat(md5(text), 16) AS phex
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    chunks AS (
+      SELECT media_id, CAST(c AS INT) AS chunk_idx,
+             CAST(('0x' || substr(phex, 32 * c + 1, 8)) AS BIGINT) AS energy
+      FROM (
+        SELECT media_id, phex, unnest(generate_series(0, 15)) AS c FROM media
+      )
+    ),
+    voiced AS (
+      SELECT media_id, chunk_idx,
+             chunk_idx - ROW_NUMBER() OVER (PARTITION BY media_id
+                                            ORDER BY chunk_idx) AS island
+      FROM chunks WHERE energy > 2147483648
+    ),
+    seg AS (
+      SELECT media_id, island, CAST(COUNT(*) AS BIGINT) AS seg_len
+      FROM voiced GROUP BY media_id, island
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(MAX(seg_len) AS BIGINT) AS longest_segment,
+           CAST(SUM(seg_len) AS BIGINT) AS n_voiced_chunks
+    FROM seg GROUP BY media_id
+    """,
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over audio payloads: chunk each clip
+    (the SAME Arrow-batched stubbed-codec path as mm_audio_chunks), reduce
+    each chunk to a scalar energy, threshold, and merge consecutive voiced
+    chunks into segments with the gaps-and-islands window — per clip: segment
+    count, longest segment, voiced total. The energy here is the
+    deterministic payload slice the stub defines (oracle replays it as md5
+    hex arithmetic); a real VAD swaps the energy function only — the
+    explode → threshold → islands → aggregate plan is the production shape
+    with state bounded per clip."""
+    from ortholog_pipeline_spark import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.synthesize_media_from_documents(docs)
+    chunks = MM.chunk_audio(media, chunk_ms=250).select(
+        "media_id",
+        "chunk_idx",
+        F.conv(F.substring(F.hex("chunk_payload"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("energy"),
+    )
+    voiced = chunks.filter(F.col("energy") > 2147483648).select(
+        "media_id",
+        "chunk_idx",
+        (
+            F.col("chunk_idx")
+            - F.row_number().over(
+                Window.partitionBy("media_id").orderBy("chunk_idx")
+            )
+        ).alias("island"),
+    )
+    seg = voiced.groupBy("media_id", "island").agg(
+        F.count(F.lit(1)).alias("seg_len")
+    )
+    return seg.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.max("seg_len").alias("longest_segment"),
+        F.sum("seg_len").alias("n_voiced_chunks"),
+    )

@@ -488,3 +488,41 @@ def test_mmr_rounds_stay_on_candidate_frame(spark):
     (the corpus-sized work ended at the ANN stage)."""
     plan = _plan(spark, "emb_mmr_rerank")
     assert "SortMergeJoin" not in plan
+
+
+def test_interpolation_windows_share_user_shuffle(spark):
+    """Grid explode + both IGNORE-NULLS context windows must all key on
+    user_id — no extra exchanges between them."""
+    plan = _plan(spark, "w_linear_interpolation")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "user_id" in line, line
+
+
+def test_weighted_median_partitioned_prefix(spark):
+    """The weight prefix-sum must partition by the group key — the exact
+    weighted median never funnels a group through one task."""
+    plan = _plan(spark, "a_weighted_median")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "l_returnflag" in line, line
+
+
+def test_kcore_rounds_semi_join(spark):
+    """Each peel round must restrict edges via hash semi-joins on the node
+    key — no nested loops."""
+    plan = _plan(spark, "g_kcore_peel")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_session_paths_take_ordered(spark):
+    plan = _plan(spark, "a_session_paths")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vad_islands_partitioned_by_media(spark):
+    plan = _plan(spark, "mm_audio_vad_segments")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "media_id" in line, line

@@ -137,6 +137,15 @@ HEADLINE = [
     "g_kcore_peel",
     "a_session_paths",
     "mm_audio_vad_segments",
+    # round-2 wave 20: classic decision-support shapes (TPC-H Q4..Q18 analogs)
+    "j_returned_items_topk",
+    "a_promo_revenue",
+    "j_order_priority_exists",
+    "a_market_share",
+    "j_customer_order_distribution",
+    "a_top_supplier",
+    "a_brand_supplier_counts",
+    "j_large_qty_orders",
 ]
 
 

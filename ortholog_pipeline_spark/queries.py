@@ -8565,3 +8565,435 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seg_len").alias("longest_segment"),
         F.sum("seg_len").alias("n_voiced_chunks"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 20 — classic decision-support shapes (TPC-H Q4/Q8/Q10/Q12/Q13/Q14/
+# Q15/Q16/Q18 analogs, adapted to the available columns). These pin the
+# optimizer behaviors a warehouse engine lives on: EXISTS→semi-join,
+# NOT IN→anti-join, outer-join count distributions, scalar-subquery max,
+# conditional aggregation, and broadcast-vs-shuffle tiering.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_returned_items_topk",
+    """
+    WITH rev AS (
+      SELECT c_custkey, c_name, n_name,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS rev_cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= DATE '1997-01-01'
+        AND o_orderdate <  DATE '1997-07-01'
+      GROUP BY c_custkey, c_name, n_name
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rev_cents DESC, c_custkey) AS rn
+      FROM rev
+    )
+    SELECT c_custkey, c_name, n_name,
+           ROUND(rev_cents / 100.0, 2) AS revenue
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def j_returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top-20 customers by revenue lost to returns in a
+    half-year window. The fact side is pruned by BOTH pushed filters
+    (returnflag on lineitem, the date band on orders) before the single
+    lineitem⋈orders shuffle; customer and nation broadcast. The top-20 ranks
+    on exact integer cents (float orderings are not total across engines)
+    and resolves ties by custkey, so the kept SET is deterministic. Global
+    top-k is heap-merged, never a single-partition window."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            )
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    top = rev.orderBy(F.col("rev_cents").desc(), "c_custkey").limit(20)
+    return top.select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+    )
+
+
+@register(
+    "a_promo_revenue",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-04-01'
+    """,
+)
+def a_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — share of one month's revenue from promotional parts:
+    a conditional aggregate over a broadcast dimension join. The month band
+    pushes into the lineitem scan; part broadcasts; the CASE folds into the
+    single partial-aggregate pass, so the whole query is one scan + one
+    1-row reduce. Ratio rounded (FP summation order differs per engine)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "j_order_priority_exists",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def j_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — orders of one quarter that had at least one line
+    shipped more than 30 days after ordering, counted per priority class.
+    EXISTS compiles to a LEFT SEMI join (no fact-side row multiplication —
+    an inner join + distinct would pay an extra shuffle to undo the fanout);
+    the quarter band prunes the orders scan before the join; the
+    non-equi part of the predicate (shipdate vs orderdate+30d) rides on the
+    semi-join condition so it's evaluated during the probe, not after."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "a_market_share",
+    """
+    WITH sales AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM sales GROUP BY o_year
+    """,
+)
+def a_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — NATION_5's yearly share of the AMERICA market. Two
+    roles for the same dimension (customer nation restricts the market,
+    supplier nation tags the share) = nation joined twice under different
+    aliases, both broadcast. The share is a conditional-sum ratio per year —
+    one wide shuffle (lineitem⋈orders) then a tiny group-by. Q8's LIKE-typed
+    part filter is dropped (no matching column) — the join topology is the
+    point."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    sales = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+                    0.0
+                )
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "j_late_lines_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS late_rate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j_late_lines_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (ship-mode swapped for priority, the column this
+    schema carries) — conditional counts of late vs on-time lines per
+    priority class. The late flag is computed inside the join projection so
+    the aggregate is a pure conditional count; one fact-fact shuffle, then a
+    5-row reduce. Demonstrates CASE-aggregation folding into partial
+    aggregates (map-side combine shrinks the shuffle to |priorities| rows
+    per task)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(late).alias("n_late"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(late) * 1.0 / F.count(F.lit(1)), 6).alias("late_rate"),
+        )
+    )
+
+
+@register(
+    "j_customer_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def j_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the order-count histogram over ALL customers,
+    including the zero bucket (the reason this must be an OUTER join: an
+    inner join silently drops never-ordered customers and the distribution
+    lies). The filter on the probe side lives in the JOIN CONDITION, not a
+    WHERE (a post-join WHERE would turn the outer join back into an inner
+    one). COUNT(o_orderkey) — not COUNT(*) — so unmatched customers count 0.
+    Two shuffles: the outer join and the tiny histogram reduce."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "a_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(rev_cents / 100.0, 2) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_cents = (SELECT MAX(rev_cents) FROM rev)
+    """,
+)
+def a_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the supplier(s) achieving the quarter's maximum
+    revenue: aggregate per supplier, compare against a scalar-subquery max.
+    The revenue view is computed ONCE and reused for both the max and the
+    filter (Q15's stated intent); the 1-row max broadcasts back, so the
+    'subquery' costs one extra reduce, not a recompute. Comparing exact
+    integer cents makes the max-equality cross-engine stable where a float
+    == would be a coin flip."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            )
+            .cast("long")
+            .alias("rev_cents")
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("rev_cents").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_cents") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "a_brand_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def a_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — distinct-supplier counts per (brand, type, size)
+    excluding a blacklist (negative-balance suppliers stand in for Q16's
+    complaint suppliers). NOT IN compiles to a broadcast LEFT ANTI join (the
+    blacklist is verified non-null, so anti-join and NOT IN agree); the
+    three part predicates push into the broadcast build side so the fact
+    probe only keeps qualifying partkeys. COUNT(DISTINCT) expands to the
+    standard two-phase distinct aggregate — keys are (group, suppkey), no
+    global distinct bottleneck."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "j_large_qty_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+           ROUND(total_qty, 2) AS total_qty
+    FROM big
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def j_large_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — orders whose total quantity exceeds a threshold,
+    with their customers. The HAVING subquery reduces lineitem FIRST (the
+    6:1 fanout collapses at the map-side combine), and only the surviving
+    orderkeys join back to orders/customer — the aggregate-then-join
+    ordering that makes Q18 tractable at scale; joining first would shuffle
+    the whole fact twice. Customer broadcasts; the big-order set is small so
+    AQE converts the orders join to broadcast at runtime too."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )

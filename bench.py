@@ -146,6 +146,13 @@ HEADLINE = [
     "a_top_supplier",
     "a_brand_supplier_counts",
     "j_large_qty_orders",
+    # round-2 wave 21: evaluation statistics (AUC, NDCG, calibration, drift, MI)
+    "a_auc_rank",
+    "a_ndcg_at_k",
+    "a_calibration_bins",
+    "a_psi_drift",
+    "a_mutual_information",
+    "a_cramers_v",
 ]
 
 

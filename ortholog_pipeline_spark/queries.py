@@ -8997,3 +8997,381 @@ def j_large_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_qty", 2).alias("total_qty"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 21 — model/data evaluation statistics: the metrics a training-data
+# pipeline computes over every candidate dataset and every trained scorer
+# (AUC, NDCG, calibration, PSI drift, mutual information, Cramér's V). All
+# are contingency/rank reductions — tiny outputs, one or two shuffles, no
+# Python in the plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_auc_rank",
+    """
+    WITH scored AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    per_score AS (
+      SELECT score, CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT n_pos, n_neg,
+             SUM(n_neg) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) - n_neg
+               AS neg_below
+      FROM per_score
+    )
+    SELECT ROUND(SUM(n_pos * (neg_below + 0.5 * n_neg))
+                 / ((SELECT SUM(n_pos) FROM per_score)
+                    * (SELECT SUM(n_neg) FROM per_score)), 6) AS auc,
+           CAST((SELECT SUM(n_pos) FROM per_score) AS BIGINT) AS n_pos,
+           CAST((SELECT SUM(n_neg) FROM per_score) AS BIGINT) AS n_neg
+    FROM cum
+    """,
+)
+def a_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC via the rank-sum identity: AUC =
+    P(score⁺ > score⁻) + ½P(=), computed from per-DISTINCT-SCORE class
+    counts and a cumulative negative count — never a per-row global sort.
+    The cumulative window runs over distinct scores (bounded: |unique
+    scores|, not |rows|); at 100 TB with a continuous scorer, quantize
+    scores to fixed bins first (the formula is unchanged) or feed the
+    per-score frame through the range-partitioned prefix-sum operator —
+    either keeps the reduction out of a single partition. Label = class
+    ≥ 5 on the embeddings table's stored labels, score = dim 0."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    per_score = emb.groupBy("score").agg(
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_score.withColumn(
+        "neg_below", F.sum("n_neg").over(w) - F.col("n_neg")
+    )
+    return cum.agg(
+        F.round(
+            F.sum(F.col("n_pos") * (F.col("neg_below") + 0.5 * F.col("n_neg")))
+            / (F.sum("n_pos") * F.sum("n_neg")),
+            6,
+        ).alias("auc"),
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+    )
+
+
+@register(
+    "a_ndcg_at_k",
+    """
+    WITH ranked AS (
+      SELECT source,
+             CAST(n_chars % 4 AS DOUBLE) AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5('rk' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        doc_id) AS pos,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars % 4 DESC, doc_id) AS ideal_pos
+      FROM documents
+    )
+    SELECT source,
+           ROUND(SUM(CASE WHEN pos <= 10
+                          THEN (POWER(2, rel) - 1) / LOG2(pos + 1.0) ELSE 0 END)
+                 / SUM(CASE WHEN ideal_pos <= 10
+                            THEN (POWER(2, rel) - 1) / LOG2(ideal_pos + 1.0)
+                            ELSE 0 END), 6) AS ndcg10
+    FROM ranked GROUP BY source
+    """,
+)
+def a_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query group (source = the query, a portable-hash ordering
+    = the retrieval scorer under test, n_chars mod 4 = the graded relevance
+    judgment): DCG over the scorer's top-10 divided by the ideal DCG over
+    the same group's best-possible ordering. Both rankings come from ONE
+    window shuffle on the group key (two orderings over the same partition);
+    groups are independent, so at 100 TB this is embarrassingly parallel per
+    query — the classic search-eval reduction with no driver loop."""
+    docs = _t(spark, sf_dir, "documents")
+    score = DD.hex_hash64(F.concat(F.lit("rk"), F.col("doc_id").cast("string")))
+    rel = (F.col("n_chars") % 4).cast("double")
+    w_scored = Window.partitionBy("source").orderBy(score.asc(), "doc_id")
+    w_ideal = Window.partitionBy("source").orderBy(
+        (F.col("n_chars") % 4).desc(), "doc_id"
+    )
+    ranked = docs.select(
+        "source",
+        rel.alias("rel"),
+        F.row_number().over(w_scored).alias("pos"),
+        F.row_number().over(w_ideal).alias("ideal_pos"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    return ranked.groupBy("source").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("pos") <= 10, gain / F.log2(F.col("pos") + 1.0)).otherwise(
+                    0.0
+                )
+            )
+            / F.sum(
+                F.when(
+                    F.col("ideal_pos") <= 10,
+                    gain / F.log2(F.col("ideal_pos") + 1.0),
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("ndcg10")
+    )
+
+
+@register(
+    "a_calibration_bins",
+    """
+    WITH scored AS (
+      SELECT LEAST(value / 500.0, 0.999999) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    )
+    SELECT CAST(FLOOR(p * 10) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(p), 6) AS mean_pred,
+           ROUND(AVG(y), 6) AS frac_pos,
+           ROUND(AVG((p - y) * (p - y)), 6) AS brier
+    FROM scored GROUP BY 1
+    """,
+)
+def a_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/reliability curve: bucket predicted probabilities (the
+    event value rescaled to [0,1) stands in for a model score) into fixed
+    deciles and compare mean prediction vs observed positive rate, plus the
+    per-bin Brier contribution. Fixed-width bins — NOT data-dependent
+    quantiles — so the binning needs no global sort, is identical on any
+    engine, and the whole query is one map + one 10-row aggregate."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.least(F.col("value") / 500.0, F.lit(0.999999)).alias("p"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    return ev.groupBy(
+        F.floor(F.col("p") * 10).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p"), 6).alias("mean_pred"),
+        F.round(F.avg("y"), 6).alias("frac_pos"),
+        F.round(F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))), 6).alias(
+            "brier"
+        ),
+    )
+
+
+@register(
+    "a_psi_drift",
+    """
+    WITH binned AS (
+      SELECT LEAST(9, CAST(FLOOR(o_totalprice / 50000) AS BIGINT)) AS bin,
+             CASE WHEN EXTRACT(year FROM o_orderdate) = 1996 THEN 1 ELSE 0 END AS is_ref,
+             CASE WHEN EXTRACT(year FROM o_orderdate) = 2000 THEN 1 ELSE 0 END AS is_cur
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN (1996, 2000)
+    ),
+    per_bin AS (
+      SELECT bin, CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(is_cur) AS BIGINT) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM per_bin)
+    SELECT ROUND(SUM(((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0))
+                     * LN(((n_cur + 0.5) / (t_cur + 5.0))
+                          / ((n_ref + 0.5) / (t_ref + 5.0)))), 6) AS psi,
+           CAST(MAX(t_ref) AS BIGINT) AS n_ref_total,
+           CAST(MAX(t_cur) AS BIGINT) AS n_cur_total
+    FROM per_bin, tot
+    """,
+)
+def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference period (1996) and a
+    current period (2000) of the order-value distribution — the standard
+    'did the feature drift' gate before a model retrain. Fixed-width bins
+    with +0.5 Laplace smoothing (an empty bin would make the log blow up;
+    smoothing keeps PSI defined and engine-identical). Both periods are
+    counted in ONE conditional-aggregate pass over the pruned scan, then a
+    10-row reduce — no second read of the fact table."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.least(F.lit(9), F.floor(F.col("o_totalprice") / 50000))
+        .cast("long")
+        .alias("bin"),
+        F.year("o_orderdate").alias("yr"),
+    ).filter(F.col("yr").isin(1996, 2000))
+    per_bin = orders.groupBy("bin").agg(
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("yr") == 2000, 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = per_bin.crossJoin(F.broadcast(tot))
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)
+    return j.agg(
+        F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias("psi"),
+        F.max("t_ref").cast("long").alias("n_ref_total"),
+        F.max("t_cur").cast("long").alias("n_cur_total"),
+    )
+
+
+@register(
+    "a_mutual_information",
+    """
+    WITH xy AS (
+      SELECT c_mktsegment AS x, r_name AS y, CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT x, y, n_xy,
+             SUM(n_xy) OVER (PARTITION BY x) AS n_x,
+             SUM(n_xy) OVER (PARTITION BY y) AS n_y,
+             SUM(n_xy) OVER () AS n
+      FROM xy
+    )
+    SELECT ROUND(SUM((n_xy * 1.0 / n) * LN(n_xy * 1.0 * n / (n_x * n_y))), 6) AS mi_nats,
+           ROUND(SUM((n_xy * 1.0 / n) * LN(n_xy * 1.0 * n / (n_x * n_y)))
+                 / SQRT((SELECT -SUM((n_x * 1.0 / n) * LN(n_x * 1.0 / n))
+                         FROM (SELECT DISTINCT x, n_x, n FROM m))
+                        * (SELECT -SUM((n_y * 1.0 / n) * LN(n_y * 1.0 / n))
+                           FROM (SELECT DISTINCT y, n_y, n FROM m))), 6) AS nmi,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM m
+    """,
+)
+def a_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and its sqrt-normalized form) between market
+    segment and customer region — the feature-selection screen for
+    categorical pairs. The contingency table is the only fact-sized
+    aggregate; marginals come from windows OVER THE CONTINGENCY TABLE
+    (|x|·|y| rows, trivially small), never from re-scanning the input. NMI
+    divides by √(H(x)·H(y)) computed from the same marginals. Everything
+    downstream of the first group-by is bounded by category cardinality."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    xy = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("c_mktsegment").alias("x"), F.col("r_name").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    m = xy.select(
+        "x",
+        "y",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("x")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("y")).alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy()).alias("n"),
+    ).persist()
+    mi = F.sum(
+        (F.col("n_xy") * 1.0 / F.col("n"))
+        * F.log(F.col("n_xy") * 1.0 * F.col("n") / (F.col("n_x") * F.col("n_y")))
+    )
+    hx_df = (
+        m.select("x", "n_x", "n")
+        .distinct()
+        .agg(
+            (-F.sum((F.col("n_x") * 1.0 / F.col("n")) * F.log(F.col("n_x") * 1.0 / F.col("n"))))
+            .alias("hx")
+        )
+    )
+    hy_df = (
+        m.select("y", "n_y", "n")
+        .distinct()
+        .agg(
+            (-F.sum((F.col("n_y") * 1.0 / F.col("n")) * F.log(F.col("n_y") * 1.0 / F.col("n"))))
+            .alias("hy")
+        )
+    )
+    return (
+        m.agg(mi.alias("mi_raw"), F.max("n").cast("long").alias("n"))
+        .crossJoin(F.broadcast(hx_df))
+        .crossJoin(F.broadcast(hy_df))
+        .select(
+            F.round(F.col("mi_raw"), 6).alias("mi_nats"),
+            F.round(F.col("mi_raw") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias(
+                "nmi"
+            ),
+            "n",
+        )
+    )
+
+
+@register(
+    "a_cramers_v",
+    """
+    WITH xy AS (
+      SELECT event_type AS x,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS y,
+             CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT x, y, n_xy,
+             SUM(n_xy) OVER (PARTITION BY x) AS n_x,
+             SUM(n_xy) OVER (PARTITION BY y) AS n_y,
+             SUM(n_xy) OVER () AS n
+      FROM xy
+    ),
+    chi AS (
+      SELECT SUM(POWER(n_xy - n_x * n_y * 1.0 / n, 2) / (n_x * n_y * 1.0 / n))
+               AS chi2,
+             MAX(n) AS n,
+             COUNT(DISTINCT x) AS r, COUNT(DISTINCT y) AS c
+      FROM m
+    )
+    SELECT ROUND(chi2, 4) AS chi2,
+           ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v,
+           CAST(n AS BIGINT) AS n
+    FROM chi
+    """,
+)
+def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event type and day-of-week — 'is usage
+    behavior weekday-dependent' as a single effect-size number. Day-of-week
+    comes from epoch-day mod 7 (DATE_DIFF from a fixed epoch), not the
+    engines' 1-vs-0-indexed DAYOFWEEK builtins, so both engines bucket
+    identically. Same contingency-then-windows shape as the MI query: one
+    fact aggregate, then all χ² arithmetic over the 35-cell table."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("x"),
+        (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) % 7)
+        .alias("y"),
+    )
+    xy = ev.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+    m = xy.select(
+        "x",
+        "y",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("x")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("y")).alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("n_x") * F.col("n_y") * 1.0 / F.col("n")
+    chi = m.agg(
+        F.sum(F.pow(F.col("n_xy") - e, 2) / e).alias("chi2"),
+        F.max("n").alias("n"),
+        F.countDistinct("x").alias("r"),
+        F.countDistinct("y").alias("c"),
+    )
+    return chi.select(
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))),
+            6,
+        ).alias("cramers_v"),
+        F.col("n").cast("long").alias("n"),
+    )

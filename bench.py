@@ -153,6 +153,10 @@ HEADLINE = [
     "a_psi_drift",
     "a_mutual_information",
     "a_cramers_v",
+    # round-2 wave 22: community detection, link prediction, GNN sampling
+    "g_label_propagation",
+    "g_link_prediction",
+    "g_neighbor_sampling",
 ]
 
 

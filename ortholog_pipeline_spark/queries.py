@@ -9375,3 +9375,300 @@ def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cramers_v"),
         F.col("n").cast("long").alias("n"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 22 — graph operators #2: community detection (label propagation),
+# link prediction (common neighbors / Jaccard), and GNN-style neighbor
+# sampling. All level-synchronous joins on the node key — the Pregel
+# dataflow re-expressed as DataFrame rounds, no driver-side graph state.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_label_propagation",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT LEAST(l_orderkey % 2000, l_partkey % 2000) AS u,
+             GREATEST(l_orderkey % 2000, l_partkey % 2000) AS v
+      FROM lineitem
+      WHERE l_orderkey % 2000 != l_partkey % 2000
+        AND (l_orderkey * 31 + l_partkey) % 13 = 0
+    ),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    l0 AS (SELECT DISTINCT u AS node, u AS lab FROM e),
+    v1 AS (
+      SELECT e.u AS node, l.lab, COUNT(*) AS cnt FROM e
+      JOIN l0 l ON e.v = l.node GROUP BY e.u, l.lab
+    ),
+    l1 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+        FROM v1) WHERE rn = 1
+    ),
+    v2 AS (
+      SELECT e.u AS node, l.lab, COUNT(*) AS cnt FROM e
+      JOIN l1 l ON e.v = l.node GROUP BY e.u, l.lab
+    ),
+    l2 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+        FROM v2) WHERE rn = 1
+    ),
+    v3 AS (
+      SELECT e.u AS node, l.lab, COUNT(*) AS cnt FROM e
+      JOIN l2 l ON e.v = l.node GROUP BY e.u, l.lab
+    ),
+    l3 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+        FROM v3) WHERE rn = 1
+    ),
+    comm AS (
+      SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS size
+      FROM l3 GROUP BY lab
+    ),
+    ranked AS (
+      SELECT community, size,
+             ROW_NUMBER() OVER (ORDER BY size DESC, community) AS rn
+      FROM comm
+    )
+    SELECT community, size, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection, 3 synchronous rounds: every
+    node adopts the most frequent label among its neighbors (ties to the
+    smallest label — the tie-break is what makes synchronous LPA
+    deterministic; textbook LPA's random tie-break can't be oracled or
+    reproduced across engines). Each round = one join on the node key + one
+    (node,label) count + one per-node argmax window — three shuffles per
+    round, all on the same key, so bucketing the edge list by node makes
+    rounds co-partitioned at scale. Edges are hash-thinned so communities
+    don't collapse into one giant component before round 3. Top-10
+    communities by size."""
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter((F.col("l_orderkey") * 31 + F.col("l_partkey")) % 13 == 0)
+        .select(
+            F.least(F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000).alias(
+                "u"
+            ),
+            F.greatest(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = e.select(F.col("u").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    for _ in range(3):
+        votes = (
+            e.join(labels, e["v"] == labels["node"])
+            .groupBy(F.col("u").alias("nd"), "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("nd").orderBy(F.col("cnt").desc(), F.col("lab"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("nd").alias("node"), "lab")
+        )
+    comm = labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    top = comm.orderBy(F.col("size").desc(), "community").limit(10)
+    w_rn = Window.orderBy(F.col("size").desc(), "community")
+    return top.withColumn("rn", F.row_number().over(w_rn).cast("long"))
+
+
+@register(
+    "g_link_prediction",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT LEAST(l_orderkey % 1000, l_partkey % 1000) AS u,
+             GREATEST(l_orderkey % 1000, l_partkey % 1000) AS v
+      FROM lineitem
+      WHERE l_orderkey % 1000 != l_partkey % 1000
+        AND (l_orderkey * 31 + l_partkey) % 11 = 0
+    ),
+    adj AS (SELECT u AS node, v AS nbr FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node),
+    cn AS (
+      SELECT a.node AS x, b.node AS y, CAST(COUNT(*) AS BIGINT) AS common
+      FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+      GROUP BY a.node, b.node
+    ),
+    cand AS (
+      SELECT cn.x, cn.y, cn.common FROM cn
+      ANTI JOIN e0 ON cn.x = e0.u AND cn.y = e0.v
+    ),
+    scored AS (
+      SELECT cand.x, cand.y, cand.common,
+             ROUND(cand.common * 1.0 / (dx.d + dy.d - cand.common), 6) AS jaccard
+      FROM cand JOIN deg dx ON cand.x = dx.node JOIN deg dy ON cand.y = dy.node
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY common DESC, x, y) AS rn FROM scored
+    )
+    SELECT x, y, common, jaccard FROM ranked WHERE rn <= 20
+    """,
+)
+def g_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction: for every NON-adjacent pair sharing
+    ≥1 neighbor, count shared neighbors and the neighborhood Jaccard; top-20
+    candidate links. The pair enumeration is the wedge self-join (adj ⋈ adj
+    on the shared neighbor) — its cost is Σ deg², which is why the edge
+    space is hash-thinned here and why, at 100 TB, the standard guard is a
+    degree cap (drop hub wedges) or DIMSUM-style sampling BEFORE the join;
+    the thinning predicate stands in for that cap. Existing edges leave via
+    an anti-join on the canonical (min,max) pair; ranking is by integer
+    common-count with pair tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter((F.col("l_orderkey") * 31 + F.col("l_partkey")) % 11 == 0)
+        .select(
+            F.least(F.col("l_orderkey") % 1000, F.col("l_partkey") % 1000).alias(
+                "u"
+            ),
+            F.greatest(
+                F.col("l_orderkey") % 1000, F.col("l_partkey") % 1000
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    adj = e0.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        e0.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    a = adj.select(F.col("node").alias("x"), "nbr")
+    b = adj.select(F.col("node").alias("y"), "nbr")
+    cn = (
+        a.join(b, ["nbr"])
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = cn.join(
+        e0,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_anti",
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    scored = (
+        cand.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            "x",
+            "y",
+            "common",
+            F.round(
+                F.col("common") * 1.0 / (F.col("dx") + F.col("dy") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("common").desc(), "x", "y").limit(20).select(
+        "x", "y", "common", "jaccard"
+    )
+
+
+@register(
+    "g_neighbor_sampling",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT LEAST(l_orderkey % 2000, l_partkey % 2000) AS u,
+             GREATEST(l_orderkey % 2000, l_partkey % 2000) AS v
+      FROM lineitem
+      WHERE l_orderkey % 2000 != l_partkey % 2000
+    ),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    h1 AS (
+      SELECT u AS seed, v FROM (
+        SELECT u, v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY u
+                 ORDER BY CAST(('0x' || substr(md5('ns' || CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT), v
+               ) AS rn
+        FROM e WHERE u < 50
+      ) WHERE rn <= 3
+    ),
+    h2 AS (
+      SELECT DISTINCT h1.seed, s.w FROM h1
+      JOIN (
+        SELECT u, v AS w FROM (
+          SELECT u, v,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY u
+                   ORDER BY CAST(('0x' || substr(md5('ns' || CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT), v
+                 ) AS rn
+          FROM e
+        ) WHERE rn <= 2
+      ) s ON h1.v = s.u
+    )
+    SELECT seed,
+           CAST((SELECT COUNT(*) FROM h1 i WHERE i.seed = o.seed) AS BIGINT) AS n_hop1,
+           CAST(COUNT(*) AS BIGINT) AS n_hop2
+    FROM h2 o GROUP BY seed
+    """,
+)
+def g_neighbor_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style minibatch neighbor sampling: fanout 3 at hop 1, 2 at
+    hop 2, per seed node. The sample is a HASH-ordered row_number per source
+    node — deterministic across engines, reruns, and partitionings (the
+    rerun-stability property df.sample() lacks), and the hop-2 sample is
+    keyed on the intermediate node alone so every seed reaching v draws the
+    SAME sample of v's neighbors (one pass computes it once, the join fans
+    it out — this is exactly how a production GNN sampler amortizes hub
+    nodes). Two window shuffles + one join; per-seed output is bounded by
+    the fanout product."""
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        li.select(
+            F.least(F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000).alias(
+                "u"
+            ),
+            F.greatest(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    hsh = DD.hex_hash64(
+        F.concat(
+            F.lit("ns"),
+            F.col("u").cast("string"),
+            F.lit("_"),
+            F.col("v").cast("string"),
+        )
+    )
+    w_u = Window.partitionBy("u").orderBy(hsh.asc(), F.col("v"))
+    sampled = e.withColumn("rn", F.row_number().over(w_u)).persist()
+    h1 = (
+        sampled.filter((F.col("u") < 50) & (F.col("rn") <= 3))
+        .select(F.col("u").alias("seed"), "v")
+        .persist()
+    )
+    s2 = sampled.filter(F.col("rn") <= 2).select(
+        F.col("u").alias("mid"), F.col("v").alias("w")
+    )
+    h2 = (
+        h1.join(s2, h1["v"] == s2["mid"])
+        .select("seed", "w")
+        .distinct()
+        .groupBy("seed")
+        .agg(F.count(F.lit(1)).alias("n_hop2"))
+    )
+    n1 = h1.groupBy("seed").agg(F.count(F.lit(1)).alias("n_hop1"))
+    return n1.join(h2, "seed").select("seed", "n_hop1", "n_hop2")

@@ -157,6 +157,12 @@ HEADLINE = [
     "g_label_propagation",
     "g_link_prediction",
     "g_neighbor_sampling",
+    # round-2 wave 23: readability, vocabulary profile, ACF, rolling corr, pHash
+    "text_readability",
+    "text_hapax_zipf",
+    "w_acf_daily",
+    "w_rolling_corr",
+    "mm_phash_neardup",
 ]
 
 

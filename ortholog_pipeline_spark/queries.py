@@ -9672,3 +9672,323 @@ def g_neighbor_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1 = h1.groupBy("seed").agg(F.count(F.lit(1)).alias("n_hop1"))
     return n1.join(h2, "seed").select("seed", "n_hop1", "n_hop2")
+
+# ---------------------------------------------------------------------------
+# Wave 23 — corpus linguistics + time-series diagnostics + perceptual-hash
+# media dedup: readability scoring, Zipf/hapax vocabulary profiles, daily
+# autocorrelation, rolling cross-correlation, and Hamming-banded pHash
+# near-duplicate detection.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_readability",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS syllables
+      FROM documents
+    )
+    SELECT doc_id, words, syllables,
+           CAST(CEIL(words / 15.0) AS BIGINT) AS sentences,
+           ROUND(206.835 - 1.015 * (words * 1.0 / CEIL(words / 15.0))
+                 - 84.6 * (syllables * 1.0 / words), 4) AS flesch
+    FROM c WHERE words > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document: syllables approximated by vowel-group
+    counts (the standard heuristic when no dictionary is shipped), sentences
+    as fixed 15-word units (this corpus carries no terminal punctuation; on
+    real text swap the denominator for a [.!?]+ match count — the plan is
+    unchanged). Pure regexp counting inside whole-stage codegen — one
+    narrow map, no shuffle at all; the cheapest per-document quality signal
+    in the curation stack and the first gate applied at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), 0))
+        .cast("long")
+        .alias("words"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+        )
+        .cast("long")
+        .alias("syllables"),
+    ).filter(F.col("words") > 0)
+    sentences = F.ceil(F.col("words") / 15.0)
+    return c.select(
+        "doc_id",
+        "words",
+        "syllables",
+        sentences.cast("long").alias("sentences"),
+        F.round(
+            206.835
+            - 1.015 * (F.col("words") * 1.0 / sentences)
+            - 84.6 * (F.col("syllables") * 1.0 / F.col("words")),
+            4,
+        ).alias("flesch"),
+    )
+
+
+@register(
+    "text_hapax_zipf",
+    """
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           ROUND(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS hapax_ratio,
+           ROUND(COUNT(*) * 1.0 / SUM(freq), 6) AS type_token_ratio,
+           ROUND(MAX(freq) * 1.0 / SUM(freq), 6) AS top_term_share
+    FROM tf GROUP BY source
+    """,
+)
+def text_hapax_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary profile per corpus slice: type count, token count, hapax
+    ratio (share of once-only words — the Zipf-tail health check; scraped
+    spam and OCR noise push it toward 1, boilerplate toward 0), type/token
+    ratio, and the head term's share. The explode is the only fanout; the
+    (source, token) aggregate combines map-side so the shuffle carries term
+    frequencies, not tokens — the word-count dataflow, reduced twice."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("freq"))
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)) * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+        F.round(F.count(F.lit(1)) * 1.0 / F.sum("freq"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.max("freq") * 1.0 / F.sum("freq"), 6).alias("top_term_share"),
+    )
+
+
+@register(
+    "w_acf_daily",
+    """
+    WITH daily AS (
+      SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT l_returnflag,
+             cents / 100.0 AS x,
+             LAG(cents, 1) OVER w / 100.0 AS x1,
+             LAG(cents, 2) OVER w / 100.0 AS x2,
+             LAG(cents, 3) OVER w / 100.0 AS x3
+      FROM daily WINDOW w AS (PARTITION BY l_returnflag ORDER BY d)
+    )
+    SELECT l_returnflag,
+           ROUND(CORR(x, x1), 6) AS acf1,
+           ROUND(CORR(x, x2), 6) AS acf2,
+           ROUND(CORR(x, x3), 6) AS acf3,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM lagged GROUP BY l_returnflag
+    """,
+)
+def w_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1-3, per return
+    flag — the seasonality screen run before choosing a forecasting model.
+    Day-summing first collapses the fact table to |groups|·|days| rows, so
+    the lag window and the corr aggregates run over thousands of points,
+    not millions; daily totals are snapped to integer cents BEFORE the lag
+    so both engines correlate bit-identical series. One shuffle for the
+    daily rollup, one partitioned window, one 3-row reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("d")
+    lagged = daily.select(
+        "l_returnflag",
+        (F.col("cents") / 100.0).alias("x"),
+        (F.lag("cents", 1).over(w) / 100.0).alias("x1"),
+        (F.lag("cents", 2).over(w) / 100.0).alias("x2"),
+        (F.lag("cents", 3).over(w) / 100.0).alias("x3"),
+    )
+    return lagged.groupBy("l_returnflag").agg(
+        F.round(F.corr("x", "x1"), 6).alias("acf1"),
+        F.round(F.corr("x", "x2"), 6).alias("acf2"),
+        F.round(F.corr("x", "x3"), 6).alias("acf3"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@register(
+    "w_rolling_corr",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100)
+                  AS BIGINT) / 100.0 AS rev_r,
+             CAST(ROUND(SUM(CASE WHEN l_returnflag = 'A'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100)
+                  AS BIGINT) / 100.0 AS rev_a
+      FROM lineitem GROUP BY 1
+    ),
+    rolled AS (
+      SELECT d,
+             CORR(rev_r, rev_a) OVER (ORDER BY d ROWS BETWEEN 29 PRECEDING
+                                      AND CURRENT ROW) AS corr30,
+             ROW_NUMBER() OVER (ORDER BY d) AS rn
+      FROM daily
+    )
+    SELECT d, ROUND(corr30, 6) AS corr30
+    FROM rolled WHERE rn >= 30 AND rn % 30 = 0
+    """,
+)
+def w_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling correlation between the returned-revenue and
+    accepted-revenue daily series — 'are these streams moving together this
+    month'. Both series come from ONE conditional rollup (no second scan,
+    no join); the rolling frame is a rows-window over the daily spine.
+    Output thinned to every 30th day (full windows only) to keep the
+    contract bounded. The daily spine is a single time-ordered window —
+    fine for |days| rows; at 100 TB of days-× -keys, partition the window
+    by series key as w_acf_daily does."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        (
+            F.round(F.sum(F.when(F.col("l_returnflag") == "R", rev).otherwise(0.0)) * 100)
+            .cast("long")
+            / 100.0
+        ).alias("rev_r"),
+        (
+            F.round(F.sum(F.when(F.col("l_returnflag") == "A", rev).otherwise(0.0)) * 100)
+            .cast("long")
+            / 100.0
+        ).alias("rev_a"),
+    )
+    w = Window.orderBy("d").rowsBetween(-29, 0)
+    w_rn = Window.orderBy("d")
+    rolled = daily.select(
+        "d",
+        F.corr("rev_r", "rev_a").over(w).alias("corr30"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    return rolled.filter((F.col("rn") >= 30) & (F.col("rn") % 30 == 0)).select(
+        "d", F.round("corr30", 6).alias("corr30")
+    )
+
+
+@register(
+    "mm_phash_neardup",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, md5(repeat(md5(text), 16)) AS ph
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    bits AS (
+      SELECT media_id,
+             CAST(list_sum(list_transform(generate_series(0, 15),
+               i -> CASE WHEN CAST(('0x' || substr(ph, 2 * i + 1, 2)) AS BIGINT) >= 128
+                         THEN CAST(POWER(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)
+               AS phash
+      FROM media
+    ),
+    banded AS (
+      SELECT media_id, phash, b,
+             CAST((phash // CAST(POWER(16, b) AS BIGINT)) % 16 AS BIGINT) AS band_val
+      FROM bits, (SELECT unnest(generate_series(0, 3)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, a.phash AS ph_a,
+             c.media_id AS id_b, c.phash AS ph_b
+      FROM banded a JOIN banded c
+        ON a.b = c.b AND a.band_val = c.band_val AND a.media_id < c.media_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ph_a, ph_b)) <= 3
+    """,
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for binary media: a 16-bit
+    pHash from the stubbed decode's digest (each bit thresholds one digest
+    byte — a real pHash swaps in DCT coefficients, same signature shape),
+    then Hamming-banded LSH: 4 bands of 4 bits, candidates must share a
+    band. By pigeonhole, any pair within Hamming distance 3 agrees on ≥1
+    band, so banding has PERFECT recall at the ≤3 threshold — the candidate
+    join replaces the O(n²) comparison with |bucket|² work per band, and
+    the exact bit_count(xor) check runs only on candidates. The same plan
+    at 100 TB: signatures are map-side, the band join is the only shuffle."""
+    from ortholog_pipeline_spark import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = (
+        MM.synthesize_media_from_documents(docs)
+        .filter(F.col("media_type") == "image")
+        .select("media_id", F.md5(F.lower(F.hex(F.col("payload")))).alias("ph"))
+    )
+    bit_terms = [
+        F.when(
+            F.conv(F.substring("ph", 2 * i + 1, 2), 16, 10).cast("long") >= 128,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(16)
+    ]
+    bits = media.select(
+        "media_id",
+        sum(bit_terms[1:], bit_terms[0]).alias("phash"),
+    )
+    banded = bits.select(
+        "media_id",
+        "phash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).withColumn(
+        "band_val",
+        (F.col("phash") / F.pow(F.lit(16.0), F.col("b")).cast("long")).cast("long")
+        % 16,
+    )
+    a = banded.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("ph_a"),
+        "b",
+        "band_val",
+    )
+    c = banded.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("ph_b"),
+        "b",
+        "band_val",
+    )
+    cand = (
+        a.join(c, ["b", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "ph_a", "id_b", "ph_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= 3).select(
+        "id_a", "id_b", "hamming"
+    )

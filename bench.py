@@ -163,6 +163,12 @@ HEADLINE = [
     "w_acf_daily",
     "w_rolling_corr",
     "mm_phash_neardup",
+    # round-2 wave 24: bootstrap CI, KS test, feature hashing, class weights, URL dedup
+    "sample_poisson_bootstrap",
+    "a_ks_test",
+    "a_feature_hashing",
+    "sample_class_weights",
+    "dedup_url_canonical",
 ]
 
 

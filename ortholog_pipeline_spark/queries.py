@@ -9992,3 +9992,359 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= 3).select(
         "id_a", "id_b", "hamming"
     )
+
+# ---------------------------------------------------------------------------
+# Wave 24 — resampling statistics + feature prep: Poisson-bootstrap
+# confidence intervals, two-sample KS test, hash-trick vectorization,
+# class-balance weighting, and URL canonicalization dedup.
+# ---------------------------------------------------------------------------
+
+#: Poisson(1) inverse-CDF thresholds scaled to the 1e6 hash-bucket space:
+#: P(X<=k)·1e6 for k = 0..5; buckets above the last threshold draw 6.
+_POIS = [367879, 735758, 919698, 981011, 996340, 999405]
+
+
+def _pois_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@register(
+    "sample_poisson_bootstrap",
+    f"""
+    WITH reps AS (SELECT unnest(generate_series(0, 39)) AS b),
+    w AS (
+      SELECT reps.b,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             {_pois_sql("CAST(('0x' || substr(md5('bs' || CAST(reps.b AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000")} AS wt
+      FROM orders, reps
+    ),
+    means AS (
+      SELECT b, SUM(wt * cents) * 1.0 / SUM(wt) / 100.0 AS m
+      FROM w GROUP BY b HAVING SUM(wt) > 0
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn,
+             COUNT(*) OVER () AS nb
+      FROM means
+    )
+    SELECT ROUND((SELECT AVG(o_totalprice) FROM orders), 6) AS point_mean,
+           ROUND(MIN(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
+           ROUND(MIN(CASE WHEN rn = nb - 1 THEN m END), 6) AS ci_hi,
+           CAST(MAX(nb) AS BIGINT) AS n_replicates
+    FROM ranked
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the mean order value — THE bootstrap that
+    scales: instead of resampling n rows with replacement (which needs a
+    global index), every row draws an independent Poisson(1) weight per
+    replicate, so the whole procedure is a map-side explode (40 replicates)
+    + one weighted aggregate per replicate. Weights come from the portable
+    md5 coin through the Poisson inverse CDF (a 7-arm CASE), so every
+    engine draws the SAME bootstrap. Replicate means use exact integer
+    cents·weight sums; the CI is the 2nd/39th order statistic (~95%). At
+    100 TB the explode factor is the only cost knob — replicates stream
+    through partial aggregation with no extra shuffle."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_totalprice"),
+    )
+    u = F.pmod(
+        DD.hex_hash64(
+            F.concat(
+                F.lit("bs"),
+                F.col("b").cast("string"),
+                F.lit("_"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ),
+        F.lit(1_000_000),
+    )
+    reps = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(39))).alias("b"),
+    ).withColumn(
+        "wt",
+        F.coalesce(
+            *[
+                F.when(u < t, F.lit(k))
+                for k, t in enumerate(_POIS)
+            ],
+            F.lit(6),
+        ).cast("long"),
+    )
+    means = (
+        reps.groupBy("b")
+        .agg(
+            (F.sum(F.col("wt") * F.col("cents")) * 1.0 / F.sum("wt") / 100.0).alias(
+                "m"
+            ),
+            F.sum("wt").alias("tw"),
+        )
+        .filter(F.col("tw") > 0)
+    )
+    w_rn = Window.orderBy("m")
+    ranked = means.select(
+        "m",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    point = _t(spark, sf_dir, "orders").agg(
+        F.round(F.avg("o_totalprice"), 6).alias("point_mean")
+    )
+    ci = ranked.agg(
+        F.round(F.min(F.when(F.col("rn") == 2, F.col("m"))), 6).alias("ci_lo"),
+        F.round(
+            F.min(F.when(F.col("rn") == F.col("nb") - 1, F.col("m"))), 6
+        ).alias("ci_hi"),
+        F.max("nb").cast("long").alias("n_replicates"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "point_mean", "ci_lo", "ci_hi", "n_replicates"
+    )
+
+
+@register(
+    "a_ks_test",
+    """
+    WITH vals AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN EXTRACT(year FROM o_orderdate) = 1996 THEN 1 ELSE 0 END AS g1,
+             CASE WHEN EXTRACT(year FROM o_orderdate) = 2000 THEN 1 ELSE 0 END AS g2
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1996, 2000)
+    ),
+    per_val AS (
+      SELECT cents, CAST(SUM(g1) AS BIGINT) AS n1, CAST(SUM(g2) AS BIGINT) AS n2
+      FROM vals GROUP BY cents
+    ),
+    cum AS (
+      SELECT SUM(n1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c1,
+             SUM(n2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c2,
+             SUM(n1) OVER () AS t1, SUM(n2) OVER () AS t2,
+             cents
+      FROM per_val
+    ),
+    d AS (
+      SELECT cents, ABS(c1 * t2 - c2 * t1) AS dnum, t1, t2,
+             ROW_NUMBER() OVER (ORDER BY ABS(c1 * t2 - c2 * t1) DESC, cents) AS rn
+      FROM cum
+    )
+    SELECT ROUND(dnum * 1.0 / (t1 * t2), 6) AS ks_d,
+           ROUND(cents / 100.0, 2) AS at_value,
+           CAST(t1 AS BIGINT) AS n_ref, CAST(t2 AS BIGINT) AS n_cur
+    FROM d WHERE rn = 1
+    """,
+)
+def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the 1996 and 2000
+    order-value distributions — the nonparametric drift test that sees
+    shape changes PSI's 10 coarse bins blur out. D = max |F₁−F₂| evaluated
+    at every distinct value; the comparison is exact integer cross-products
+    (c1·t2 − c2·t1 — no float CDFs until the final division), so the argmax
+    and the statistic are engine-identical. Both empirical CDFs come from
+    ONE conditional aggregate + one cumulative window over distinct values;
+    at 100 TB, quantize values to fixed cents-bins first and the window
+    stays bounded."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.year("o_orderdate").alias("yr"),
+    ).filter(F.col("yr").isin(1996, 2000))
+    per_val = orders.groupBy("cents").agg(
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("yr") == 2000, 1).otherwise(0)).alias("n2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy()
+    cum = per_val.select(
+        "cents",
+        F.sum("n1").over(w).alias("c1"),
+        F.sum("n2").over(w).alias("c2"),
+        F.sum("n1").over(wa).alias("t1"),
+        F.sum("n2").over(wa).alias("t2"),
+    )
+    dnum = F.abs(F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1"))
+    best = (
+        cum.withColumn("dnum", dnum)
+        .orderBy(F.col("dnum").desc(), "cents")
+        .limit(1)
+    )
+    return best.select(
+        F.round(F.col("dnum") * 1.0 / (F.col("t1") * F.col("t2")), 6).alias("ks_d"),
+        F.round(F.col("cents") / 100.0, 2).alias("at_value"),
+        F.col("t1").cast("long").alias("n_ref"),
+        F.col("t2").cast("long").alias("n_cur"),
+    )
+
+
+@register(
+    "a_feature_hashing",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('fh' || tok), 1, 15)) AS BIGINT) % 16 AS dim
+      FROM toks
+    ),
+    per_doc AS (
+      SELECT doc_id, dim, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM hashed GROUP BY doc_id, dim
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(cnt) AS BIGINT) AS total_count,
+           CAST(MAX(cnt) AS BIGINT) AS max_per_doc
+    FROM per_doc GROUP BY dim
+    """,
+)
+def a_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-trick vectorization (the fixed-width bag-of-words every linear
+    baseline trains on): each token hashes to one of 16 dimensions via the
+    portable md5 hash — no vocabulary build, no dictionary broadcast, no
+    OOV problem, which is exactly why the trick survives at 100 TB where a
+    vocab join would need its own pipeline. Per-(doc, dim) counts collapse
+    map-side; the contract output is the per-dimension load profile (the
+    collision diagnostic you check before picking the width)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.pmod(DD.hex_hash64(F.concat(F.lit("fh"), F.col("tok"))), F.lit(16)).alias(
+            "dim"
+        ),
+    )
+    per_doc = hashed.groupBy("doc_id", "dim").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_doc.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("cnt").alias("total_count"),
+        F.max("cnt").alias("max_per_doc"),
+    )
+
+
+@register(
+    "sample_class_weights",
+    """
+    WITH per_class AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS k FROM per_class)
+    SELECT label, n,
+           ROUND(total * 1.0 / (k * n), 6) AS balanced_weight,
+           ROUND((1 - POWER(0.99, n)) / (1 - 0.99), 6) AS effective_n,
+           ROUND((1 - 0.99) / (1 - POWER(0.99, n)), 6) AS cb_weight
+    FROM per_class, tot
+    """,
+)
+def sample_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance weighting table for a skewed label column: inverse-
+    frequency weights (total/K·n) and the class-balanced 'effective number
+    of samples' weights ((1−β)/(1−βⁿ), β=0.99 — Cui et al.'s correction
+    that stops tiny classes from being over-boosted). One group-by plus a
+    broadcast 1-row total; the output is the weight table a training job
+    broadcasts back onto the corpus, so computing it is O(|classes|) after
+    the count."""
+    emb = _t(spark, sf_dir, "embeddings")
+    per_class = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_class.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    beta = F.lit(0.99)
+    return per_class.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        F.round(F.col("total") * 1.0 / (F.col("k") * F.col("n")), 6).alias(
+            "balanced_weight"
+        ),
+        F.round((1 - F.pow(beta, F.col("n"))) / (1 - beta), 6).alias("effective_n"),
+        F.round((1 - beta) / (1 - F.pow(beta, F.col("n"))), 6).alias("cb_weight"),
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://WWW.' || upper(source) || '.example.com/docs/' ||
+             CAST(doc_id % 40 AS VARCHAR) || '/?utm_source=feed&id=' ||
+             CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x' AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^https?://(?:www\\.)?([^/]+)', 1)) AS host,
+             regexp_replace(regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1),
+                            '/$', '') AS path,
+             list_aggr(list_sort(list_filter(
+               regexp_extract_all(url, '[?&]([^&#=]+=[^&#]*)', 1),
+               p -> NOT starts_with(p, 'utm_'))), 'string_agg', '&') AS params
+      FROM urls
+    )
+    SELECT host, path, COALESCE(params, '') AS params,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon GROUP BY 1, 2, 3
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first dedup pass of any web-crawl
+    pipeline, run BEFORE fetch so duplicate URLs never cost a download:
+    lowercase the host, strip www. and the trailing slash, drop utm_*
+    tracking parameters, and SORT the surviving query params (param order
+    is not identity). Groups with >1 doc are duplicate fetches; the keeper
+    is min(doc_id). All string surgery is regexp + array ops in codegen —
+    one narrow map then one exact group-by, the same shape as exact_dedup.
+    URLs here are synthesized deterministically from the documents table
+    (the corpus carries no URL column); the canonicalization rules are the
+    real operator."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("/?utm_source=feed&id="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_campaign=x"),
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    host = F.lower(F.regexp_extract("url", r"^https?://(?:www\.)?([^/]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^https?://[^/]+(/[^?#]*)", 1), r"/$", ""
+    )
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.regexp_extract_all("url", F.lit(r"[?&]([^&#=]+=[^&#]*)"), 1),
+                lambda p: ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = urls.select(
+        "doc_id",
+        host.alias("host"),
+        path.alias("path"),
+        F.coalesce(params, F.lit("")).alias("params"),
+    )
+    return (
+        canon.groupBy("host", "path", "params")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )

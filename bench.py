@@ -169,6 +169,11 @@ HEADLINE = [
     "a_feature_hashing",
     "sample_class_weights",
     "dedup_url_canonical",
+    # round-2 wave 25: BPE training rounds, Benford, entropy, l-diversity
+    "text_bpe_train_rounds",
+    "a_benford_law",
+    "a_entropy_columns",
+    "a_l_diversity",
 ]
 
 

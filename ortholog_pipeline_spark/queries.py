@@ -10348,3 +10348,329 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dups") > 1)
     )
+
+# ---------------------------------------------------------------------------
+# Wave 25 — tokenizer training (multi-round BPE merges), data-forensics
+# (Benford), information profiling (column entropy), and privacy audit
+# (l-diversity).
+# ---------------------------------------------------------------------------
+
+_BPE_PAIRS_SQL = """
+      SELECT p.pair, CAST(SUM(v.freq) AS BIGINT) AS pfreq
+      FROM {vocab} v, LATERAL (
+        SELECT unnest(list_transform(
+                 generate_series(1, len(string_split(v.sym, ' ')) - 1),
+                 i -> string_split(v.sym, ' ')[i] || '~' ||
+                      string_split(v.sym, ' ')[i + 1])) AS pair
+      ) p
+      GROUP BY p.pair
+"""
+
+
+@register(
+    "text_bpe_train_rounds",
+    f"""
+    WITH words AS (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ),
+    v0 AS (
+      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, freq
+      FROM words
+    ),
+    p1 AS ({_BPE_PAIRS_SQL.format(vocab="v0")}),
+    m1 AS (
+      SELECT pair, pfreq, string_split(pair, '~')[1] AS l,
+             string_split(pair, '~')[2] AS r
+      FROM p1 ORDER BY pfreq DESC, pair LIMIT 1
+    ),
+    v1 AS (
+      SELECT trim(replace(' ' || sym || ' ',
+                          ' ' || m1.l || ' ' || m1.r || ' ',
+                          ' ' || m1.l || m1.r || ' ')) AS sym, freq
+      FROM v0, m1
+    ),
+    p2 AS ({_BPE_PAIRS_SQL.format(vocab="v1")}),
+    m2 AS (
+      SELECT pair, pfreq, string_split(pair, '~')[1] AS l,
+             string_split(pair, '~')[2] AS r
+      FROM p2 ORDER BY pfreq DESC, pair LIMIT 1
+    ),
+    v2 AS (
+      SELECT trim(replace(' ' || sym || ' ',
+                          ' ' || m2.l || ' ' || m2.r || ' ',
+                          ' ' || m2.l || m2.r || ' ')) AS sym, freq
+      FROM v1, m2
+    ),
+    p3 AS ({_BPE_PAIRS_SQL.format(vocab="v2")}),
+    m3 AS (
+      SELECT pair, pfreq, string_split(pair, '~')[1] AS l,
+             string_split(pair, '~')[2] AS r
+      FROM p3 ORDER BY pfreq DESC, pair LIMIT 1
+    )
+    SELECT 1 AS round, l AS left_sym, r AS right_sym, pfreq AS pair_freq FROM m1
+    UNION ALL
+    SELECT 2, l, r, pfreq FROM m2
+    UNION ALL
+    SELECT 3, l, r, pfreq FROM m3
+    """,
+)
+def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE rounds of actual BPE training (not just pair statistics): count
+    weighted adjacent-symbol pairs over the (word, freq) vocabulary, pick
+    the most frequent pair (lexicographic tie-break — the determinism
+    textbook BPE leaves unspecified), merge it EVERYWHERE via delimited
+    string replace, repeat. The merge is applied with a broadcast of the
+    1-row winner — no collect(), no driver loop state — so each round is:
+    pair explode (map-side, weight = word freq), a tiny global top-1
+    (TakeOrderedAndProject), and a map-side rewrite. The vocabulary
+    aggregate runs ONCE; rounds operate on |vocab| rows, not the corpus —
+    the property that makes BPE training feasible at 100 TB (corpus →
+    vocab is the only fact-sized pass)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"), "freq"
+    )
+    merges = []
+    for rnd in range(1, 4):
+        syms = F.split(F.col("sym"), " ")
+        pairs = (
+            vocab.filter(F.size(syms) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(syms) - 1),
+                        lambda i: F.concat(
+                            F.element_at(syms, i),
+                            F.lit("~"),
+                            F.element_at(syms, i + 1),
+                        ),
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pfreq"))
+        )
+        m = (
+            pairs.orderBy(F.col("pfreq").desc(), "pair")
+            .limit(1)
+            .select(
+                F.lit(rnd).alias("round"),
+                F.split("pair", "~").getItem(0).alias("left_sym"),
+                F.split("pair", "~").getItem(1).alias("right_sym"),
+                F.col("pfreq").alias("pair_freq"),
+            )
+        )
+        merges.append(m)
+        vocab = vocab.crossJoin(F.broadcast(m)).select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.col("left_sym"),
+                        F.lit(" "),
+                        F.col("right_sym"),
+                        F.lit(" "),
+                    ),
+                    F.concat(
+                        F.lit(" "),
+                        F.col("left_sym"),
+                        F.col("right_sym"),
+                        F.lit(" "),
+                    ),
+                )
+            ).alias("sym"),
+            "freq",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+@register(
+    "a_benford_law",
+    """
+    WITH digits AS (
+      SELECT CAST(FLOOR(o_totalprice
+                        / POWER(10, FLOOR(LOG10(o_totalprice)))) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT d AS digit, n,
+           ROUND(n * 1.0 / total, 6) AS observed_share,
+           ROUND(LOG10(1 + 1.0 / d), 6) AS benford_share,
+           ROUND(POWER(n * 1.0 / total - LOG10(1 + 1.0 / d), 2)
+                 / LOG10(1 + 1.0 / d) * total, 4) AS chi2_term
+    FROM counts, tot
+    """,
+)
+def a_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values — the forensic screen
+    for fabricated or truncated numeric feeds (synthetic uniform data fails
+    it loudly, which is itself the point of the check). First digit via
+    value/10^⌊log10⌋ — pure arithmetic, no string cast; one 9-row aggregate
+    plus a broadcast total, with each digit's χ² contribution alongside the
+    observed-vs-expected shares."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = orders.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("long")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    share = F.col("n") * 1.0 / F.col("total")
+    benford = F.log10(1 + 1.0 / F.col("d"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        "n",
+        F.round(share, 6).alias("observed_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.pow(share - benford, 2) / benford * F.col("total"), 4).alias(
+            "chi2_term"
+        ),
+    )
+
+
+@register(
+    "a_entropy_columns",
+    """
+    WITH vals AS (
+      SELECT 'event_type' AS col_name, event_type AS v FROM events
+      UNION ALL
+      SELECT 'doc_lang', lang FROM documents
+      UNION ALL
+      SELECT 'doc_source', source FROM documents
+      UNION ALL
+      SELECT 'order_priority', o_orderpriority FROM orders
+    ),
+    counts AS (
+      SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS n
+      FROM vals GROUP BY col_name, v
+    ),
+    tot AS (
+      SELECT col_name, SUM(n) AS total, COUNT(*) AS k
+      FROM counts GROUP BY col_name
+    )
+    SELECT c.col_name,
+           CAST(MAX(t.k) AS BIGINT) AS n_distinct,
+           ROUND(-SUM((c.n * 1.0 / t.total) * LN(c.n * 1.0 / t.total)), 6)
+             AS entropy_nats,
+           ROUND(-SUM((c.n * 1.0 / t.total) * LN(c.n * 1.0 / t.total))
+                 / CASE WHEN MAX(t.k) > 1 THEN LN(MAX(t.k)) ELSE 1 END, 6)
+             AS normalized_entropy
+    FROM counts c JOIN tot t ON c.col_name = t.col_name
+    GROUP BY c.col_name
+    """,
+)
+def a_entropy_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per categorical column across THREE tables in one
+    unioned pass — the feature-informativeness / near-constant-column
+    screen a profiler runs before training. Each leg is a pruned
+    single-column scan; value counts collapse map-side; entropy and its
+    log(k)-normalized form come from the tiny per-column count tables.
+    Adding a column = adding a union leg, not a new job."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.lit("event_type").alias("col_name"), F.col("event_type").alias("v")
+    )
+    dl = _t(spark, sf_dir, "documents").select(
+        F.lit("doc_lang").alias("col_name"), F.col("lang").alias("v")
+    )
+    ds = _t(spark, sf_dir, "documents").select(
+        F.lit("doc_source").alias("col_name"), F.col("source").alias("v")
+    )
+    op = _t(spark, sf_dir, "orders").select(
+        F.lit("order_priority").alias("col_name"),
+        F.col("o_orderpriority").alias("v"),
+    )
+    vals = ev.unionByName(dl).unionByName(ds).unionByName(op)
+    counts = vals.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("col_name").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    p = F.col("n") * 1.0 / F.col("total")
+    ent = -F.sum(p * F.log(p))
+    return (
+        counts.join(tot, "col_name")
+        .groupBy("col_name")
+        .agg(
+            F.max("k").cast("long").alias("n_distinct"),
+            F.round(ent, 6).alias("entropy_nats"),
+            F.round(
+                ent
+                / F.when(F.max("k") > 1, F.log(F.max("k").cast("double"))).otherwise(
+                    F.lit(1.0)
+                ),
+                6,
+            ).alias("normalized_entropy"),
+        )
+    )
+
+
+@register(
+    "a_l_diversity",
+    """
+    WITH qi AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+      FROM customer
+    ),
+    groups AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT bal_bucket) AS BIGINT) AS l_distinct
+      FROM qi GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, CAST(c_nationkey AS INT) AS c_nationkey,
+           group_size, l_distinct
+    FROM groups WHERE l_distinct < 6
+    """,
+)
+def a_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling: a
+    quasi-identifier group is unsafe not just when it's SMALL but when its
+    SENSITIVE attribute (account-balance bucket) takes too few distinct
+    values, because membership then discloses the value itself. Flags
+    (segment, nation) groups with < 3 distinct balance buckets. One
+    two-phase distinct aggregate on the QI key — the same shape as
+    a_k_anonymity, so the two audits share a shuffle when run together."""
+    cust = _t(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    )
+    return (
+        qi.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("bal_bucket").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < 6)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            "group_size",
+            "l_distinct",
+        )
+    )

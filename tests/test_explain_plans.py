@@ -526,3 +526,55 @@ def test_vad_islands_partitioned_by_media(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "media_id" in line, line
+
+
+# ---------------------------------------------------------------------------
+# Wave 20+ plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_q10_topk_plan(spark):
+    """Q10 shape: broadcast dims, date filter pushed to the orders scan,
+    heap-merged top-20 (never a global sort or single-partition window)."""
+    plan = _plan(spark, "j_returned_items_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed into the lineitem scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed into the orders scan
+
+
+def test_q4_exists_is_semi_join(spark):
+    """EXISTS must compile to a LEFT SEMI join — an inner join + distinct
+    would multiply fact rows then pay a dedup shuffle."""
+    plan = _plan(spark, "j_order_priority_exists")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_anti_join(spark):
+    plan = _plan(spark, "a_brand_supplier_counts")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_phash_banding_no_cartesian(spark):
+    """The pHash candidate join must be an equi-join on (band, band_val) —
+    a cartesian/BNL product here means the banding got optimized away."""
+    plan = _plan(spark, "mm_phash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_link_prediction_no_cartesian(spark):
+    plan = _plan(spark, "g_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_rounds_reuse_vocab_no_collect_shape(spark):
+    """BPE training: each round's winner joins back via broadcast (1-row),
+    and the plan never falls into a cartesian product."""
+    plan = _plan(spark, "text_bpe_train_rounds")
+    assert "CartesianProduct" not in plan
+    # three rounds -> three broadcast applications of the 1-row winner
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 3

@@ -7055,6 +7055,7 @@ def g_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(expanded)
             .groupBy("node")
             .agg(F.min("d").alias("d"))
+            .persist()
         )
     return dist.groupBy(F.col("d").alias("hops")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -8367,6 +8368,7 @@ def g_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     k = 60
+    edges = edges.persist()
     for _ in range(3):
         deg = (
             edges.select(F.col("u").alias("node"))
@@ -8375,10 +8377,17 @@ def g_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= k)
             .select("node")
+            .persist()
         )
-        edges = edges.join(
-            deg.withColumnRenamed("node", "u"), "u", "left_semi"
-        ).join(deg.withColumnRenamed("node", "v"), "v", "left_semi")
+        # persist truncates the lineage: deg feeds TWO semi-joins and the
+        # surviving edge frame feeds the next round's degree count plus the
+        # final summaries -- without it each reference recomputes the whole
+        # peel chain (ReuseExchange only helps identical shuffle subtrees)
+        edges = (
+            edges.join(deg.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(deg.withColumnRenamed("node", "v"), "v", "left_semi")
+            .persist()
+        )
     dd = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -9479,6 +9488,7 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(F.col("nd").alias("node"), "lab")
+            .persist()
         )
     comm = labels.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).alias("size")
@@ -9999,14 +10009,16 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # class-balance weighting, and URL canonicalization dedup.
 # ---------------------------------------------------------------------------
 
-#: Poisson(1) inverse-CDF thresholds scaled to the 1e6 hash-bucket space:
-#: P(X<=k)·1e6 for k = 0..5; buckets above the last threshold draw 6.
-_POIS = [367879, 735758, 919698, 981011, 996340, 999405]
+#: Poisson(1) inverse-CDF thresholds on the 2^24 scale: P(X<=k)·2^24 for
+#: k = 0..5; 24-bit draws above the last threshold take weight 6. The 2^24
+#: domain lets FIVE independent draws come out of ONE md5 (5 × 6 hex chars),
+#: so the bootstrap hashes n·B/5 times, not n·B times.
+_POIS24 = [6171992, 12343985, 15429982, 16458647, 16715813, 16767247]
 
 
-def _pois_sql(u: str) -> str:
+def _pois24_sql(u: str) -> str:
     cases = " ".join(
-        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS)
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS24)
     )
     return f"CASE {cases} ELSE 6 END"
 
@@ -10014,12 +10026,17 @@ def _pois_sql(u: str) -> str:
 @register(
     "sample_poisson_bootstrap",
     f"""
-    WITH reps AS (SELECT unnest(generate_series(0, 39)) AS b),
+    WITH g AS (SELECT unnest(generate_series(0, 7)) AS g),
+    j AS (SELECT unnest(generate_series(0, 4)) AS j),
+    hashed AS (
+      SELECT g.g, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             md5('bs' || CAST(g.g AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders, g
+    ),
     w AS (
-      SELECT reps.b,
-             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-             {_pois_sql("CAST(('0x' || substr(md5('bs' || CAST(reps.b AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000")} AS wt
-      FROM orders, reps
+      SELECT hashed.g * 5 + j.j AS b, cents,
+             {_pois24_sql("CAST(('0x' || substr(h, j.j * 6 + 1, 6)) AS BIGINT)")} AS wt
+      FROM hashed, j
     ),
     means AS (
       SELECT b, SUM(wt * cents) * 1.0 / SUM(wt) / 100.0 AS m
@@ -10043,40 +10060,53 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     global index), every row draws an independent Poisson(1) weight per
     replicate, so the whole procedure is a map-side explode (40 replicates)
     + one weighted aggregate per replicate. Weights come from the portable
-    md5 coin through the Poisson inverse CDF (a 7-arm CASE), so every
-    engine draws the SAME bootstrap. Replicate means use exact integer
-    cents·weight sums; the CI is the 2nd/39th order statistic (~95%). At
-    100 TB the explode factor is the only cost knob — replicates stream
-    through partial aggregation with no extra shuffle."""
+    md5 coin through the Poisson inverse CDF (a 7-arm CASE on an exact
+    2^24-scale threshold table), and FIVE replicate draws are sliced out of
+    each md5 (6 hex chars = one 24-bit uniform apiece) — the hash count is
+    n·B/5, the same one-hash-many-draws trick the Count-Min build uses.
+    The md5 is computed in a projection BETWEEN the two explodes, so it is
+    evaluated once per (row, hash-group), never per final slice
+    (CollapseProject does not cross a Generate). Replicate means use exact
+    integer cents·weight sums; the CI is the 2nd/39th order statistic
+    (~95%). At 100 TB the explode factor is the only cost knob —
+    replicates stream through partial aggregation with no extra shuffle."""
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        F.col("o_totalprice"),
     )
-    u = F.pmod(
-        DD.hex_hash64(
+    hashed = orders.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("g"),
+        F.col("o_orderkey"),
+    ).select(
+        "cents",
+        "g",
+        F.md5(
             F.concat(
                 F.lit("bs"),
-                F.col("b").cast("string"),
+                F.col("g").cast("string"),
                 F.lit("_"),
                 F.col("o_orderkey").cast("string"),
             )
-        ),
-        F.lit(1_000_000),
+        ).alias("h"),
     )
-    reps = orders.select(
-        "o_orderkey",
+    u = F.conv(
+        F.substring(F.col("h"), F.col("j") * 6 + 1, F.lit(6)), 16, 10
+    ).cast("long")
+    reps = hashed.select(
         "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(39))).alias("b"),
-    ).withColumn(
-        "wt",
+        "g",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"),
+    ).select(
+        (F.col("g") * 5 + F.col("j")).alias("b"),
+        "cents",
         F.coalesce(
-            *[
-                F.when(u < t, F.lit(k))
-                for k, t in enumerate(_POIS)
-            ],
+            *[F.when(u < t, F.lit(k)) for k, t in enumerate(_POIS24)],
             F.lit(6),
-        ).cast("long"),
+        )
+        .cast("long")
+        .alias("wt"),
     )
     means = (
         reps.groupBy("b")

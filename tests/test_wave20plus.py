@@ -77,15 +77,23 @@ def test_bpe_train_rounds_hand_vocab(spark):
 def test_poisson_bootstrap_weight_distribution(spark):
     """The md5-derived Poisson(1) weights must (a) be deterministic across
     reruns and partitionings, and (b) have the Poisson(1) shape: mean ~1 and
-    ~36.8% zeros over many draws."""
-    from ortholog_pipeline_spark.operators.dedup import hex_hash64
-    from ortholog_pipeline_spark.queries import _POIS
+    ~36.8% zeros over many draws. Uses the production 24-bit-slice
+    derivation (first slice of each md5)."""
+    from ortholog_pipeline_spark.queries import _POIS24
 
     rows = spark.range(0, 20000).select(
-        F.pmod(hex_hash64(F.concat(F.lit("bs0_"), F.col("id").cast("string"))), F.lit(1_000_000)).alias("u")
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bs0_"), F.col("id").cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u")
     )
     wt = F.coalesce(
-        *[F.when(F.col("u") < t, F.lit(k)) for k, t in enumerate(_POIS)], F.lit(6)
+        *[F.when(F.col("u") < t, F.lit(k)) for k, t in enumerate(_POIS24)], F.lit(6)
     )
     stats = rows.select(wt.alias("w")).agg(
         F.avg("w").alias("mean"),
@@ -98,7 +106,17 @@ def test_poisson_bootstrap_weight_distribution(spark):
         spark.range(0, 20000)
         .repartition(13)
         .select(
-            F.pmod(hex_hash64(F.concat(F.lit("bs0_"), F.col("id").cast("string"))), F.lit(1_000_000)).alias("u")
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("bs0_"), F.col("id").cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("u")
         )
         .select(wt.alias("w"))
         .agg(F.sum("w").alias("s"))

@@ -174,6 +174,11 @@ HEADLINE = [
     "a_benford_law",
     "a_entropy_columns",
     "a_l_diversity",
+    # round-2 wave 26: power-iteration PCA, covariance screen, moments, forecasting
+    "emb_power_iteration",
+    "emb_covariance_topk",
+    "a_moments_skew_kurtosis",
+    "w_forecast_baselines",
 ]
 
 

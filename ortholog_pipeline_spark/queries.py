@@ -10704,3 +10704,314 @@ def a_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_distinct",
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 26 — distributed linear algebra over embedding arrays (power-iteration
+# PCA, covariance screening) and forecast-baseline diagnostics. The linalg
+# pattern: never materialize a matrix — every matvec is (explode → join →
+# re-aggregate) on (row, dim, value) triples, with the 64-row vector
+# broadcast back each round.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_power_iteration",
+    """
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+    ev AS (
+      SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS e
+      FROM embeddings, dims
+    ),
+    v0 AS (SELECT d, CASE WHEN d = 1 THEN 1.0 ELSE 0.0 END AS val FROM dims),
+    dot1 AS (
+      SELECT vec_id, SUM(e * v0.val) AS dt FROM ev JOIN v0 USING (d)
+      GROUP BY vec_id
+    ),
+    w1 AS (
+      SELECT d, SUM(e * dt) AS w FROM ev JOIN dot1 USING (vec_id) GROUP BY d
+    ),
+    v1 AS (SELECT d, w / SQRT((SELECT SUM(w * w) FROM w1)) AS val FROM w1),
+    dot2 AS (
+      SELECT vec_id, SUM(e * v1.val) AS dt FROM ev JOIN v1 USING (d)
+      GROUP BY vec_id
+    ),
+    w2 AS (
+      SELECT d, SUM(e * dt) AS w FROM ev JOIN dot2 USING (vec_id) GROUP BY d
+    ),
+    v2 AS (SELECT d, w / SQRT((SELECT SUM(w * w) FROM w2)) AS val FROM w2),
+    dot3 AS (
+      SELECT vec_id, SUM(e * v2.val) AS dt FROM ev JOIN v2 USING (d)
+      GROUP BY vec_id
+    ),
+    w3 AS (
+      SELECT d, SUM(e * dt) AS w FROM ev JOIN dot3 USING (vec_id) GROUP BY d
+    ),
+    lam AS (SELECT SQRT(SUM(w * w)) AS l FROM w3),
+    v3 AS (SELECT d, w / (SELECT l FROM lam) AS val FROM w3),
+    flip AS (
+      SELECT CASE WHEN val >= 0 THEN 1.0 ELSE -1.0 END AS s
+      FROM v3 ORDER BY ABS(val) DESC, d LIMIT 1
+    )
+    SELECT d, ROUND(val * (SELECT s FROM flip), 6) AS component,
+           ROUND((SELECT l FROM lam), 4) AS lambda_est
+    FROM v3 WHERE d <= 8
+    """,
+)
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram matrix via
+    THREE power iterations — PCA as pure dataflow, no matrix ever built:
+    each round is dotᵢ = ⟨xᵢ, v⟩ (a 64-row broadcast join on the exploded
+    (row, dim, value) triples) then w_d = Σᵢ xᵢ_d·dotᵢ (one aggregate per
+    dim), then normalize. The Gram operator is PSD so no sign oscillation;
+    output sign is pinned to the largest-magnitude component. λ comes from
+    ‖w₃‖ (v₂ is unit). Per iteration: one broadcast join + two bounded
+    aggregates — the vector is always 64 rows, the corpus passes are the
+    only O(n) work, exactly how a 100 TB single-component PCA runs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "e0")
+    ).select(
+        "vec_id", (F.col("p") + 1).alias("d"), F.col("e0").cast("double").alias("e")
+    ).persist()
+    v = None  # 64-row (d, val) frame
+    spark_dims = spark.range(1, 65).select(F.col("id").alias("d"))
+    v = spark_dims.select(
+        "d", F.when(F.col("d") == 1, 1.0).otherwise(0.0).alias("val")
+    )
+    lam = None
+    for _ in range(3):
+        dots = (
+            ev.join(F.broadcast(v), "d")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("e") * F.col("val")).alias("dt"))
+        )
+        w = (
+            ev.join(dots, "vec_id")
+            .groupBy("d")
+            .agg(F.sum(F.col("e") * F.col("dt")).alias("w"))
+            .persist()
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("l"))
+        lam = nrm
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "d", (F.col("w") / F.col("l")).alias("val")
+        )
+    flip = (
+        v.orderBy(F.abs(F.col("val")).desc(), "d")
+        .limit(1)
+        .select(
+            F.when(F.col("val") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s")
+        )
+    )
+    return (
+        v.filter(F.col("d") <= 8)
+        .crossJoin(F.broadcast(flip))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "d",
+            F.round(F.col("val") * F.col("s"), 6).alias("component"),
+            F.round(F.col("l"), 4).alias("lambda_est"),
+        )
+    )
+
+
+@register(
+    "emb_covariance_topk",
+    """
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+    ev AS (
+      SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS e
+      FROM embeddings, dims
+    ),
+    mu AS (SELECT d, AVG(e) AS m, COUNT(*) AS n FROM ev GROUP BY d),
+    cross_sums AS (
+      SELECT a.d AS d1, b.d AS d2, SUM(a.e * b.e) AS sxy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev a JOIN ev b ON a.vec_id = b.vec_id AND a.d < b.d
+      GROUP BY a.d, b.d
+    ),
+    cov AS (
+      SELECT d1, d2,
+             (sxy / cs.n) - m1.m * m2.m AS c
+      FROM cross_sums cs
+      JOIN mu m1 ON cs.d1 = m1.d JOIN mu m2 ON cs.d2 = m2.d
+    ),
+    ranked AS (
+      SELECT d1, d2, c,
+             CAST(ROUND(ABS(c) * 100000000) AS BIGINT) AS mag,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(ROUND(ABS(c) * 100000000) AS BIGINT) DESC, d1, d2
+             ) AS rn
+      FROM cov
+    )
+    SELECT d1, d2, ROUND(c, 6) AS covariance
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def emb_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-covarying off-diagonal feature pairs of the embedding
+    space — the redundancy screen run before feature pruning or whitening.
+    Cross-products come from the (row, dim, value) self-join keyed on the
+    row id (fanout bounded at d(d−1)/2 per row, never a corpus×corpus
+    product); means join back from a 64-row aggregate. Ranking magnitude is
+    snapped to integer 1e-8 units so the top-20 SET is engine-stable even
+    when two covariances differ below the rounding floor."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "e0")
+    ).select(
+        "vec_id", (F.col("p") + 1).alias("d"), F.col("e0").cast("double").alias("e")
+    ).persist()
+    mu = ev.groupBy("d").agg(F.avg("e").alias("m"))
+    a = ev.select("vec_id", F.col("d").alias("d1"), F.col("e").alias("ea"))
+    b = ev.select("vec_id", F.col("d").alias("d2"), F.col("e").alias("eb"))
+    cross = (
+        a.join(b, "vec_id")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(
+            F.sum(F.col("ea") * F.col("eb")).alias("sxy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    m1 = mu.select(F.col("d").alias("d1"), F.col("m").alias("m1"))
+    m2 = mu.select(F.col("d").alias("d2"), F.col("m").alias("m2"))
+    cov = (
+        cross.join(F.broadcast(m1), "d1")
+        .join(F.broadcast(m2), "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.col("sxy") / F.col("n") - F.col("m1") * F.col("m2")).alias("c"),
+        )
+    )
+    mag = F.round(F.abs(F.col("c")) * 100000000).cast("long")
+    return (
+        cov.withColumn("mag", mag)
+        .orderBy(F.col("mag").desc(), "d1", "d2")
+        .limit(20)
+        .select("d1", "d2", F.round("c", 6).alias("covariance"))
+    )
+
+
+@register(
+    "a_moments_skew_kurtosis",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(l_extendedprice) AS s1,
+             SUM(l_extendedprice * l_extendedprice) AS s2,
+             SUM(l_extendedprice * l_extendedprice * l_extendedprice) AS s3,
+             SUM(l_extendedprice * l_extendedprice * l_extendedprice
+                 * l_extendedprice) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(s1 / n, 4) AS mean,
+           ROUND((s2 / n) - POWER(s1 / n, 2), 4) AS variance,
+           ROUND(((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * POWER(s1 / n, 3))
+                 / POWER((s2 / n) - POWER(s1 / n, 2), 1.5), 6) AS skewness,
+           ROUND(((s4 / n) - 4 * (s1 / n) * (s3 / n)
+                  + 6 * POWER(s1 / n, 2) * (s2 / n) - 3 * POWER(s1 / n, 4))
+                 / POWER((s2 / n) - POWER(s1 / n, 2), 2) - 3, 6) AS excess_kurtosis
+    FROM s
+    """,
+)
+def a_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group from raw power sums S₁..S₄ —
+    the MERGEABLE formulation: power sums are plain additions, so partial
+    aggregates combine across partitions, days, or incremental batches with
+    no reprocessing (the same algebraic-merge property s_incremental_agg
+    exploits); central moments expand from them in closed form at the end.
+    One scan, one |groups|-row reduce. The textbook two-pass 'subtract the
+    mean first' version needs the mean before the pass — this one doesn't,
+    at the cost of the (documented, benign at double precision for these
+    magnitudes) cancellation in the expansion."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m * m
+    m3 = F.col("s3") / F.col("n") - 3 * m * (F.col("s2") / F.col("n")) + 2 * F.pow(m, 3)
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m * (F.col("s3") / F.col("n"))
+        + 6 * F.pow(m, 2) * (F.col("s2") / F.col("n"))
+        - 3 * F.pow(m, 4)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(m, 4).alias("mean"),
+        F.round(m2, 4).alias("variance"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2) - 3, 6).alias("excess_kurtosis"),
+    )
+
+
+@register(
+    "w_forecast_baselines",
+    """
+    WITH daily AS (
+      SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT l_returnflag,
+             cents,
+             LAG(cents, 1) OVER w AS lag1,
+             LAG(cents, 7) OVER w AS lag7
+      FROM daily WINDOW w AS (PARTITION BY l_returnflag ORDER BY d)
+    )
+    SELECT l_returnflag,
+           ROUND(AVG(ABS(cents - lag1)) / 100.0, 4) AS mae_naive1,
+           ROUND(AVG(ABS(cents - lag7)) / 100.0, 4) AS mae_naive7,
+           ROUND(AVG(ABS(cents - lag7) * 1.0) / AVG(ABS(cents - lag1) * 1.0), 6)
+             AS seasonal_ratio,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM lagged WHERE lag7 IS NOT NULL
+    GROUP BY l_returnflag
+    """,
+)
+def w_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline benchmark per series: MAE of the naive-1 (carry
+    yesterday) and seasonal-naive-7 (carry last week) forecasts over the
+    daily revenue series, plus their ratio — the number every 'is the fancy
+    model worth it' review starts from (a model that can't beat these is
+    noise; the ratio also measures weekly seasonality strength: < 1 means
+    weekly structure dominates). Daily totals in exact integer cents; the
+    lag window restricts to rows where BOTH baselines are defined so the
+    two MAEs average over the same days. One rollup + one partitioned
+    window + one tiny reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("d")
+    lagged = daily.select(
+        "l_returnflag",
+        "cents",
+        F.lag("cents", 1).over(w).alias("lag1"),
+        F.lag("cents", 7).over(w).alias("lag7"),
+    ).filter(F.col("lag7").isNotNull())
+    e1 = F.abs(F.col("cents") - F.col("lag1"))
+    e7 = F.abs(F.col("cents") - F.col("lag7"))
+    return lagged.groupBy("l_returnflag").agg(
+        F.round(F.avg(e1) / 100.0, 4).alias("mae_naive1"),
+        F.round(F.avg(e7) / 100.0, 4).alias("mae_naive7"),
+        F.round(F.avg(e7 * 1.0) / F.avg(e1 * 1.0), 6).alias("seasonal_ratio"),
+        F.count(F.lit(1)).alias("n_days"),
+    )

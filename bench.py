@@ -179,6 +179,10 @@ HEADLINE = [
     "emb_covariance_topk",
     "a_moments_skew_kurtosis",
     "w_forecast_baselines",
+    # round-2 wave 27: triplet mining, partition-skew report, norm outliers
+    "emb_triplet_mining",
+    "o_partition_skew_report",
+    "emb_norm_outliers",
 ]
 
 

@@ -11015,3 +11015,283 @@ def w_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(e7 * 1.0) / F.avg(e1 * 1.0), 6).alias("seasonal_ratio"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 27 — contrastive-training data prep (triplet mining), layout ops
+# (partition-skew report), and embedding hygiene (norm outliers).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_triplet_mining",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    anchors AS (SELECT vec_id AS a_id, label AS a_label, v AS av FROM e WHERE vec_id < 20),
+    scored AS (
+      SELECT a.a_id, a.a_label, e.vec_id, e.label,
+             ROUND(
+               {_DOT_SQL.format(a='av', b='v')} /
+               (SQRT({_DOT_SQL.format(a='av', b='av')}) *
+                SQRT({_DOT_SQL.format(a='v', b='v')})), 6) AS sim
+      FROM e CROSS JOIN anchors a WHERE e.vec_id <> a.a_id
+    ),
+    pos AS (
+      SELECT a_id, vec_id AS hard_pos_id, sim AS pos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY a_id ORDER BY sim ASC, vec_id) AS rn
+        FROM scored WHERE label = a_label
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT a_id, vec_id AS hard_neg_id, sim AS neg_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY a_id ORDER BY sim DESC, vec_id) AS rn
+        FROM scored WHERE label <> a_label
+      ) WHERE rn = 1
+    )
+    SELECT pos.a_id AS anchor_id, hard_pos_id, pos_sim, hard_neg_id, neg_sim,
+           ROUND(pos_sim - neg_sim, 6) AS margin
+    FROM pos JOIN neg ON pos.a_id = neg.a_id
+    """,
+)
+def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for contrastive training: per anchor, the hardest
+    positive (FARTHEST same-label vector — the pair the model most needs to
+    pull together) and the hardest negative (CLOSEST different-label vector
+    — the pair it most needs to push apart), plus the triplet margin. The
+    anchor set broadcasts; similarities are one map-side pass over the
+    corpus (same two-stage-rankable shape as brute_force_topk); the two
+    argmin/argmax windows partition by anchor. Sims are rounded BEFORE
+    ranking with the id tie-break, so the mined triplets are
+    engine-identical. At 100 TB the corpus pass is the only O(n) stage —
+    swap in the LSH bucketed candidates to mine within buckets only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    anchors = F.broadcast(
+        e.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("a_id"),
+            F.col("label").alias("a_label"),
+            F.col("v").alias("av"),
+        )
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+    scored = (
+        e.crossJoin(anchors)
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "a_label",
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("av"), F.col("v"))
+                / (
+                    F.sqrt(dot(F.col("av"), F.col("av")))
+                    * F.sqrt(dot(F.col("v"), F.col("v")))
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    w_pos = Window.partitionBy("a_id").orderBy(F.col("sim").asc(), "vec_id")
+    pos = (
+        scored.filter(F.col("label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("a_id").alias("anchor_id"),
+            F.col("vec_id").alias("hard_pos_id"),
+            F.col("sim").alias("pos_sim"),
+        )
+    )
+    w_neg = Window.partitionBy("a_id").orderBy(F.col("sim").desc(), "vec_id")
+    neg = (
+        scored.filter(F.col("label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w_neg))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("a_id").alias("anchor_id"),
+            F.col("vec_id").alias("hard_neg_id"),
+            F.col("sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "hard_pos_id",
+        "pos_sim",
+        "hard_neg_id",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )
+
+
+@register(
+    "o_partition_skew_report",
+    """
+    WITH parts AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes_est
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT AVG(n_rows) AS avg_rows, AVG(bytes_est) AS avg_bytes,
+             COUNT(*) AS n_parts
+      FROM parts
+    )
+    SELECT lang, source, n_rows, bytes_est,
+           ROUND(n_rows / avg_rows, 4) AS row_skew,
+           ROUND(bytes_est / avg_bytes, 4) AS byte_skew,
+           CAST(n_parts AS BIGINT) AS n_partitions
+    FROM parts, tot
+    WHERE n_rows / avg_rows > 1.2 OR bytes_est / avg_bytes > 1.2
+    """,
+)
+def o_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew report for a prospective partitionBy(lang, source)
+    layout: per-cell row and byte estimates against the fleet average,
+    flagging cells > 1.2x — the check run BEFORE a big partitioned write,
+    because a hot partition becomes a straggler task and a giant file
+    (the writer's maxRecordsPerFile caps the file, not the task). One
+    aggregate + a broadcast 1-row average; the same query over a parquet
+    table's files view is how the report runs post-write."""
+    docs = _t(spark, sf_dir, "documents")
+    parts = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("bytes_est"),
+    )
+    tot = parts.agg(
+        F.avg("n_rows").alias("avg_rows"),
+        F.avg("bytes_est").alias("avg_bytes"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        parts.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("n_rows") / F.col("avg_rows") > 1.2)
+            | (F.col("bytes_est") / F.col("avg_bytes") > 1.2)
+        )
+        .select(
+            "lang",
+            "source",
+            "n_rows",
+            "bytes_est",
+            F.round(F.col("n_rows") / F.col("avg_rows"), 4).alias("row_skew"),
+            F.round(F.col("bytes_est") / F.col("avg_bytes"), 4).alias("byte_skew"),
+            F.col("n_parts").cast("long").alias("n_partitions"),
+        )
+    )
+
+
+@register(
+    "emb_norm_outliers",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id,
+             CAST(ROUND(SQRT({_DOT_SQL.format(a='v', b='v')})
+                        * (CASE WHEN vec_id % 50 = 0 THEN 1.5 ELSE 1.0 END)
+                        * 1000000) AS BIGINT) AS nrm_micro
+      FROM e
+    ),
+    med AS (
+      SELECT nrm_micro AS med FROM (
+        SELECT nrm_micro, ROW_NUMBER() OVER (ORDER BY nrm_micro, vec_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM norms
+      ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT vec_id, nrm_micro, ABS(nrm_micro - med.med) AS ad
+      FROM norms, med
+    ),
+    mad AS (
+      SELECT ad AS mad FROM (
+        SELECT ad, ROW_NUMBER() OVER (ORDER BY ad, vec_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM dev
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.vec_id,
+           ROUND(nrm_micro / 1000000.0, 6) AS norm,
+           ROUND(ad * 1.0 / NULLIF(mad.mad, 0), 4) AS mad_score
+    FROM dev, mad
+    WHERE ad > 3 * mad.mad
+    """,
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm hygiene: vectors whose L2 norm deviates from the
+    median by more than 3 MADs — the standard screen for broken encoders
+    (the driver corpus is unit-normalized, so defects are PLANTED: every
+    50th vector scaled 1.5x; the screen must find exactly those),
+    zero vectors, and un-normalized batches before similarity search or
+    training. Norms snap to integer micro-units so the median, the MAD,
+    and every comparison are exact integer selections (rank-picked, not
+    percentile-interpolated) — engine-identical with no float ordering.
+    Two rank windows over the |corpus| norm values; at 100 TB both medians
+    come from fixed-grid distributed quantiles (a_quantile_grid's shape)
+    instead of a global rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dot_vv = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    # planted defects: every 50th vector scaled 1.5x (corpus is otherwise
+    # unit-normalized, which would make the screen trivially empty)
+    scale = F.when(F.col("vec_id") % 50 == 0, F.lit(1.5)).otherwise(F.lit(1.0))
+    norms = e.select(
+        "vec_id",
+        F.round(F.sqrt(dot_vv) * scale * 1000000).cast("long").alias("nrm_micro"),
+    ).persist()
+    w_n = Window.orderBy("nrm_micro", "vec_id")
+    wa = Window.partitionBy()
+    med = (
+        norms.select(
+            "nrm_micro",
+            F.row_number().over(w_n).alias("rn"),
+            F.count(F.lit(1)).over(wa).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("nrm_micro").alias("med"))
+    )
+    dev = norms.crossJoin(F.broadcast(med)).select(
+        "vec_id",
+        "nrm_micro",
+        F.abs(F.col("nrm_micro") - F.col("med")).alias("ad"),
+    )
+    w_d = Window.orderBy("ad", "vec_id")
+    mad = (
+        dev.select(
+            "ad",
+            F.row_number().over(w_d).alias("rn"),
+            F.count(F.lit(1)).over(wa).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("ad").alias("mad"))
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(F.col("ad") > 3 * F.col("mad"))
+        .select(
+            "vec_id",
+            F.round(F.col("nrm_micro") / 1000000.0, 6).alias("norm"),
+            F.round(
+                F.col("ad") * 1.0 / F.nullif(F.col("mad"), F.lit(0)), 4
+            ).alias("mad_score"),
+        )
+    )

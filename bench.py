@@ -183,6 +183,10 @@ HEADLINE = [
     "emb_triplet_mining",
     "o_partition_skew_report",
     "emb_norm_outliers",
+    # round-2 wave 28: LSH recall scorecard, watermark sizing, stickiness
+    "dedup_lsh_scorecard",
+    "w_watermark_lateness",
+    "a_dau_mau_stickiness",
 ]
 
 

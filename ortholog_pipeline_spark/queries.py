@@ -11295,3 +11295,237 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 28 — approximate-method quality accounting (LSH recall scorecard under
+# the correctness gate), streaming watermark diagnostics, and engagement
+# stickiness.
+# ---------------------------------------------------------------------------
+
+
+_SCORECARD_CTES = _MINHASH_CTES.replace(
+    "FROM documents",
+    "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0)",
+)
+
+
+@register(
+    "dedup_lsh_scorecard",
+    f"""
+    WITH {_SCORECARD_CTES},
+    exact_common AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM post a JOIN post b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact_pairs AS (
+      SELECT ec.id_1, ec.id_2,
+             ROUND(n_common * 1.0 / (s1.sz + s2.sz - n_common), 6) AS jaccard
+      FROM exact_common ec
+      JOIN sz s1 ON s1.doc_id = ec.id_1 JOIN sz s2 ON s2.doc_id = ec.id_2
+      WHERE n_common * 1.0 / (s1.sz + s2.sz - n_common) >= 0.5
+    ),
+    missed AS (
+      SELECT e.id_1, e.id_2, e.jaccard FROM exact_pairs e
+      ANTI JOIN mh_pairs m ON e.id_1 = m.id_1 AND e.id_2 = m.id_2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM exact_pairs) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM mh_pairs) AS BIGINT) AS n_lsh,
+           ROUND((SELECT COUNT(*) FROM mh_pairs) * 1.0 /
+                 NULLIF((SELECT COUNT(*) FROM exact_pairs), 0), 6) AS recall,
+           COALESCE((SELECT MAX(jaccard) FROM missed), 0.0) AS worst_missed_jaccard
+    """,
+)
+def dedup_lsh_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall under the CORRECTNESS gate (not just a pytest floor): on a
+    deterministic 20% document sample, enumerate ALL >= 0.5-Jaccard pairs
+    exactly (shingle-posting self-join — affordable on the sample, which is
+    the point of sampling) and compare against the banded MinHash
+    pipeline's verified pairs. Because the LSH path verifies exact Jaccard
+    on its candidates, its output is a SUBSET of the exact set — precision
+    is 1.0 by construction and the scorecard measures what banding alone
+    determines: RECALL, plus the worst missed pair's similarity (how bad
+    the worst false negative is). This is the production pattern for
+    monitoring an approximate dedup: run the exact audit on a small sample
+    every batch, alert on recall drop."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    hashed = (
+        docs.select("doc_id", DD.hashed_shingles31("text", 3).alias("h31"))
+        .filter(F.size("h31") > 0)
+        .persist()
+    )
+    posting = hashed.select("doc_id", F.explode("h31").alias("hsh"))
+    p1 = posting.select(F.col("doc_id").alias("id_1"), "hsh")
+    p2 = posting.select(F.col("doc_id").alias("id_2"), "hsh")
+    sizes = hashed.select("doc_id", F.size("h31").alias("sz"))
+    exact = (
+        p1.join(p2, "hsh")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.withColumnsRenamed({"doc_id": "id_1", "sz": "sz_1"}), "id_1")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_2", "sz": "sz_2"}), "id_2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_1") + F.col("sz_2") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_1", "id_2", "jaccard")
+        .persist()
+    )
+    lsh = DD.minhash_lsh_dedup(
+        docs, k=3, num_hashes=16, bands=4, threshold=0.5
+    ).persist()
+    missed = exact.join(lsh.select("id_1", "id_2"), ["id_1", "id_2"], "left_anti")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    worst = missed.agg(
+        F.coalesce(F.max("jaccard"), F.lit(0.0)).alias("worst_missed_jaccard")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(worst))
+        .select(
+            "n_exact",
+            "n_lsh",
+            F.round(
+                F.col("n_lsh") * 1.0 / F.nullif(F.col("n_exact"), F.lit(0)), 6
+            ).alias("recall"),
+            "worst_missed_jaccard",
+        )
+    )
+
+
+@register(
+    "w_watermark_lateness",
+    """
+    WITH arrivals AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               + CAST(('0x' || substr(md5('lat' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 600
+               AS arrival_key
+      FROM events
+    ),
+    marked AS (
+      SELECT event_type, ts_sec,
+             MAX(ts_sec) OVER (PARTITION BY event_type ORDER BY arrival_key, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS wm
+      FROM arrivals
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN wm - ts_sec > 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS late_over_60s,
+           CAST(SUM(CASE WHEN wm - ts_sec > 300 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_at_5min_watermark,
+           CAST(COALESCE(MAX(wm - ts_sec), 0) AS BIGINT) AS max_lateness_s,
+           ROUND(SUM(CASE WHEN wm - ts_sec > 300 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS drop_rate
+    FROM marked GROUP BY event_type
+    """,
+)
+def w_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-policy sizing: replay the stream in ARRIVAL order (the
+    driver table is perfectly time-ordered, so arrival jitter of up to 10
+    minutes is synthesized with the portable md5 coin — documented, since
+    real feeds interleave) and measure, per key, how many events arrive
+    later than the running max-event-time watermark by more than 60 s /
+    300 s — i.e. exactly which events dropDuplicatesWithinWatermark or a
+    5-minute withWatermark would discard. This is the batch query you run
+    BEFORE picking a streaming watermark delay: the answer ('max observed
+    lateness 9.9 min, 5-min policy drops 0.4%') is the policy decision.
+    One partitioned running-max window in arrival order."""
+    ev = _t(spark, sf_dir, "events")
+    ts_sec = F.floor(F.col("ts").cast("double")).cast("long")
+    arrivals = ev.select(
+        "event_type",
+        "event_id",
+        ts_sec.alias("ts_sec"),
+        (
+            ts_sec
+            + F.pmod(
+                DD.hex_hash64(
+                    F.concat(F.lit("lat"), F.col("event_id").cast("string"))
+                ),
+                F.lit(600),
+            )
+        ).alias("arrival_key"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("arrival_key", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = arrivals.select(
+        "event_type", "ts_sec", F.max("ts_sec").over(w).alias("wm")
+    )
+    late = F.col("wm") - F.col("ts_sec")
+    return marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late > 60, 1).otherwise(0)).alias("late_over_60s"),
+        F.sum(F.when(late > 300, 1).otherwise(0)).alias(
+            "dropped_at_5min_watermark"
+        ),
+        F.coalesce(F.max(late), F.lit(0)).cast("long").alias("max_lateness_s"),
+        F.round(
+            F.sum(F.when(late > 300, 1).otherwise(0)) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("drop_rate"),
+    )
+
+
+@register(
+    "a_dau_mau_stickiness",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             date_trunc('month', CAST(ts AS DATE)) AS mth,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    monthly AS (
+      SELECT date_trunc('month', CAST(ts AS DATE)) AS mth,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(daily.mth AS DATE) AS month,
+           ROUND(AVG(dau), 4) AS avg_dau,
+           CAST(MAX(mau) AS BIGINT) AS mau,
+           ROUND(AVG(dau) / MAX(mau), 6) AS stickiness,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily JOIN monthly ON daily.mth = monthly.mth
+    GROUP BY daily.mth
+    """,
+)
+def a_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — the engagement ratio product
+    teams live on. Two distinct-count aggregates at different granularities
+    over the SAME scan shape (day-level and month-level user distincts),
+    joined on the month; avg-DAU/MAU is the stickiness. COUNT(DISTINCT) is
+    the two-phase expansion both times — keys are (period, user), so no
+    global-distinct bottleneck; at 100 TB swap the month-level distinct
+    for the HLL sketch (a_hll_distinct) and the query shape is unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.date_trunc("month", F.col("ts").cast("date")).cast("date").alias("mth"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    monthly = ev.groupBy(
+        F.date_trunc("month", F.col("ts").cast("date")).cast("date").alias("mth")
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        daily.join(monthly, "mth")
+        .groupBy(F.col("mth").alias("month"))
+        .agg(
+            F.round(F.avg("dau"), 4).alias("avg_dau"),
+            F.max("mau").alias("mau"),
+            F.round(F.avg("dau") / F.max("mau"), 6).alias("stickiness"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

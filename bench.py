@@ -187,6 +187,9 @@ HEADLINE = [
     "dedup_lsh_scorecard",
     "w_watermark_lateness",
     "a_dau_mau_stickiness",
+    # round-2 wave 29: dedup keeper election, RFM segmentation
+    "dedup_cluster_keepers",
+    "a_rfm_segments",
 ]
 
 

@@ -11529,3 +11529,194 @@ def a_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 29 — pipeline composition (dedup cluster keeper selection) and RFM
+# customer segmentation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_keepers",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    sym AS (
+      SELECT id_1 AS u, id_2 AS v FROM mh_pairs
+      UNION
+      SELECT id_2, id_1 FROM mh_pairs
+    ),
+    reach(a, b) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+    ),
+    comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+    q AS (
+      SELECT doc_id,
+             len({_TOKS_SQL}) AS n,
+             len(list_distinct({_TOKS_SQL})) AS d,
+             len(list_filter({_TOKS_SQL},
+                 t -> list_contains({_STOPS_SQL}, t))) AS s
+      FROM documents
+    ),
+    qm AS (
+      SELECT doc_id,
+             CASE WHEN n = 0 THEN 0
+                  ELSE ((4 * LEAST(n, 100) * n + 300 * (d + s)) * 2000000
+                        + 1000 * n) // (2000 * n) END AS qm
+      FROM q
+    ),
+    member AS (
+      SELECT c.node AS doc_id, c.component AS cluster_id, qm.qm
+      FROM comp c JOIN qm ON qm.doc_id = c.node
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY qm DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS csize
+      FROM member
+    )
+    SELECT cluster_id, CAST(csize AS BIGINT) AS cluster_size,
+           doc_id AS keeper_doc_id,
+           ROUND(qm / 1000000.0, 4) AS keeper_quality,
+           CAST(csize - 1 AS BIGINT) AS n_discarded
+    FROM ranked WHERE rn = 1 AND csize > 1
+    """,
+)
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION, not just the clustering: near-dup clusters (the
+    same LSH→verify→connected-components pipeline as dedup_cluster_assign)
+    each elect ONE keeper — the highest-quality member by the exact
+    integer-micro-unit quality score, doc_id tie-break — and the rest are
+    counted as discards. This is the composition a production corpus prep
+    actually ships (cluster → rank by quality → keep one), demonstrated as
+    one registry entry so its end-to-end plan is pinned: the quality score
+    joins INTO the cluster members (never scored for non-clustered docs),
+    and the keeper election is a partitioned window over cluster ids."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_dedup(
+        docs, k=3, num_hashes=16, bands=4, threshold=0.5
+    ).select("id_1", "id_2")
+    clustered = CCop.dedup_clusters(docs, pairs).filter(
+        F.col("cluster_size") > 1
+    )
+    toks = TXT.tokens("text")
+    n = F.size(toks).cast("long")
+    dd_ = F.size(F.array_distinct(toks)).cast("long")
+    stop_arr = F.array(*[F.lit(x) for x in TXT.STOPWORDS])
+    ss = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "long"
+    )
+    num = (4 * F.least(n, F.lit(100)) * n + 300 * (dd_ + ss)) * 2000000 + 1000 * n
+    den = 2000 * n
+    qm = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        ((num - F.pmod(num, den)) / den).cast("long")
+    )
+    scored = docs.select("doc_id", qm.alias("qm")).join(
+        clustered.select("doc_id", "cluster_id", "cluster_size"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("qm").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.round(F.col("qm") / 1000000.0, 4).alias("keeper_quality"),
+            (F.col("cluster_size") - 1).cast("long").alias("n_discarded"),
+        )
+    )
+
+
+@register(
+    "a_rfm_segments",
+    """
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             DATE_DIFF('day', MAX(CAST(o_orderdate AS DATE)), mx.maxd) AS recency_d,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS monetary_cents
+      FROM orders, mx GROUP BY o_custkey, mx.maxd
+    ),
+    scored AS (
+      SELECT o_custkey,
+             CASE WHEN recency_d <= 90 THEN 5 WHEN recency_d <= 180 THEN 4
+                  WHEN recency_d <= 365 THEN 3 WHEN recency_d <= 730 THEN 2
+                  ELSE 1 END AS r_score,
+             CASE WHEN frequency >= 20 THEN 5 WHEN frequency >= 10 THEN 4
+                  WHEN frequency >= 5 THEN 3 WHEN frequency >= 2 THEN 2
+                  ELSE 1 END AS f_score,
+             CASE WHEN monetary_cents >= 400000000 THEN 5
+                  WHEN monetary_cents >= 200000000 THEN 4
+                  WHEN monetary_cents >= 100000000 THEN 3
+                  WHEN monetary_cents >= 50000000 THEN 2
+                  ELSE 1 END AS m_score,
+             monetary_cents
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(monetary_cents) / 100.0, 2) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with FIXED
+    score boundaries — deliberately not data-dependent quintiles, so the
+    segmentation needs no global sort, is stable across engines and reruns,
+    and segment definitions survive incremental refresh (quintile-based RFM
+    re-labels everyone whenever the distribution moves — the operational
+    argument for fixed bands). One per-customer aggregate (recency against
+    the broadcast max date, counts, exact-cents spend), a CASE ladder, and
+    a 125-cell rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    rfm = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            F.datediff(
+                F.col("maxd"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    r = (
+        F.when(F.col("recency_d") <= 90, 5)
+        .when(F.col("recency_d") <= 180, 4)
+        .when(F.col("recency_d") <= 365, 3)
+        .when(F.col("recency_d") <= 730, 2)
+        .otherwise(1)
+    )
+    f_ = (
+        F.when(F.col("frequency") >= 20, 5)
+        .when(F.col("frequency") >= 10, 4)
+        .when(F.col("frequency") >= 5, 3)
+        .when(F.col("frequency") >= 2, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("monetary_cents") >= 400000000, 5)
+        .when(F.col("monetary_cents") >= 200000000, 4)
+        .when(F.col("monetary_cents") >= 100000000, 3)
+        .when(F.col("monetary_cents") >= 50000000, 2)
+        .otherwise(1)
+    )
+    return (
+        rfm.select(
+            r.alias("r_score"),
+            f_.alias("f_score"),
+            m.alias("m_score"),
+            "monetary_cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("monetary_cents") / 100.0, 2).alias("avg_monetary"),
+        )
+    )

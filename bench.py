@@ -190,6 +190,10 @@ HEADLINE = [
     # round-2 wave 29: dedup keeper election, RFM segmentation
     "dedup_cluster_keepers",
     "a_rfm_segments",
+    # round-2 wave 30: cohort LTV, SRM check, Zipf exponent
+    "w_cohort_ltv",
+    "a_srm_check",
+    "a_zipf_exponent",
 ]
 
 

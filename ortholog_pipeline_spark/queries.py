@@ -11720,3 +11720,234 @@ def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("monetary_cents") / 100.0, 2).alias("avg_monetary"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 30 — growth analytics (cohort LTV), experiment hygiene (sample-ratio
+# mismatch), and corpus statistics (Zipf exponent fit).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_cohort_ltv",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d
+      FROM events GROUP BY user_id
+    ),
+    cohorts AS (
+      SELECT user_id,
+             DATE_DIFF('day', DATE '2024-01-01', first_d) // 7 AS cohort_week
+      FROM firsts
+    ),
+    purchases AS (
+      SELECT e.user_id, c.cohort_week,
+             DATE_DIFF('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7
+               - c.cohort_week AS week_offset,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN cohorts c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    weekly AS (
+      SELECT cohort_week, week_offset, SUM(cents) AS cents
+      FROM purchases GROUP BY 1, 2
+    ),
+    cohort_sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM cohorts GROUP BY 1
+    ),
+    cum AS (
+      SELECT cohort_week, week_offset,
+             SUM(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM weekly
+    )
+    SELECT c.cohort_week, c.week_offset,
+           ROUND(c.cum_cents / (s.n_users * 100.0), 4) AS ltv_per_user,
+           s.n_users
+    FROM cum c JOIN cohort_sizes s USING (cohort_week)
+    """,
+)
+def w_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per signup cohort: users grouped by
+    first-seen week, purchase revenue accumulated per week offset, divided
+    by COHORT size (not active users — LTV denominators never shrink). The
+    running sum is a partitioned window over the tiny (cohort, offset)
+    matrix, never over raw events; exact integer cents until the final
+    division. This is the retention-cohort shape with money on it — one
+    first-touch aggregate, one join back, one matrix window."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d")
+    )
+    epoch = F.lit("2024-01-01").cast("date")
+    cohorts = firsts.select(
+        "user_id",
+        F.floor(F.datediff(F.col("first_d"), epoch) / 7).alias("cohort_week"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.floor(F.datediff(F.col("ts").cast("date"), epoch) / 7)
+                - F.col("cohort_week")
+            ).alias("week_offset"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    weekly = purchases.groupBy("cohort_week", "week_offset").agg(
+        F.sum("cents").alias("cents")
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = weekly.select(
+        "cohort_week", "week_offset", F.sum("cents").over(w).alias("cum_cents")
+    )
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.round(F.col("cum_cents") / (F.col("n_users") * 100.0), 4).alias(
+            "ltv_per_user"
+        ),
+        "n_users",
+    )
+
+
+@register(
+    "a_srm_check",
+    """
+    WITH assigned AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    counts AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM assigned GROUP BY arm
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT ROUND(SUM(POWER(n - total / 2.0, 2) / (total / 2.0)), 6) AS chi2,
+           CAST(MAX(CASE WHEN arm = 'control' THEN n END) AS BIGINT) AS n_control,
+           CAST(MAX(CASE WHEN arm = 'treatment' THEN n END) AS BIGINT) AS n_treatment,
+           CASE WHEN SUM(POWER(n - total / 2.0, 2) / (total / 2.0)) > 3.841
+                THEN 'SRM_SUSPECTED' ELSE 'OK' END AS verdict
+    FROM counts, tot
+    """,
+)
+def a_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the hash-assigned experiment arms —
+    the FIRST validity gate on any A/B readout (a significant SRM means
+    the assignment or logging is broken and every downstream p-value is
+    garbage). χ² of observed arm counts against the designed 50/50 split,
+    with the 3.841 (df=1, α=0.05) verdict inline. Uses the same md5
+    assignment coin as a_ab_test_welch, so this query IS that experiment's
+    hygiene check. One distinct + one 2-row aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    arm = F.when(
+        F.pmod(
+            DD.hex_hash64(F.concat(F.lit("ab"), F.col("user_id").cast("string"))),
+            F.lit(2),
+        )
+        == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    counts = (
+        ev.select("user_id")
+        .distinct()
+        .select(arm.alias("arm"))
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    j = counts.crossJoin(F.broadcast(tot))
+    chi2 = F.sum(
+        F.pow(F.col("n") - F.col("total") / 2.0, 2) / (F.col("total") / 2.0)
+    )
+    return j.agg(
+        F.round(chi2, 6).alias("chi2"),
+        F.max(F.when(F.col("arm") == "control", F.col("n")))
+        .cast("long")
+        .alias("n_control"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n")))
+        .cast("long")
+        .alias("n_treatment"),
+        F.when(chi2 > 3.841, F.lit("SRM_SUSPECTED"))
+        .otherwise(F.lit("OK"))
+        .alias("verdict"),
+    )
+
+
+@register(
+    "a_zipf_exponent",
+    """
+    WITH tf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM tf
+      ORDER BY freq DESC, tok LIMIT 200
+    ),
+    pts AS (SELECT LN(rnk) AS x, LN(freq) AS y FROM top),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT ROUND(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_exponent,
+           ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 4)
+             AS log_c,
+           CAST(n AS BIGINT) AS n_points
+    FROM m
+    """,
+)
+def a_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS slope of log-frequency against
+    log-rank over the top-200 terms (natural text sits near s≈1; heavily
+    templated or synthetic corpora drift far from it — a one-number
+    corpus-authenticity signal). The rank comes from a global top-200
+    (TakeOrderedAndProject — heap-merged, no global sort), the regression
+    from closed-form moment sums over 200 points. Word counts are the only
+    fact-sized pass."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = tf.orderBy(F.col("freq").desc(), "tok").limit(200)
+    w = Window.orderBy(F.col("freq").desc(), "tok")
+    pts = top.withColumn("rnk", F.row_number().over(w)).select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.round(-slope, 4).alias("zipf_exponent"),
+        F.round((F.col("sy") - F.col("sx") * slope) / F.col("n"), 4).alias(
+            "log_c"
+        ),
+        F.col("n").cast("long").alias("n_points"),
+    )

@@ -194,6 +194,9 @@ HEADLINE = [
     "w_cohort_ltv",
     "a_srm_check",
     "a_zipf_exponent",
+    # round-2 wave 31: fair-share waterfill, throughput profile
+    "a_fair_share_waterfill",
+    "w_throughput_profile",
 ]
 
 

@@ -11951,3 +11951,186 @@ def a_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n").cast("long").alias("n_points"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 31 — resource governance (max-min fair-share waterfill) and
+# operational throughput profiling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_fair_share_waterfill",
+    """
+    WITH demand AS (
+      SELECT n_name AS tenant,
+             CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS d
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ),
+    cap AS (SELECT CAST(SUM(d) * 6 // 10 AS BIGINT) AS c FROM demand),
+    ordered AS (
+      SELECT tenant, d,
+             ROW_NUMBER() OVER (ORDER BY d, tenant) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(d) OVER (ORDER BY d, tenant ROWS UNBOUNDED PRECEDING) - d
+               AS cum_below
+      FROM demand
+    ),
+    flagged AS (
+      SELECT o.*, cap.c,
+             CASE WHEN cum_below + d * (n - i + 1) <= cap.c THEN 1 ELSE 0 END
+               AS fully_served
+      FROM ordered o, cap
+    ),
+    lvl AS (
+      SELECT (c - cum_below) * 1.0 / (n - i + 1) AS level
+      FROM flagged WHERE fully_served = 0
+      ORDER BY i LIMIT 1
+    )
+    SELECT tenant,
+           ROUND(d / 100.0, 2) AS demand,
+           ROUND(CASE WHEN fully_served = 1 THEN d
+                      ELSE (SELECT level FROM lvl) END / 100.0, 2) AS allocation,
+           ROUND(CASE WHEN fully_served = 1 THEN 1.0
+                      ELSE (SELECT level FROM lvl) / d END, 6) AS fill_ratio
+    FROM flagged
+    """,
+)
+def a_fair_share_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair-share allocation (progressive waterfill): divide a
+    capacity budget (60% of total demand) among tenants so that small
+    demands are fully served and the rest share the remaining level
+    equally — the allocation rule behind fair schedulers, rate limiters,
+    and quota systems. The closed-form: sort by demand, a tenant is fully
+    served iff its demand fits under the water line given everything
+    smaller is served (cum_below + d·(remaining) ≤ C); the first
+    infeasible rank determines the level. One |tenants|-row window chain
+    (bounded by tenant cardinality, not data volume) after the per-tenant
+    demand aggregate — exact integer cents up to the final level division."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    demand = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("tenant"))
+        .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("d"))
+    )
+    cap = demand.agg(
+        F.floor(F.sum("d") * 6 / 10).cast("long").alias("c")
+    )
+    w_ord = Window.orderBy("d", "tenant")
+    wa = Window.partitionBy()
+    ordered = demand.select(
+        "tenant",
+        "d",
+        F.row_number().over(w_ord).alias("i"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+        (
+            F.sum("d").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("d")
+        ).alias("cum_below"),
+    )
+    flagged = ordered.crossJoin(F.broadcast(cap)).withColumn(
+        "fully_served",
+        F.when(
+            F.col("cum_below") + F.col("d") * (F.col("n") - F.col("i") + 1)
+            <= F.col("c"),
+            1,
+        ).otherwise(0),
+    ).persist()
+    lvl = (
+        flagged.filter(F.col("fully_served") == 0)
+        .orderBy("i")
+        .limit(1)
+        .select(
+            (
+                (F.col("c") - F.col("cum_below"))
+                * 1.0
+                / (F.col("n") - F.col("i") + 1)
+            ).alias("level")
+        )
+    )
+    return flagged.crossJoin(F.broadcast(lvl)).select(
+        "tenant",
+        F.round(F.col("d") / 100.0, 2).alias("demand"),
+        F.round(
+            F.when(F.col("fully_served") == 1, F.col("d")).otherwise(
+                F.col("level")
+            )
+            / 100.0,
+            2,
+        ).alias("allocation"),
+        F.round(
+            F.when(F.col("fully_served") == 1, F.lit(1.0)).otherwise(
+                F.col("level") / F.col("d")
+            ),
+            6,
+        ).alias("fill_ratio"),
+    )
+
+
+@register(
+    "w_throughput_profile",
+    """
+    WITH per_min AS (
+      SELECT event_type, date_trunc('minute', ts) AS m,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cnt, m) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM per_min
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS active_minutes,
+           CAST(MIN(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN cnt END)
+                AS BIGINT) AS p50_per_min,
+           CAST(MIN(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN cnt END)
+                AS BIGINT) AS p95_per_min,
+           CAST(MAX(cnt) AS BIGINT) AS max_per_min
+    FROM ranked GROUP BY event_type
+    """,
+)
+def w_throughput_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput profile per event type: p50 / p95 / max events-per-minute
+    over the stream's active minutes — the numbers that size a consumer
+    (provision for p95, alert above max). Percentiles are EXACT rank picks
+    over the per-minute count distribution (ties broken by minute so the
+    rank is total) — the minute rollup bounds the window input to
+    |types|·|minutes| rows regardless of event volume."""
+    ev = _t(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("cnt", "m")
+    wp = Window.partitionBy("event_type")
+    ranked = per_min.select(
+        "event_type",
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("active_minutes"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"), F.col("cnt")
+            )
+        )
+        .cast("long")
+        .alias("p50_per_min"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"),
+                F.col("cnt"),
+            )
+        )
+        .cast("long")
+        .alias("p95_per_min"),
+        F.max("cnt").alias("max_per_min"),
+    )

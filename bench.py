@@ -197,6 +197,8 @@ HEADLINE = [
     # round-2 wave 31: fair-share waterfill, throughput profile
     "a_fair_share_waterfill",
     "w_throughput_profile",
+    # round-2 wave 32: density clustering
+    "j_dbscan_grid",
 ]
 
 

@@ -12134,3 +12134,187 @@ def w_throughput_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p95_per_min"),
         F.max("cnt").alias("max_per_min"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 32 — density clustering: grid-blocked DBSCAN (eps-neighbor graph via
+# the spatial cell join, core/border/noise classification, core components).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_dbscan_grid",
+    f"""
+    WITH RECURSIVE p AS (
+      SELECT c_custkey AS id,
+             (CAST(('0x' || substr(md5('gx' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 AS x,
+             (CAST(('0x' || substr(md5('gy' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 AS y
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    a AS (
+      SELECT id, x, y,
+             CAST(FLOOR(x / {_GEO_EPS}) AS BIGINT) AS cx,
+             CAST(FLOOR(y / {_GEO_EPS}) AS BIGINT) AS cy
+      FROM p
+    ),
+    probes AS (
+      SELECT id, x, y, cx + dx AS cx, cy + dy AS cy
+      FROM a
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+    ),
+    pairs AS (
+      SELECT l.id AS i1, r.id AS i2
+      FROM probes l JOIN a r ON l.cx = r.cx AND l.cy = r.cy
+      WHERE l.id < r.id
+        AND sqrt((l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y))
+            < {_GEO_EPS}
+    ),
+    sym AS (SELECT i1 AS u, i2 AS v FROM pairs UNION ALL SELECT i2, i1 FROM pairs),
+    deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS nbrs FROM sym GROUP BY u),
+    core AS (SELECT id FROM deg WHERE nbrs >= 2),
+    core_edges AS (
+      SELECT i1 AS u, i2 AS v FROM pairs
+      WHERE i1 IN (SELECT id FROM core) AND i2 IN (SELECT id FROM core)
+    ),
+    core_sym AS (SELECT u, v FROM core_edges UNION SELECT v, u FROM core_edges),
+    reach(a2, b2) AS (
+      SELECT u, u FROM core_sym
+      UNION
+      SELECT r.a2, s.v FROM reach r JOIN core_sym s ON s.u = r.b2
+    ),
+    comp AS (
+      SELECT c.id AS id, COALESCE(MIN(r.b2), c.id) AS cluster_id
+      FROM core c LEFT JOIN reach r ON r.a2 = c.id
+      GROUP BY c.id
+    ),
+    border AS (
+      SELECT s.u AS id, MIN(comp.cluster_id) AS cluster_id
+      FROM sym s JOIN comp ON s.v = comp.id
+      WHERE s.u NOT IN (SELECT id FROM core)
+      GROUP BY s.u
+    ),
+    labeled AS (
+      SELECT id, cluster_id, 'core' AS role FROM comp
+      UNION ALL
+      SELECT id, cluster_id, 'border' FROM border
+    ),
+    clusters AS (
+      SELECT cluster_id,
+             CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_core,
+             CAST(SUM(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_border
+      FROM labeled GROUP BY cluster_id
+    )
+    SELECT cluster_id, n_core, n_border, n_core + n_border AS n_total
+    FROM clusters
+    UNION ALL
+    SELECT -1,
+           CAST(0 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM p) - (SELECT COUNT(*) FROM labeled) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM p) - (SELECT COUNT(*) FROM labeled) AS BIGINT)
+    """,
+)
+def j_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked DBSCAN (eps = cell pitch, minPts = 3): the eps-neighbor
+    graph comes from the SAME 3×3 cell-probe join as j_spatial_grid_join
+    (never a quadratic distance join), core points are those with ≥ 2
+    eps-neighbors, clusters are connected components of the core-core
+    subgraph (alternating large-star/small-star to convergence — the
+    recursive-CTE oracle replays the closure exactly), border points
+    attach to their minimum-labeled core neighbor (textbook DBSCAN leaves
+    border assignment order-dependent; the min rule makes it a pure
+    function), everything else is noise (cluster −1). Per-cluster
+    core/border counts. Every stage is cell- or node-keyed — DBSCAN at
+    100 TB is exactly this plan with a finer grid."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    p = cust.select(
+        F.col("c_custkey").alias("id"),
+        _geo_coord(F.col("c_custkey"), "gx").alias("x"),
+        _geo_coord(F.col("c_custkey"), "gy").alias("y"),
+    )
+    a = p.withColumn("cx", F.floor(F.col("x") / _GEO_EPS).cast("long")).withColumn(
+        "cy", F.floor(F.col("y") / _GEO_EPS).cast("long")
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    probes = a.select("id", "x", "y", "cx", "cy", offsets).select(
+        F.col("id").alias("lid"),
+        F.col("x").alias("lx"),
+        F.col("y").alias("ly"),
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    dist = F.sqrt(
+        (F.col("lx") - F.col("x")) * (F.col("lx") - F.col("x"))
+        + (F.col("ly") - F.col("y")) * (F.col("ly") - F.col("y"))
+    )
+    pairs = (
+        probes.join(a, ["cx", "cy"])
+        .filter((F.col("lid") < F.col("id")) & (dist < _GEO_EPS))
+        .select(F.col("lid").alias("i1"), F.col("id").alias("i2"))
+        .persist()
+    )
+    sym = pairs.select(F.col("i1").alias("u"), F.col("i2").alias("v")).unionByName(
+        pairs.select(F.col("i2").alias("u"), F.col("i1").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("nbrs")
+    )
+    core = deg.filter(F.col("nbrs") >= 2).select("id").persist()
+    core_edges = (
+        pairs.join(core.withColumnRenamed("id", "i1"), "i1", "left_semi")
+        .join(core.withColumnRenamed("id", "i2"), "i2", "left_semi")
+        .select(F.col("i1").alias("id_1"), F.col("i2").alias("id_2"))
+    )
+    comp_raw = CCop.connected_components(core_edges)
+    comp = (
+        core.join(
+            comp_raw.withColumnRenamed("node", "id"), "id", "left_outer"
+        )
+        .select(
+            "id", F.coalesce(F.col("component"), F.col("id")).alias("cluster_id")
+        )
+        .persist()
+    )
+    border = (
+        sym.join(
+            comp.select(F.col("id").alias("v"), "cluster_id"), "v"
+        )
+        .join(core.withColumnRenamed("id", "u"), "u", "left_anti")
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    labeled = comp.select("id", "cluster_id", F.lit("core").alias("role")).unionByName(
+        border.select("id", "cluster_id", F.lit("border").alias("role"))
+    )
+    clusters = labeled.groupBy("cluster_id").agg(
+        F.sum(F.when(F.col("role") == "core", 1).otherwise(0)).alias("n_core"),
+        F.sum(F.when(F.col("role") == "border", 1).otherwise(0)).alias("n_border"),
+    ).select(
+        "cluster_id",
+        "n_core",
+        "n_border",
+        (F.col("n_core") + F.col("n_border")).alias("n_total"),
+    )
+    n_all = p.agg(F.count(F.lit(1)).alias("np"))
+    n_lab = labeled.agg(F.count(F.lit(1)).alias("nl"))
+    noise = (
+        n_all.crossJoin(F.broadcast(n_lab))
+        .select(
+            F.lit(-1).cast("long").alias("cluster_id"),
+            F.lit(0).cast("long").alias("n_core"),
+            (F.col("np") - F.col("nl")).alias("n_border"),
+            (F.col("np") - F.col("nl")).alias("n_total"),
+        )
+    )
+    return clusters.unionByName(noise)

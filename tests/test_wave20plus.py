@@ -151,3 +151,31 @@ def test_label_propagation_partition_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert rows1 == rows2
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "j_returned_items_topk",
+        "emb_covariance_topk",
+        "g_link_prediction",
+        "emb_triplet_mining",
+        "a_top_supplier",
+        "j_dbscan_grid",
+    ],
+)
+def test_topk_sets_partition_invariant(spark, name):
+    """Every ranked/selected SET must be a pure function of the data, not of
+    the physical partitioning: integer-snapped orderings + explicit
+    tie-breaks are the mechanism, this is the regression net."""
+    df1 = Q.queries()[name](spark, SF_DIR)
+    rows1 = {tuple(r) for r in df1.collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        rows2 = {
+            tuple(r) for r in Q.queries()[name](spark, SF_DIR).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert rows1 == rows2

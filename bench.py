@@ -199,6 +199,8 @@ HEADLINE = [
     "w_throughput_profile",
     # round-2 wave 32: density clustering
     "j_dbscan_grid",
+    # round-2 wave 33: cross-source redundancy
+    "a_source_overlap_matrix",
 ]
 
 

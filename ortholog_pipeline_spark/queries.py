@@ -12318,3 +12318,78 @@ def j_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return clusters.unionByName(noise)
+
+# ---------------------------------------------------------------------------
+# Wave 33 — cross-source redundancy accounting.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_source_overlap_matrix",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT source,
+             CASE WHEN doc_id % 25 = 0
+                  THEN md5('syndicated' || CAST(doc_id % 10 AS VARCHAR))
+                  ELSE md5(text) END AS th
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.source AS source_1, b.source AS source_2,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+      FROM hashed a JOIN hashed b ON a.th = b.th AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_texts FROM hashed GROUP BY 1
+    )
+    SELECT p.source_1, p.source_2, p.n_shared_texts,
+           ROUND(p.n_shared_texts * 1.0
+                 / LEAST(s1.n_texts, s2.n_texts), 6) AS overlap_coeff
+    FROM pairs p
+    JOIN per_src s1 ON p.source_1 = s1.source
+    JOIN per_src s2 ON p.source_2 = s2.source
+    """,
+)
+def a_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source redundancy matrix: for every source pair, how many
+    IDENTICAL documents (by content hash; syndication planted — see code
+    comment) both carry, normalized by the
+    smaller source's size (the Szymkiewicz–Simpson overlap coefficient) —
+    the first question when merging crawl feeds: 'which feeds are mostly
+    re-serving each other?'. Distinct (source, hash) first collapses
+    within-source dups so the pair join counts texts, not copies; the join
+    is keyed on the content hash (never a source×source product)."""
+    docs = _t(spark, sf_dir, "documents")
+    # the synthetic corpus has no cross-source exact dups, so syndicated
+    # content is PLANTED: every 25th doc maps to one of 10 shared
+    # fingerprints (same planted-defect pattern as emb_norm_outliers)
+    th = F.when(
+        F.col("doc_id") % 25 == 0,
+        F.md5(F.concat(F.lit("syndicated"), (F.col("doc_id") % 10).cast("string"))),
+    ).otherwise(F.md5("text"))
+    hashed = docs.select("source", th.alias("th")).distinct().persist()
+    a = hashed.select(F.col("source").alias("source_1"), "th")
+    b = hashed.select(F.col("source").alias("source_2"), "th")
+    pairs = (
+        a.join(b, "th")
+        .filter(F.col("source_1") < F.col("source_2"))
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )
+    per_src = hashed.groupBy("source").agg(F.count(F.lit(1)).alias("n_texts"))
+    s1 = per_src.select(F.col("source").alias("source_1"), F.col("n_texts").alias("n1"))
+    s2 = per_src.select(F.col("source").alias("source_2"), F.col("n_texts").alias("n2"))
+    return (
+        pairs.join(F.broadcast(s1), "source_1")
+        .join(F.broadcast(s2), "source_2")
+        .select(
+            "source_1",
+            "source_2",
+            "n_shared_texts",
+            F.round(
+                F.col("n_shared_texts") * 1.0 / F.least(F.col("n1"), F.col("n2")),
+                6,
+            ).alias("overlap_coeff"),
+        )
+    )

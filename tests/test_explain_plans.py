@@ -578,3 +578,28 @@ def test_bpe_rounds_reuse_vocab_no_collect_shape(spark):
     assert "CartesianProduct" not in plan
     # three rounds -> three broadcast applications of the 1-row winner
     assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 3
+
+
+def test_dynamic_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """The layout story end-to-end: a fact table written partitionBy(key)
+    must be dynamically pruned when joined to a filtered dimension — the
+    plan carries a dynamicpruning subquery on the partition column, so at
+    scale the scan reads only the partitions the dimension selects."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").limit(2000)
+    fact_path = str(tmp_path / "fact")
+    li.withColumn("rf", F.col("l_returnflag")).write.partitionBy("rf").parquet(
+        fact_path
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("R", "returned")], schema="rf string, label string"
+    )
+    joined = fact.join(F.broadcast(dim), "rf").groupBy("label").count()
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(rf" in plan, plan[:2000]

@@ -201,6 +201,7 @@ HEADLINE = [
     "j_dbscan_grid",
     # round-2 wave 33: cross-source redundancy
     "a_source_overlap_matrix",
+    "a_dp_noisy_counts",
 ]
 
 

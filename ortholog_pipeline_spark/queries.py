@@ -12393,3 +12393,59 @@ def a_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coeff"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 34 — privacy-preserving release: Laplace-mechanism noisy counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_dp_noisy_counts",
+    """
+    WITH counts AS (
+      SELECT o_orderpriority AS bucket, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM orders GROUP BY 1
+    ),
+    noised AS (
+      SELECT bucket, true_n,
+             (CAST(('0x' || substr(md5('dp' || bucket), 1, 6)) AS BIGINT) + 0.5)
+               / 16777216.0 AS u
+      FROM counts
+    )
+    SELECT bucket,
+           CAST(true_n + ROUND(
+             -1.0 * (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
+             * LN(1 - 2 * ABS(u - 0.5))) AS BIGINT) AS noisy_n,
+           ROUND(-1.0 * (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
+                 * LN(1 - 2 * ABS(u - 0.5)), 4) AS noise_drawn,
+           1.0 AS epsilon
+    FROM noised
+    """,
+)
+def a_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy count release (ε = 1, sensitivity 1 →
+    scale b = 1): each group's count is perturbed by Laplace noise drawn
+    through the inverse CDF −b·sgn(u−½)·ln(1−2|u−½|). The uniform here is
+    the PORTABLE md5 coin — which makes the release reproducible for the
+    oracle but is NOT cryptographic randomness; a production DP release
+    swaps in a secure RNG and this query is the mechanism's dataflow
+    (per-group noise is map-side over the aggregated counts, so the DP
+    step costs nothing at any scale). The +0.5/2²⁴ offset keeps u strictly
+    inside (0,1) so the log never sees zero."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_orderpriority").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp"), F.col("bucket"))), 1, 6), 16, 10)
+        .cast("long")
+        + 0.5
+    ) / 16777216.0
+    sgn = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = -1.0 * sgn * F.log(1 - 2 * F.abs(u - 0.5))
+    return counts.select(
+        "bucket",
+        (F.col("true_n") + F.round(noise)).cast("long").alias("noisy_n"),
+        F.round(noise, 4).alias("noise_drawn"),
+        F.lit(1.0).alias("epsilon"),
+    )

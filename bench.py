@@ -202,6 +202,7 @@ HEADLINE = [
     # round-2 wave 33: cross-source redundancy
     "a_source_overlap_matrix",
     "a_dp_noisy_counts",
+    "w_anomaly_seasonal_adjusted",
 ]
 
 

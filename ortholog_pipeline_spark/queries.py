@@ -12449,3 +12449,77 @@ def a_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 4).alias("noise_drawn"),
         F.lit(1.0).alias("epsilon"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 35 — seasonally-adjusted anomaly detection.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_anomaly_seasonal_adjusted",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) % 7
+               AS dow,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    dow_means AS (
+      SELECT dow, AVG(cents) AS dow_mean FROM daily GROUP BY dow
+    ),
+    resid AS (
+      SELECT d, daily.dow, cents, cents - dow_mean AS r
+      FROM daily JOIN dow_means USING (dow)
+    ),
+    stats AS (
+      SELECT AVG(r) AS mu, STDDEV_SAMP(r) AS sd FROM resid
+    )
+    SELECT d, CAST(dow AS BIGINT) AS dow,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND((r - mu) / sd, 4) AS z_seasonal
+    FROM resid, stats
+    WHERE ABS((r - mu) / sd) > 3
+    """,
+)
+def w_anomaly_seasonal_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: subtract each day-of-week's
+    mean BEFORE the z-score, so a busy-but-normal Monday stops masking a
+    genuinely anomalous Wednesday (the classic false-negative of the plain
+    z-score a_anomaly_zscore computes). Day-of-week via epoch-day mod 7
+    (engine-identical); residual mean/stddev broadcast from a 1-row
+    aggregate; flags |z| > 3. Daily rollup bounds everything downstream to
+    |days| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("d"),
+        (
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            % 7
+        ).alias("dow"),
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    dow_means = daily.groupBy("dow").agg(F.avg("cents").alias("dow_mean"))
+    resid = daily.join(F.broadcast(dow_means), "dow").select(
+        "d", "dow", "cents", (F.col("cents") - F.col("dow_mean")).alias("r")
+    )
+    stats = resid.agg(
+        F.avg("r").alias("mu"), F.stddev_samp("r").alias("sd")
+    )
+    z = (F.col("r") - F.col("mu")) / F.col("sd")
+    return (
+        resid.crossJoin(F.broadcast(stats))
+        .filter(F.abs(z) > 3)
+        .select(
+            "d",
+            F.col("dow").cast("long").alias("dow"),
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(z, 4).alias("z_seasonal"),
+        )
+    )

@@ -203,6 +203,7 @@ HEADLINE = [
     "a_source_overlap_matrix",
     "a_dp_noisy_counts",
     "w_anomaly_seasonal_adjusted",
+    "a_variant_shred",
 ]
 
 

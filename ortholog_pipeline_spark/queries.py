@@ -12557,3 +12557,232 @@ def a_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("k"), 4).alias("avg_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 36 — temporal absence (abandoned actions), statistical process
+# control (XmR chart), and drawdown accounting.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_abandoned_actions",
+    """
+    WITH views AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ),
+    purchases AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    followed AS (
+      SELECT DISTINCT v.event_id
+      FROM views v JOIN purchases p
+        ON v.user_id = p.user_id
+       AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+    )
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(COUNT(*) - COUNT(f.event_id) AS BIGINT) AS n_abandoned,
+           ROUND((COUNT(*) - COUNT(f.event_id)) * 1.0 / COUNT(*), 6)
+             AS abandon_rate
+    FROM views v LEFT JOIN followed f ON v.event_id = f.event_id
+    GROUP BY v.user_id
+    HAVING COUNT(*) - COUNT(f.event_id) > 0
+    """,
+)
+def j_abandoned_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ABSENCE detection — views never followed by a purchase
+    within 24 h, per user (cart abandonment, unanswered alerts, dropped
+    handoffs: the 'X not followed by Y in window' pattern). The follow
+    check is an interval-bounded join on the user key marking each view
+    that IS followed; abandonment falls out of a LEFT JOIN + COUNT(col)
+    (the Q13 zero-bucket trick applied to time). The interval join's state
+    is bounded by the 24 h window per user — the same bound the streaming
+    interval join enforces with watermarks; only users with ≥ 1 abandoned
+    view are emitted."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    followed = (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .select("event_id")
+        .distinct()
+        .withColumn("f_id", F.col("event_id"))
+    )
+    joined = views.join(followed, "event_id", "left_outer")
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            (F.count(F.lit(1)) - F.count("f_id")).alias("n_abandoned"),
+            F.round(
+                (F.count(F.lit(1)) - F.count("f_id")) * 1.0 / F.count(F.lit(1)),
+                6,
+            ).alias("abandon_rate"),
+        )
+        .filter(F.col("n_abandoned") > 0)
+    )
+
+
+@register(
+    "w_xmr_control",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    mr AS (
+      SELECT d, cents,
+             ABS(cents - LAG(cents) OVER (ORDER BY d)) AS moving_range
+      FROM daily
+    ),
+    lims AS (
+      SELECT AVG(cents) AS xbar, AVG(moving_range) AS mrbar FROM mr
+    )
+    SELECT d, ROUND(cents / 100.0, 2) AS revenue,
+           ROUND((xbar + 2.66 * mrbar) / 100.0, 2) AS ucl,
+           ROUND((xbar - 2.66 * mrbar) / 100.0, 2) AS lcl,
+           CASE WHEN cents > xbar + 2.66 * mrbar THEN 'ABOVE_UCL'
+                ELSE 'BELOW_LCL' END AS signal
+    FROM mr, lims
+    WHERE cents > xbar + 2.66 * mrbar OR cents < xbar - 2.66 * mrbar
+    """,
+)
+def w_xmr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals + moving range) control chart over daily revenue —
+    Shewhart process control: limits at x̄ ± 2.66·MR̄ (the constant that
+    converts mean moving range to 3σ), emitting only out-of-control days
+    with their limits. Versus the z-score screens, XmR derives its sigma
+    from CONSECUTIVE-day variation, so a slow trend widens nothing and
+    still signals. One day rollup, one lag window over |days| rows, one
+    broadcast 1-row limit computation."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    mr = daily.select(
+        "d",
+        "cents",
+        F.abs(F.col("cents") - F.lag("cents").over(w)).alias("moving_range"),
+    )
+    lims = mr.agg(
+        F.avg("cents").alias("xbar"), F.avg("moving_range").alias("mrbar")
+    )
+    ucl = F.col("xbar") + 2.66 * F.col("mrbar")
+    lcl = F.col("xbar") - 2.66 * F.col("mrbar")
+    return (
+        mr.crossJoin(F.broadcast(lims))
+        .filter((F.col("cents") > ucl) | (F.col("cents") < lcl))
+        .select(
+            "d",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(ucl / 100.0, 2).alias("ucl"),
+            F.round(lcl / 100.0, 2).alias("lcl"),
+            F.when(F.col("cents") > ucl, F.lit("ABOVE_UCL"))
+            .otherwise(F.lit("BELOW_LCL"))
+            .alias("signal"),
+        )
+    )
+
+
+@register(
+    "w_max_drawdown",
+    """
+    WITH daily AS (
+      SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eq AS (
+      SELECT l_returnflag, d,
+             SUM(cents) OVER (PARTITION BY l_returnflag ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS equity
+      FROM daily
+    ),
+    cum AS (
+      SELECT l_returnflag, d, equity,
+             MAX(equity) OVER (PARTITION BY l_returnflag ORDER BY d
+                               ROWS UNBOUNDED PRECEDING) AS peak
+      FROM eq
+    ),
+    dd AS (
+      SELECT l_returnflag, d, equity, peak, peak - equity AS drawdown,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY peak - equity DESC, d) AS rn
+      FROM cum
+    )
+    SELECT l_returnflag, d AS worst_day,
+           ROUND(drawdown / 100.0, 2) AS max_drawdown,
+           ROUND(peak / 100.0, 2) AS peak_equity,
+           ROUND(drawdown * 1.0 / NULLIF(peak, 0), 6) AS drawdown_frac
+    FROM dd WHERE rn = 1
+    """,
+)
+def w_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series: the deepest peak-to-trough fall of the
+    cumulative revenue curve, with the day it bottomed — the risk metric
+    that summarizes 'how bad did it get' in one number. Running equity and
+    running peak are TWO stacked cumulative windows over the SAME
+    partition-and-order (one shuffle — Spark evaluates both frames in a
+    single WindowExec pass); the argmax is rank-picked with a date
+    tie-break. Exact integer cents throughout."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "l_returnflag",
+        "d",
+        F.sum("cents").over(w).alias("equity"),
+    ).select(
+        "l_returnflag",
+        "d",
+        "equity",
+        F.max("equity").over(w).alias("peak"),
+    )
+    dd = cum.select(
+        "l_returnflag",
+        "d",
+        "equity",
+        "peak",
+        (F.col("peak") - F.col("equity")).alias("drawdown"),
+    )
+    w_rn = Window.partitionBy("l_returnflag").orderBy(
+        F.col("drawdown").desc(), "d"
+    )
+    return (
+        dd.withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("d").alias("worst_day"),
+            F.round(F.col("drawdown") / 100.0, 2).alias("max_drawdown"),
+            F.round(F.col("peak") / 100.0, 2).alias("peak_equity"),
+            F.round(
+                F.col("drawdown") * 1.0 / F.nullif(F.col("peak"), F.lit(0)), 6
+            ).alias("drawdown_frac"),
+        )
+    )

@@ -208,6 +208,9 @@ HEADLINE = [
     "j_abandoned_actions",
     "w_xmr_control",
     "w_max_drawdown",
+    # round-2 wave 37: negative sampling, seasonality strength
+    "sample_negative_sampling",
+    "a_seasonality_strength",
 ]
 
 

@@ -12786,3 +12786,177 @@ def w_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drawdown_frac"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 37 — recommender training prep (negative sampling) and seasonality
+# strength.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_negative_sampling",
+    """
+    WITH pool AS (
+      SELECT p_partkey FROM (
+        SELECT p_partkey,
+               ROW_NUMBER() OVER (
+                 ORDER BY CAST(('0x' || substr(md5('pool' || CAST(p_partkey AS VARCHAR)), 1, 15)) AS BIGINT),
+                          p_partkey) AS rn
+        FROM part
+      ) WHERE rn <= 100
+    ),
+    interactions AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    active AS (
+      SELECT user_id FROM interactions GROUP BY user_id HAVING COUNT(*) >= 5
+    ),
+    candidates AS (
+      SELECT a.user_id, pool.p_partkey AS item_id
+      FROM active a CROSS JOIN pool
+    ),
+    negatives AS (
+      SELECT c.user_id, c.item_id FROM candidates c
+      ANTI JOIN interactions i
+        ON c.user_id = i.user_id AND c.item_id = i.item_id
+    ),
+    ranked AS (
+      SELECT user_id, item_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(('0x' || substr(md5('neg' || CAST(user_id AS VARCHAR) || '_' || CAST(item_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        item_id) AS rn
+      FROM negatives
+    )
+    SELECT user_id, item_id, CAST(rn AS BIGINT) AS neg_rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def sample_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender / contrastive
+    training: 5 items per active user drawn from a 100-item hash-selected
+    candidate pool, minus everything the user actually interacted with
+    (the anti-join is what makes them NEGATIVES — uniform random sampling
+    without it poisons ~p% of labels). The pool bound is the scale lever:
+    users × pool is the only fanout (users × catalog would be quadratic),
+    the pool broadcasts, and both the pool pick and the per-user draw ride
+    the portable md5 order so every engine and every rerun emits the
+    identical training set."""
+    part = _t(spark, sf_dir, "part")
+    w_pool = Window.orderBy(
+        DD.hex_hash64(
+            F.concat(F.lit("pool"), F.col("p_partkey").cast("string"))
+        ).asc(),
+        "p_partkey",
+    )
+    pool = (
+        part.select("p_partkey")
+        .withColumn("rn", F.row_number().over(w_pool))
+        .filter(F.col("rn") <= 100)
+        .select("p_partkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    interactions = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+        .persist()
+    )
+    active = (
+        interactions.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("user_id")
+    )
+    candidates = active.crossJoin(
+        F.broadcast(pool.select(F.col("p_partkey").alias("item_id")))
+    )
+    negatives = candidates.join(interactions, ["user_id", "item_id"], "left_anti")
+    w_neg = Window.partitionBy("user_id").orderBy(
+        DD.hex_hash64(
+            F.concat(
+                F.lit("neg"),
+                F.col("user_id").cast("string"),
+                F.lit("_"),
+                F.col("item_id").cast("string"),
+            )
+        ).asc(),
+        "item_id",
+    )
+    return (
+        negatives.withColumn("rn", F.row_number().over(w_neg))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "item_id", F.col("rn").cast("long").alias("neg_rank"))
+    )
+
+
+@register(
+    "a_seasonality_strength",
+    """
+    WITH daily AS (
+      SELECT l_returnflag,
+             CAST(l_shipdate AS DATE) AS d,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) % 7
+               AS dow,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    dow_means AS (
+      SELECT l_returnflag, dow, AVG(cents) AS dm
+      FROM daily GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT daily.l_returnflag, cents, cents - dm AS r
+      FROM daily JOIN dow_means
+        ON daily.l_returnflag = dow_means.l_returnflag
+       AND daily.dow = dow_means.dow
+    )
+    SELECT l_returnflag,
+           ROUND(1 - VAR_SAMP(r) / VAR_SAMP(cents), 6) AS seasonal_strength,
+           ROUND(SQRT(VAR_SAMP(cents)) / 100.0, 2) AS daily_sd,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM resid GROUP BY l_returnflag
+    """,
+)
+def a_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength per series: the fraction of daily-revenue
+    variance explained by the day-of-week profile (1 − Var(residual)/
+    Var(raw) — the STL-style strength statistic without the iterative
+    decomposition). Near 0 = no weekly structure (don't bother with
+    seasonal models), near 1 = the week IS the signal. Complements
+    w_forecast_baselines' ratio with a variance-based view; all inputs
+    integer cents, variances over the |days|-bounded rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.col("l_shipdate").cast("date").alias("d"),
+        (
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            % 7
+        ).alias("dow"),
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    dow_means = daily.groupBy("l_returnflag", "dow").agg(
+        F.avg("cents").alias("dm")
+    )
+    resid = daily.join(F.broadcast(dow_means), ["l_returnflag", "dow"]).select(
+        "l_returnflag", "cents", (F.col("cents") - F.col("dm")).alias("r")
+    )
+    return resid.groupBy("l_returnflag").agg(
+        F.round(1 - F.var_samp("r") / F.var_samp("cents"), 6).alias(
+            "seasonal_strength"
+        ),
+        F.round(F.sqrt(F.var_samp("cents")) / 100.0, 2).alias("daily_sd"),
+        F.count(F.lit(1)).alias("n_days"),
+    )

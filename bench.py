@@ -211,6 +211,9 @@ HEADLINE = [
     # round-2 wave 37: negative sampling, seasonality strength
     "sample_negative_sampling",
     "a_seasonality_strength",
+    # round-2 wave 38: LSH planner, growth accounting
+    "a_lsh_param_planner",
+    "a_growth_accounting",
 ]
 
 

@@ -12960,3 +12960,210 @@ def a_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.var_samp("cents")) / 100.0, 2).alias("daily_sd"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 38 — LSH self-tuning (parameter cost planner) and growth accounting.
+# ---------------------------------------------------------------------------
+
+
+_SIG_CTES = _MINHASH_CTES.split(",\n    banded AS")[0]
+
+
+@register(
+    "a_lsh_param_planner",
+    f"""
+    WITH {_SIG_CTES},
+    configs AS (SELECT unnest([2, 4, 8]) AS n_bands),
+    banded_all AS (
+      SELECT c.n_bands, doc_id, b,
+             md5(array_to_string(
+               list_transform(
+                 sig[b * (16 // c.n_bands) + 1 : b * (16 // c.n_bands) + (16 // c.n_bands)],
+                 v -> v::VARCHAR), ',')) AS band_key
+      FROM sig, configs c, generate_series(0, 7) g(b)
+      WHERE b < c.n_bands
+    ),
+    buckets AS (
+      SELECT n_bands, b, band_key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM banded_all GROUP BY 1, 2, 3
+    )
+    SELECT n_bands,
+           CAST(16 // n_bands AS BIGINT) AS rows_per_band,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS est_candidate_pairs,
+           CAST(MAX(n) AS BIGINT) AS largest_bucket,
+           ROUND(POWER(0.5, CAST(16 // n_bands AS DOUBLE)) * n_bands, 6)
+             AS approx_recall_at_j05
+    FROM buckets GROUP BY n_bands
+    """,
+)
+def a_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter planning FROM THE DATA, before running the dedup: for
+    band counts {{2, 4, 8}} over the same 16-hash MinHash signatures,
+    estimate the candidate-pair workload (Σ n·(n−1)/2 over bucket
+    histograms — the exact number of pairs the band join would emit), the
+    largest bucket (the skew hazard), and the first-order recall bound
+    b·(J^r) at J = 0.5. More bands = more candidates AND more recall; this
+    query prices that trade on the actual corpus so the dedup run is
+    configured, not guessed. Signatures are computed once; each config
+    reuses them — the planner costs one signature pass plus bucket
+    counting, never a pair join."""
+    docs = _t(spark, sf_dir, "documents")
+    hashed = (
+        docs.select("doc_id", DD.hashed_shingles31("text", 3).alias("h31"))
+        .filter(F.size("h31") > 0)
+    )
+
+    def affine(a, b):
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(DD.MINHASH_P))
+
+    sig = hashed.withColumn(
+        "sig",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("h31"), affine(a, b)))
+                for a, b in DD.minhash_params(16)
+            ]
+        ),
+    ).select("doc_id", "sig").persist()
+    outs = []
+    for n_bands in (2, 4, 8):
+        r = 16 // n_bands
+        banded = sig.select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("b"),
+            "sig",
+        ).select(
+            "doc_id",
+            "b",
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), F.col("b") * r + 1, r),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key"),
+        )
+        buckets = banded.groupBy("b", "band_key").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        outs.append(
+            buckets.agg(
+                F.lit(n_bands).cast("long").alias("n_bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.sum(
+                    (F.col("n") * (F.col("n") - 1) - F.pmod(F.col("n") * (F.col("n") - 1), F.lit(2))) / 2
+                )
+                .cast("long")
+                .alias("est_candidate_pairs"),
+                F.max("n").alias("largest_bucket"),
+                F.round(F.pow(F.lit(0.5), F.lit(float(r))) * n_bands, 6).alias(
+                    "approx_recall_at_j05"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+@register(
+    "a_growth_accounting",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, wk,
+             MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM uw
+    ),
+    maxwk AS (SELECT MAX(wk) AS mw FROM uw),
+    states AS (
+      SELECT wk,
+             CAST(SUM(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+             CAST(SUM(CASE WHEN wk > first_wk AND (prev_wk IS NULL OR prev_wk < wk - 1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM marked GROUP BY wk
+    ),
+    churn AS (
+      SELECT m.wk + 1 AS wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM marked m, maxwk
+      WHERE (m.next_wk IS NULL OR m.next_wk > m.wk + 1) AND m.wk + 1 <= maxwk.mw
+      GROUP BY m.wk + 1
+    )
+    SELECT s.wk AS week, s.n_new, s.n_retained, s.n_resurrected,
+           COALESCE(c.n_churned, 0) AS n_churned
+    FROM states s LEFT JOIN churn c ON s.wk = c.wk
+    """,
+)
+def a_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the new / retained / resurrected / churned weekly
+    ledger every growth team reports): collapse events to distinct
+    (user, week), then ONE user-partitioned window pass derives first
+    week, previous active week, and next active week — new is
+    first-appearance, retained is consecutive, resurrected is a gap
+    return, and churn at week w+1 is 'active at w, silent at w+1'
+    (credited to the week the user went missing, capped at the observed
+    horizon). The identity new + retained + resurrected = WAU holds by
+    construction — the self-audit every growth ledger should ship with."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.lit("2024-01-01").cast("date")
+    uw = ev.select(
+        "user_id",
+        F.floor(F.datediff(F.col("ts").cast("date"), epoch) / 7).alias("wk"),
+    ).distinct()
+    w_u = Window.partitionBy("user_id")
+    w_o = Window.partitionBy("user_id").orderBy("wk")
+    marked = uw.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(w_u).alias("first_wk"),
+        F.lag("wk").over(w_o).alias("prev_wk"),
+        F.lead("wk").over(w_o).alias("next_wk"),
+    ).persist()
+    maxwk = marked.agg(F.max("wk").alias("mw"))
+    states = marked.groupBy("wk").agg(
+        F.sum(F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0)).alias(
+            "n_retained"
+        ),
+        F.sum(
+            F.when(
+                (F.col("wk") > F.col("first_wk"))
+                & (
+                    F.col("prev_wk").isNull()
+                    | (F.col("prev_wk") < F.col("wk") - 1)
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        marked.crossJoin(F.broadcast(maxwk))
+        .filter(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1))
+            & (F.col("wk") + 1 <= F.col("mw"))
+        )
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        states.join(churn, "wk", "left_outer")
+        .select(
+            F.col("wk").alias("week"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
+        )
+    )

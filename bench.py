@@ -214,6 +214,9 @@ HEADLINE = [
     # round-2 wave 38: LSH planner, growth accounting
     "a_lsh_param_planner",
     "a_growth_accounting",
+    # round-2 wave 39: Theil decomposition, position-based attribution
+    "a_theil_index",
+    "j_attribution_position_based",
 ]
 
 

@@ -13167,3 +13167,192 @@ def a_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 39 — decomposable inequality (Theil index) and multi-touch
+# position-based attribution.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_theil_index",
+    """
+    WITH cust AS (
+      SELECT c_custkey, n_name,
+             CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY c_custkey, n_name
+    ),
+    tot AS (SELECT AVG(cents) AS mu, COUNT(*) AS n FROM cust),
+    grp AS (
+      SELECT n_name, AVG(cents) AS mu_g, COUNT(*) AS n_g FROM cust GROUP BY n_name
+    ),
+    within AS (
+      SELECT c.n_name,
+             SUM((c.cents / t.mu) * LN(c.cents / g.mu_g)) / t.n AS tw_g
+      FROM cust c JOIN grp g ON c.n_name = g.n_name, tot t
+      GROUP BY c.n_name, t.n
+    ),
+    between_g AS (
+      SELECT SUM((g.n_g * g.mu_g / (t.n * t.mu)) * LN(g.mu_g / t.mu)) AS tb
+      FROM grp g, tot t
+    )
+    SELECT ROUND((SELECT SUM(tw_g) FROM within) + (SELECT tb FROM between_g), 6)
+             AS theil_total,
+           ROUND((SELECT SUM(tw_g) FROM within), 6) AS theil_within,
+           ROUND((SELECT tb FROM between_g), 6) AS theil_between,
+           ROUND((SELECT tb FROM between_g)
+                 / ((SELECT SUM(tw_g) FROM within) + (SELECT tb FROM between_g)), 6)
+             AS between_share
+    """,
+)
+def a_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend, DECOMPOSED into
+    within-nation and between-nation components — the property Gini lacks
+    and the reason Theil is the inequality measure for grouped data: the
+    two components sum EXACTLY to the total, so 'how much inequality is
+    geography' is a division, not a model. Per-customer spend in integer
+    cents; one customer aggregate, one |nations| group table, logs only in
+    the final fold. between_share is the headline number."""
+    orders = _t(spark, sf_dir, "orders")
+    cust_d = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cust = (
+        orders.join(F.broadcast(cust_d), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "n_name")
+        .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
+        .persist()
+    )
+    tot = cust.agg(F.avg("cents").alias("mu"), F.count(F.lit(1)).alias("n"))
+    grp = cust.groupBy("n_name").agg(
+        F.avg("cents").alias("mu_g"), F.count(F.lit(1)).alias("n_g")
+    )
+    within = (
+        cust.join(F.broadcast(grp), "n_name")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("cents") / F.col("mu"))
+                * F.log(F.col("cents") / F.col("mu_g"))
+            ).alias("num"),
+            F.max("n").alias("n"),
+        )
+        .select((F.col("num") / F.col("n")).alias("tw"))
+    )
+    between = (
+        grp.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n_g") * F.col("mu_g") / (F.col("n") * F.col("mu")))
+                * F.log(F.col("mu_g") / F.col("mu"))
+            ).alias("tb")
+        )
+    )
+    return (
+        within.crossJoin(F.broadcast(between))
+        .select(
+            F.round(F.col("tw") + F.col("tb"), 6).alias("theil_total"),
+            F.round(F.col("tw"), 6).alias("theil_within"),
+            F.round(F.col("tb"), 6).alias("theil_between"),
+            F.round(F.col("tb") / (F.col("tw") + F.col("tb")), 6).alias(
+                "between_share"
+            ),
+        )
+    )
+
+
+@register(
+    "j_attribution_position_based",
+    """
+    WITH purchases AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, event_id AS touch_id, event_type, ts AS touch_ts
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    path AS (
+      SELECT p.conv_id, p.cents, t.event_type, t.touch_id,
+             ROW_NUMBER() OVER (PARTITION BY p.conv_id
+                                ORDER BY t.touch_ts, t.touch_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p.conv_id) AS k
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.touch_ts < p.conv_ts
+       AND t.touch_ts >= p.conv_ts - INTERVAL 3 DAY
+    ),
+    credited AS (
+      SELECT event_type, cents,
+             CASE WHEN k = 1 THEN 1.0
+                  WHEN k = 2 THEN 0.5
+                  WHEN pos = 1 THEN 0.4
+                  WHEN pos = k THEN 0.4
+                  ELSE 0.2 / (k - 2) END AS credit
+      FROM path
+    )
+    SELECT event_type,
+           ROUND(SUM(credit * cents) / 100.0, 2) AS credited_revenue,
+           ROUND(SUM(credit), 4) AS total_credit
+    FROM credited GROUP BY event_type
+    """,
+)
+def j_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each conversion's
+    3-day touch path credits 40% to the first touch, 40% to the last, and
+    splits 20% across the middle (single-touch gets 100%, two-touch
+    50/50) — the standard compromise between first- and last-touch's
+    opposite biases (j_attribution_last_touch is the degenerate 0/100
+    case). The path join is interval-bounded per user; positions come
+    from ONE window over the path (rank + count share the partition);
+    credits sum to exactly 1.0 per conversion by construction, so
+    total_credit audits the join fanout."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("conv_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        F.col("ts").alias("touch_ts"),
+    )
+    path = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 3 DAYS")),
+    )
+    w = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    wk = Window.partitionBy("conv_id")
+    ranked = path.select(
+        "conv_id",
+        "cents",
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("k"), F.lit(0.4))
+        .otherwise(0.2 / (F.col("k") - 2))
+    )
+    return (
+        ranked.withColumn("credit", credit)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("credit") * F.col("cents")) / 100.0, 2).alias(
+                "credited_revenue"
+            ),
+            F.round(F.sum("credit"), 4).alias("total_credit"),
+        )
+    )

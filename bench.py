@@ -217,6 +217,9 @@ HEADLINE = [
     # round-2 wave 39: Theil decomposition, position-based attribution
     "a_theil_index",
     "j_attribution_position_based",
+    # round-2 wave 40: HHI, distinctive terms
+    "a_market_hhi",
+    "text_distinctive_terms",
 ]
 
 

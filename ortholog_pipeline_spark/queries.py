@@ -13356,3 +13356,180 @@ def j_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("credit"), 4).alias("total_credit"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 40 — market concentration (HHI) and distinctive-term analysis
+# (log-odds with informative Dirichlet prior).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_market_hhi",
+    """
+    WITH rev AS (
+      SELECT r_name, n_name,
+             CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    ),
+    tot AS (SELECT r_name, SUM(cents) AS total FROM rev GROUP BY r_name)
+    SELECT rev.r_name,
+           ROUND(SUM(POWER(10000.0 * cents / total, 2)) / 10000.0, 2) AS hhi,
+           CAST(COUNT(*) AS BIGINT) AS n_players,
+           ROUND(MAX(cents * 100.0 / total), 4) AS top_share_pct
+    FROM rev JOIN tot ON rev.r_name = tot.r_name
+    GROUP BY rev.r_name
+    """,
+)
+def a_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per regional market (Σ of
+    squared percentage shares — the antitrust screen: < 1500 competitive,
+    > 2500 concentrated), with player count and the leader's share. Joins
+    Gini (rank-based) and Theil (entropy-based) to complete the
+    concentration-measure family; HHI is the one regulators quote. Two
+    broadcast-dim joins, one share fold over the |region|×|nation| table."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
+    )
+    tot = rev.groupBy("r_name").agg(F.sum("cents").alias("total"))
+    return (
+        rev.join(F.broadcast(tot), "r_name")
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.pow(10000.0 * F.col("cents") / F.col("total"), 2)) / 10000.0,
+                2,
+            ).alias("hhi"),
+            F.count(F.lit(1)).alias("n_players"),
+            F.round(F.max(F.col("cents") * 100.0 / F.col("total")), 4).alias(
+                "top_share_pct"
+            ),
+        )
+    )
+
+
+@register(
+    "text_distinctive_terms",
+    """
+    WITH toks AS (
+      SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS grp,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT grp, tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT tok,
+             SUM(CASE WHEN grp = 'en' THEN n ELSE 0 END) AS n_en,
+             SUM(CASE WHEN grp = 'other' THEN n ELSE 0 END) AS n_ot
+      FROM tf GROUP BY tok
+    ),
+    tots AS (
+      SELECT SUM(n_en) AS t_en, SUM(n_ot) AS t_ot,
+             SUM(n_en + n_ot) AS t_all
+      FROM wide
+    ),
+    scored AS (
+      SELECT tok, n_en, n_ot,
+             LN((n_en + a0 * prior) / (t_en + a0 - n_en - a0 * prior))
+             - LN((n_ot + a0 * prior) / (t_ot + a0 - n_ot - a0 * prior)) AS delta,
+             1.0 / (n_en + a0 * prior) + 1.0 / (n_ot + a0 * prior) AS variance
+      FROM (
+        SELECT tok, n_en, n_ot, t_en, t_ot,
+               (n_en + n_ot) * 1.0 / t_all AS prior, 500.0 AS a0
+        FROM wide, tots
+      )
+    ),
+    ranked AS (
+      SELECT tok, n_en, n_ot,
+             CAST(ROUND(delta / SQRT(variance) * 10000) AS BIGINT) AS z4,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(ROUND(delta / SQRT(variance) * 10000) AS BIGINT) DESC,
+                        tok) AS rn_en,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(ROUND(delta / SQRT(variance) * 10000) AS BIGINT) ASC,
+                        tok) AS rn_ot
+      FROM scored
+    )
+    SELECT tok, CAST(n_en AS BIGINT) AS n_en, CAST(n_ot AS BIGINT) AS n_ot,
+           ROUND(z4 / 10000.0, 4) AS log_odds_z,
+           CASE WHEN rn_en <= 10 THEN 'en' ELSE 'other' END AS distinctive_for
+    FROM ranked WHERE rn_en <= 10 OR rn_ot <= 10
+    """,
+)
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive-term extraction between two corpus slices via log-odds
+    with an informative Dirichlet prior (Monroe, Colaresi & Quinn's
+    'Fightin' Words') — the statistically-sound replacement for raw TF-IDF
+    deltas: the corpus-wide prior shrinks rare-word noise, and the z-score
+    (delta/√variance) ranks by EVIDENCE, not just magnitude. Top-10
+    distinctive terms per side; the z is snapped to integer 1e-4 units
+    before ranking so the selected SET is engine-stable. One token count,
+    one pivot to (term, n_en, n_other), arithmetic over the vocab table."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.when(F.col("lang") == "en", F.lit("en")).otherwise(F.lit("other")).alias(
+            "grp"
+        ),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    )
+    wide = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("grp") == "en", 1).otherwise(0)).alias("n_en"),
+        F.sum(F.when(F.col("grp") == "other", 1).otherwise(0)).alias("n_ot"),
+    )
+    tots = wide.agg(
+        F.sum("n_en").alias("t_en"),
+        F.sum("n_ot").alias("t_ot"),
+        F.sum(F.col("n_en") + F.col("n_ot")).alias("t_all"),
+    )
+    j = wide.crossJoin(F.broadcast(tots)).select(
+        "tok",
+        "n_en",
+        "n_ot",
+        "t_en",
+        "t_ot",
+        ((F.col("n_en") + F.col("n_ot")) * 1.0 / F.col("t_all")).alias("prior"),
+        F.lit(500.0).alias("a0"),
+    )
+    pe = F.col("a0") * F.col("prior")
+    delta = F.log(
+        (F.col("n_en") + pe) / (F.col("t_en") + F.col("a0") - F.col("n_en") - pe)
+    ) - F.log(
+        (F.col("n_ot") + pe) / (F.col("t_ot") + F.col("a0") - F.col("n_ot") - pe)
+    )
+    variance = 1.0 / (F.col("n_en") + pe) + 1.0 / (F.col("n_ot") + pe)
+    z4 = F.round(delta / F.sqrt(variance) * 10000).cast("long")
+    scored = j.select("tok", "n_en", "n_ot", z4.alias("z4"))
+    w_en = Window.orderBy(F.col("z4").desc(), "tok")
+    w_ot = Window.orderBy(F.col("z4").asc(), "tok")
+    ranked = scored.select(
+        "tok",
+        "n_en",
+        "n_ot",
+        "z4",
+        F.row_number().over(w_en).alias("rn_en"),
+        F.row_number().over(w_ot).alias("rn_ot"),
+    )
+    return ranked.filter((F.col("rn_en") <= 10) | (F.col("rn_ot") <= 10)).select(
+        "tok",
+        "n_en",
+        "n_ot",
+        F.round(F.col("z4") / 10000.0, 4).alias("log_odds_z"),
+        F.when(F.col("rn_en") <= 10, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("distinctive_for"),
+    )

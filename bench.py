@@ -220,6 +220,9 @@ HEADLINE = [
     # round-2 wave 40: HHI, distinctive terms
     "a_market_hhi",
     "text_distinctive_terms",
+    # round-2 wave 41: seasonal decomposition, burstiness
+    "a_seasonal_decompose",
+    "text_term_burstiness",
 ]
 
 

@@ -13533,3 +13533,173 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("other"))
         .alias("distinctive_for"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 41 — classical seasonal decomposition and term burstiness.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) % 7
+               AS dow,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT d, dow, cents,
+             AVG(cents) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend,
+             ROW_NUMBER() OVER (ORDER BY d) AS rn,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    interior AS (
+      SELECT * FROM trended WHERE rn > 3 AND rn <= n - 3
+    ),
+    seasonal AS (
+      SELECT dow, AVG(cents - trend) AS s FROM interior GROUP BY dow
+    )
+    SELECT i.d, CAST(i.dow AS BIGINT) AS dow,
+           ROUND(i.cents / 100.0, 2) AS observed,
+           ROUND(i.trend / 100.0, 2) AS trend,
+           ROUND(s.s / 100.0, 2) AS seasonal,
+           ROUND((i.cents - i.trend - s.s) / 100.0, 2) AS residual
+    FROM interior i JOIN seasonal s ON i.dow = s.dow
+    WHERE i.rn % 100 = 0
+    """,
+)
+def a_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series:
+    trend = centered 7-day moving average, seasonal = day-of-week mean of
+    the detrended interior (edges where the centered window is truncated
+    are excluded — the textbook rule, and the cross-engine rule: partial
+    frames would average different implicit windows), residual = the
+    rest. observed = trend + seasonal + residual holds exactly by
+    construction. Output thinned to every 100th day; all component math
+    on the |days|-bounded rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("d"),
+        (
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            % 7
+        ).alias("dow"),
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w_ma = Window.orderBy("d").rowsBetween(-3, 3)
+    w_rn = Window.orderBy("d")
+    wa = Window.partitionBy()
+    trended = daily.select(
+        "d",
+        "dow",
+        "cents",
+        F.avg("cents").over(w_ma).alias("trend"),
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    interior = trended.filter(
+        (F.col("rn") > 3) & (F.col("rn") <= F.col("n") - 3)
+    ).persist()
+    seasonal = interior.groupBy("dow").agg(
+        F.avg(F.col("cents") - F.col("trend")).alias("s")
+    )
+    return (
+        interior.join(F.broadcast(seasonal), "dow")
+        .filter(F.col("rn") % 100 == 0)
+        .select(
+            "d",
+            F.col("dow").cast("long").alias("dow"),
+            F.round(F.col("cents") / 100.0, 2).alias("observed"),
+            F.round(F.col("trend") / 100.0, 2).alias("trend"),
+            F.round(F.col("s") / 100.0, 2).alias("seasonal"),
+            F.round(
+                (F.col("cents") - F.col("trend") - F.col("s")) / 100.0, 2
+            ).alias("residual"),
+        )
+    )
+
+
+@register(
+    "text_term_burstiness",
+    """
+    WITH per_doc AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM per_doc),
+    stats AS (
+      SELECT tok,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             SUM(n * n) AS sum_sq
+      FROM per_doc GROUP BY tok
+    ),
+    scored AS (
+      SELECT tok, total, df,
+             -- Fano factor over ALL docs (zeros included):
+             -- mean = total/nd; E[X^2] = sum_sq/nd; F = (E[X^2]-mean^2)/mean
+             ROUND((sum_sq * 1.0 / nd - POWER(total * 1.0 / nd, 2))
+                   / (total * 1.0 / nd), 4) AS fano
+      FROM stats, n_docs
+      WHERE total >= 100
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               ORDER BY CAST(ROUND(fano * 10000) AS BIGINT) DESC, tok) AS rn
+      FROM scored
+    )
+    SELECT tok, total, df, fano FROM ranked WHERE rn <= 15
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness via the Fano factor (variance-to-mean of per-document
+    occurrence counts, zeros included): function words sit near Poisson
+    (F ≈ 1) while topical/bursty words clump (F ≫ 1) — the statistic
+    behind stopword induction and topical-term screens when no stopword
+    list exists for a language. Computed from (Σn, Σn², df) per term —
+    three mergeable sums, zeros handled analytically (never materialize
+    the doc×term zero matrix). Top-15 burstiest among terms with ≥ 100
+    occurrences, integer-snapped ranking."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    nd = per_doc.agg(F.countDistinct("doc_id").alias("nd"))
+    stats = per_doc.groupBy("tok").agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    j = stats.crossJoin(F.broadcast(nd)).filter(F.col("total") >= 100)
+    mean = F.col("total") * 1.0 / F.col("nd")
+    fano = F.round(
+        (F.col("sum_sq") * 1.0 / F.col("nd") - mean * mean) / mean, 4
+    )
+    scored = j.select("tok", "total", "df", fano.alias("fano"))
+    w = Window.orderBy(F.round(F.col("fano") * 10000).cast("long").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select("tok", "total", "df", "fano")
+    )

@@ -223,6 +223,9 @@ HEADLINE = [
     # round-2 wave 41: seasonal decomposition, burstiness
     "a_seasonal_decompose",
     "text_term_burstiness",
+    # round-2 wave 42: PMI collocations, Neyman allocation
+    "text_collocations_pmi",
+    "sample_neyman_allocation",
 ]
 
 

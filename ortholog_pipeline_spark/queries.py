@@ -13703,3 +13703,156 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 15)
         .select("tok", "total", "df", "fano")
     )
+
+# ---------------------------------------------------------------------------
+# Wave 42 — collocation extraction (PMI) and optimal stratified sampling
+# design (Neyman allocation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_collocations_pmi",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok, CAST(i AS BIGINT) AS pos
+      FROM (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+        FROM documents
+      ), LATERAL (
+        SELECT unnest(generate_series(1, len(ts))) AS i
+      ), LATERAL (SELECT ts[i] AS tok)
+    ),
+    n_tok AS (SELECT COUNT(*) AS nt FROM toks),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+    pairs AS (
+      SELECT a.tok AS w1, b.tok AS w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.tok, b.tok
+    ),
+    scored AS (
+      SELECT w1, w2, n_pair,
+             ROUND(LN((n_pair * 1.0 / nt)
+                      / ((u1.n * 1.0 / nt) * (u2.n * 1.0 / nt))), 4) AS pmi
+      FROM pairs
+      JOIN uni u1 ON w1 = u1.tok JOIN uni u2 ON w2 = u2.tok, n_tok
+      WHERE n_pair >= 20
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               ORDER BY CAST(ROUND(pmi * 10000) AS BIGINT) DESC, w1, w2) AS rn
+      FROM scored
+    )
+    SELECT w1, w2, n_pair, pmi FROM ranked WHERE rn <= 15
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction via pointwise mutual information over adjacent
+    token pairs: PMI = ln(p(w1w2)/(p(w1)p(w2))) ranks pairs that co-occur
+    far above chance — the classic phrase-mining signal ('new york' vs
+    'of the'), with a count floor (≥ 20) because PMI explodes on rare
+    pairs. Adjacency comes from a position self-join (pos+1 within doc —
+    fanout exactly 1 per token, never a doc-wide product); unigram and
+    pair counts collapse map-side; top-15 on integer-snapped PMI."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("pos", "tok"),
+    ).persist()
+    nt = toks.agg(F.count(F.lit(1)).alias("nt"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select("doc_id", F.col("pos").alias("p1"), F.col("tok").alias("w1"))
+    b = toks.select("doc_id", F.col("pos").alias("p2"), F.col("tok").alias("w2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("p2") == F.col("p1") + 1)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 20)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("n").alias("n2"))
+    scored = (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") * 1.0 / F.col("nt"))
+                    / (
+                        (F.col("n1") * 1.0 / F.col("nt"))
+                        * (F.col("n2") * 1.0 / F.col("nt"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(
+        F.round(F.col("pmi") * 10000).cast("long").desc(), "w1", "w2"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select("w1", "w2", "n_pair", "pmi")
+    )
+
+
+@register(
+    "sample_neyman_allocation",
+    """
+    WITH strata AS (
+      SELECT c_mktsegment AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             STDDEV_SAMP(c_acctbal) AS s_h
+      FROM customer GROUP BY c_mktsegment
+    ),
+    tot AS (SELECT SUM(n_h * s_h) AS denom, SUM(n_h) AS n_total FROM strata)
+    SELECT stratum, n_h,
+           ROUND(s_h, 4) AS stddev,
+           CAST(ROUND(1000.0 * n_h * s_h / denom) AS BIGINT) AS neyman_n,
+           CAST(ROUND(1000.0 * n_h / n_total) AS BIGINT) AS proportional_n,
+           ROUND((n_h * s_h / denom) / (n_h * 1.0 / n_total), 4)
+             AS allocation_ratio
+    FROM strata, tot
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample design for a 1000-row budget:
+    allocate n_h ∝ N_h·σ_h — high-variance strata get MORE than their
+    population share (the allocation_ratio column says how much more),
+    which minimizes the estimator variance at fixed cost versus the
+    proportional allocation shown alongside. This is the design step that
+    feeds sample_stratified_exact with per-stratum quotas; one group-by
+    for sizes and stddevs, one broadcast total."""
+    cust = _t(spark, sf_dir, "customer")
+    strata = cust.groupBy(F.col("c_mktsegment").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.stddev_samp("c_acctbal").alias("s_h"),
+    )
+    tot = strata.agg(
+        F.sum(F.col("n_h") * F.col("s_h")).alias("denom"),
+        F.sum("n_h").alias("n_total"),
+    )
+    return strata.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_h",
+        F.round("s_h", 4).alias("stddev"),
+        F.round(1000.0 * F.col("n_h") * F.col("s_h") / F.col("denom"))
+        .cast("long")
+        .alias("neyman_n"),
+        F.round(1000.0 * F.col("n_h") / F.col("n_total"))
+        .cast("long")
+        .alias("proportional_n"),
+        F.round(
+            (F.col("n_h") * F.col("s_h") / F.col("denom"))
+            / (F.col("n_h") * 1.0 / F.col("n_total")),
+            4,
+        ).alias("allocation_ratio"),
+    )

@@ -226,6 +226,9 @@ HEADLINE = [
     # round-2 wave 42: PMI collocations, Neyman allocation
     "text_collocations_pmi",
     "sample_neyman_allocation",
+    # round-2 wave 43: price indices, ABC-XYZ
+    "a_price_index",
+    "a_abc_xyz_classes",
 ]
 
 

@@ -13856,3 +13856,146 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("allocation_ratio"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 43 — price-index economics and ABC-XYZ inventory classification.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_price_index",
+    """
+    WITH yearly AS (
+      SELECT l_partkey,
+             EXTRACT(year FROM l_shipdate) AS yr,
+             SUM(l_extendedprice) / SUM(l_quantity) AS price,
+             SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) IN (1996, 2000)
+        AND l_quantity > 0
+      GROUP BY 1, 2
+    ),
+    matched AS (
+      SELECT b.l_partkey, b.price AS p0, b.qty AS q0, c.price AS p1, c.qty AS q1
+      FROM (SELECT * FROM yearly WHERE yr = 1996) b
+      JOIN (SELECT * FROM yearly WHERE yr = 2000) c USING (l_partkey)
+    )
+    SELECT ROUND(SUM(p1 * q0) / SUM(p0 * q0), 6) AS laspeyres,
+           ROUND(SUM(p1 * q1) / SUM(p0 * q1), 6) AS paasche,
+           ROUND(SQRT((SUM(p1 * q0) / SUM(p0 * q0))
+                      * (SUM(p1 * q1) / SUM(p0 * q1))), 6) AS fisher,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_parts
+    FROM matched
+    """,
+)
+def a_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price indices between a base year (1996) and a current year (2000)
+    over the matched part basket: Laspeyres (base-quantity weights — what
+    CPI uses), Paasche (current weights), and their geometric mean (the
+    Fisher ideal index, which cancels the two substitution biases). Unit
+    prices are revenue/quantity per (part, year); only parts traded in
+    BOTH years enter (the matched-model rule). One pruned scan, one
+    self-join on the part key, one 1-row fold."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1996, 2000) & (F.col("l_quantity") > 0)
+    )
+    yearly = li.groupBy(
+        "l_partkey", F.year("l_shipdate").alias("yr")
+    ).agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("price"),
+        F.sum("l_quantity").alias("qty"),
+    )
+    base = yearly.filter(F.col("yr") == 1996).select(
+        "l_partkey", F.col("price").alias("p0"), F.col("qty").alias("q0")
+    )
+    cur = yearly.filter(F.col("yr") == 2000).select(
+        "l_partkey", F.col("price").alias("p1"), F.col("qty").alias("q1")
+    )
+    matched = base.join(cur, "l_partkey")
+    lasp = F.sum(F.col("p1") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))
+    paas = F.sum(F.col("p1") * F.col("q1")) / F.sum(F.col("p0") * F.col("q1"))
+    return matched.agg(
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+        F.count(F.lit(1)).alias("n_matched_parts"),
+    )
+
+
+@register(
+    "a_abc_xyz_classes",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents,
+             STDDEV_SAMP(l_quantity) / NULLIF(AVG(l_quantity), 0) AS cv
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, cents, cv,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             SUM(cents) OVER () AS total_cents
+      FROM per_part
+    ),
+    classed AS (
+      SELECT CASE WHEN cum_cents * 10 <= total_cents * 8 THEN 'A'
+                  WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                  ELSE 'C' END AS abc,
+             CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz,
+             cents
+      FROM ranked
+    )
+    SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(cents) / 100.0, 2) AS revenue
+    FROM classed GROUP BY abc, xyz
+    """,
+)
+def a_abc_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ classification matrix — the inventory-planning segmentation:
+    ABC by cumulative revenue share (A = first 80%, B = to 95%, C = tail,
+    via an integer-cents running sum in revenue-desc order) crossed with
+    XYZ by demand variability (coefficient of variation of quantities:
+    X stable < 0.5, Y < 1.0, Z erratic). AZ cells (high value, erratic)
+    are the planner's problem children. The cumulative window runs over
+    |parts| rows; all class boundaries compare exact integers
+    (cum·10 ≤ total·8, never a float share). At 100 TB the running sum
+    swaps to the distributed prefix-sum operator — same classes."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("cents"),
+        (
+            F.stddev_samp("l_quantity")
+            / F.nullif(F.avg("l_quantity"), F.lit(0))
+        ).alias("cv"),
+    )
+    w_cum = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.partitionBy()
+    ranked = per_part.select(
+        "cents",
+        "cv",
+        F.sum("cents").over(w_cum).alias("cum_cents"),
+        F.sum("cents").over(wa).alias("total_cents"),
+    )
+    abc = (
+        F.when(F.col("cum_cents") * 10 <= F.col("total_cents") * 8, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C")
+    )
+    xyz = (
+        F.when(F.col("cv") < 0.5, "X").when(F.col("cv") < 1.0, "Y").otherwise("Z")
+    )
+    return (
+        ranked.select(abc.alias("abc"), xyz.alias("xyz"), "cents")
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+        )
+    )

@@ -229,6 +229,9 @@ HEADLINE = [
     # round-2 wave 43: price indices, ABC-XYZ
     "a_price_index",
     "a_abc_xyz_classes",
+    # round-2 wave 44: similarity calibration, bounce rate
+    "emb_sim_calibration",
+    "a_bounce_rate",
 ]
 
 

@@ -13999,3 +13999,163 @@ def a_abc_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 44 — similarity-threshold calibration and session bounce rate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_sim_calibration",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS l1, b.label AS l2,
+             a.v AS v1, b.v AS v2
+      FROM e a JOIN e b
+        ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 20
+    ),
+    scored AS (
+      SELECT CASE WHEN l1 = l2 THEN 1 ELSE 0 END AS same_label,
+             LEAST(9, GREATEST(0, CAST(FLOOR(
+               ({_DOT_SQL.format(a='v1', b='v2')} /
+                (SQRT({_DOT_SQL.format(a='v1', b='v1')}) *
+                 SQRT({_DOT_SQL.format(a='v2', b='v2')})) + 1) * 5) AS BIGINT)))
+               AS sim_bin
+      FROM pairs
+    )
+    SELECT sim_bin,
+           ROUND(-1 + (sim_bin + 0.5) / 5.0, 2) AS bin_center,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(same_label), 6) AS p_same_label
+    FROM scored GROUP BY sim_bin
+    """,
+)
+def emb_sim_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-score calibration: P(same label | cosine bin) over a
+    deterministic bounded pair sample (each vector paired with its next 20
+    ids — a fixed-fanout ring, never the n² product) — the table that
+    turns 'cosine 0.7' into an actual probability, which is how dedup and
+    retrieval thresholds SHOULD be chosen (the LSH threshold 0.5 in the
+    dedup family corresponds to a point on exactly this curve). Fixed
+    [−1, 1] bins in tenths-of-two; one bounded self-join, one 10-row
+    aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id1"),
+        F.col("label").alias("l1"),
+        F.col("v").alias("v1"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id2"),
+        F.col("label").alias("l2"),
+        F.col("v").alias("v2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("id2") > F.col("id1")) & (F.col("id2") <= F.col("id1") + 20),
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+    cos = dot(F.col("v1"), F.col("v2")) / (
+        F.sqrt(dot(F.col("v1"), F.col("v1"))) * F.sqrt(dot(F.col("v2"), F.col("v2")))
+    )
+    sim_bin = F.least(
+        F.lit(9), F.greatest(F.lit(0), F.floor((cos + 1) * 5).cast("long"))
+    )
+    scored = pairs.select(
+        F.when(F.col("l1") == F.col("l2"), 1).otherwise(0).alias("same_label"),
+        sim_bin.alias("sim_bin"),
+    )
+    return scored.groupBy("sim_bin").agg(
+        F.round(-1 + (F.col("sim_bin") + 0.5) / 5.0, 2).alias("bin_center"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("same_label"), 6).alias("p_same_label"),
+    ).select("sim_bin", "bin_center", "n_pairs", "p_same_label")
+
+
+@register(
+    "a_bounce_rate",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000 + event_id AS seq
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, seq,
+             CASE WHEN sec - LAG(sec) OVER w > 1800 OR LAG(sec) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY seq)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY seq
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    ),
+    sizes AS (
+      SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS bounce_rate,
+           ROUND(AVG(n_events), 4) AS avg_session_depth
+    FROM sizes
+    """,
+)
+def a_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate and session depth: sessionize by 30-minute gaps (the
+    SAME gaps-and-islands encoding the session-path and stream-session
+    queries use — one definition of 'session' across the engine), then
+    count single-event sessions. One user-partitioned window chain, one
+    per-session count, one 1-row fold."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    e = ev.select(
+        "user_id",
+        sec.alias("sec"),
+        (sec * 100000 + F.col("event_id")).alias("seq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("seq")
+    marked = e.select(
+        "user_id",
+        "seq",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w) > 1800)
+            | F.lag("sec").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = marked.select(
+        "user_id", F.sum("new_sess").over(w_cum).alias("sess_id")
+    )
+    sizes = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)) * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+        F.round(F.avg("n_events"), 4).alias("avg_session_depth"),
+    )

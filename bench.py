@@ -232,6 +232,9 @@ HEADLINE = [
     # round-2 wave 44: similarity calibration, bounce rate
     "emb_sim_calibration",
     "a_bounce_rate",
+    # round-2 wave 45: vocab coverage, capture-recapture
+    "text_vocab_coverage",
+    "a_capture_recapture",
 ]
 
 

@@ -14159,3 +14159,157 @@ def a_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bounce_rate"),
         F.round(F.avg("n_events"), 4).alias("avg_session_depth"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 45 — vocabulary coverage planning and capture-recapture estimation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_coverage",
+    """
+    WITH tf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk,
+             SUM(freq) OVER (ORDER BY freq DESC, tok
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(freq) OVER () AS total,
+             COUNT(*) OVER () AS n_types
+      FROM tf
+    ),
+    ks AS (SELECT unnest([10, 20, 40, 100, 1000]) AS k)
+    SELECT ks.k AS vocab_size,
+           ROUND(MAX(CASE WHEN rnk <= ks.k THEN cum ELSE 0 END) * 1.0
+                 / MAX(total), 6) AS token_coverage,
+           CAST(MAX(n_types) AS BIGINT) AS total_types
+    FROM ranked, ks
+    GROUP BY ks.k
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all TOKEN occurrences the
+    top-K types cover, for a ladder of K — the sizing chart for vocabulary
+    truncation (pick the K where the curve flattens; everything below
+    becomes OOV/UNK mass). One term-frequency aggregate, one cumulative
+    window over |types| rows (bounded by vocabulary, not corpus), and the
+    K-ladder reads points off the same curve without re-scanning."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w_cum = Window.orderBy(F.col("freq").desc(), "tok").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.partitionBy()
+    ranked = tf.select(
+        "freq",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), "tok")).alias(
+            "rnk"
+        ),
+        F.sum("freq").over(w_cum).alias("cum"),
+        F.sum("freq").over(wa).alias("total"),
+        F.count(F.lit(1)).over(wa).alias("n_types"),
+    )
+    ks = ranked.crossJoin(
+        F.broadcast(
+            spark.range(0, 5)
+            .select(
+                F.element_at(
+                    F.array(
+                        F.lit(10), F.lit(20), F.lit(40), F.lit(100), F.lit(1000)
+                    ),
+                    (F.col("id") + 1).cast("int"),
+                ).alias("k")
+            )
+        )
+    )
+    return ks.groupBy(F.col("k").alias("vocab_size")).agg(
+        F.round(
+            F.max(F.when(F.col("rnk") <= F.col("k"), F.col("cum")).otherwise(0))
+            * 1.0
+            / F.max("total"),
+            6,
+        ).alias("token_coverage"),
+        F.max("n_types").cast("long").alias("total_types"),
+    )
+
+
+@register(
+    "a_capture_recapture",
+    """
+    WITH s1 AS (
+      SELECT doc_id FROM documents
+      WHERE CAST(('0x' || substr(md5('cap1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 30
+    ),
+    s2 AS (
+      SELECT doc_id FROM documents
+      WHERE CAST(('0x' || substr(md5('cap2' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 30
+    ),
+    m AS (SELECT COUNT(*) AS n_both FROM s1 JOIN s2 USING (doc_id))
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_sample1,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_sample2,
+           CAST(n_both AS BIGINT) AS n_recaptured,
+           CAST(((SELECT COUNT(*) FROM s1) + 1) * ((SELECT COUNT(*) FROM s2) + 1)
+                / (n_both + 1) - 1 AS BIGINT) AS chapman_estimate,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS true_population
+    FROM m
+    """,
+)
+def a_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Lincoln-Petersen with the Chapman correction)
+    population estimation: two INDEPENDENT 30% hash samples of the corpus,
+    and the overlap rate estimates the total — N̂ = (n₁+1)(n₂+1)/(m+1) − 1.
+    The production use: estimating the size of a population you can only
+    sample (distinct URLs behind a crawl frontier, true dedup-cluster
+    counts) without enumerating it; here the true count sits alongside as
+    the self-audit. Independence comes from distinct hash salts — the same
+    portable coin, two different draws. Two pruned scans + one key join."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def sample(salt):
+        return docs.filter(
+            F.pmod(
+                DD.hex_hash64(
+                    F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+                ),
+                F.lit(100),
+            )
+            < 30
+        ).select("doc_id")
+
+    s1, s2 = sample("cap1"), sample("cap2")
+    n1 = s1.agg(F.count(F.lit(1)).alias("n_sample1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n_sample2"))
+    m = s1.join(s2, "doc_id").agg(F.count(F.lit(1)).alias("n_recaptured"))
+    tot = docs.agg(F.count(F.lit(1)).alias("true_population"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_sample1",
+            "n_sample2",
+            "n_recaptured",
+            (
+                (F.col("n_sample1") + 1)
+                * (F.col("n_sample2") + 1)
+                / (F.col("n_recaptured") + 1)
+                - 1
+            )
+            .cast("long")
+            .alias("chapman_estimate"),
+            "true_population",
+        )
+    )

@@ -235,6 +235,9 @@ HEADLINE = [
     # round-2 wave 45: vocab coverage, capture-recapture
     "text_vocab_coverage",
     "a_capture_recapture",
+    # round-2 wave 46: clustering eval, feature store
+    "emb_cluster_purity_ari",
+    "a_user_feature_vector",
 ]
 
 

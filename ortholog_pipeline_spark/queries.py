@@ -14313,3 +14313,224 @@ def a_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_population",
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 46 — clustering evaluation (purity + adjusted Rand) and feature-store
+# style user feature assembly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_cluster_purity_ari",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, label, {_hyperplane_bucket_sql(4, 'v')} AS cluster
+      FROM e
+    ),
+    cont AS (
+      SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM assigned GROUP BY cluster, label
+    ),
+    margins AS (
+      SELECT cluster, label, n_ij,
+             SUM(n_ij) OVER (PARTITION BY cluster) AS a_i,
+             SUM(n_ij) OVER (PARTITION BY label) AS b_j,
+             SUM(n_ij) OVER () AS n
+      FROM cont
+    ),
+    sums AS (
+      SELECT SUM(n_ij * (n_ij - 1) / 2) AS sum_comb_ij,
+             MAX(n) AS n,
+             (SELECT SUM(DISTINCT_A.a * (DISTINCT_A.a - 1) / 2)
+              FROM (SELECT DISTINCT cluster, a_i AS a FROM margins) DISTINCT_A)
+               AS sum_comb_a,
+             (SELECT SUM(DISTINCT_B.b * (DISTINCT_B.b - 1) / 2)
+              FROM (SELECT DISTINCT label, b_j AS b FROM margins) DISTINCT_B)
+               AS sum_comb_b
+      FROM margins
+    ),
+    purity AS (
+      SELECT SUM(mx) * 1.0 / MAX(n) AS p FROM (
+        SELECT cluster, MAX(n_ij) AS mx, MAX(n) AS n
+        FROM margins GROUP BY cluster
+      )
+    )
+    SELECT ROUND((SELECT p FROM purity), 6) AS purity,
+           ROUND((sum_comb_ij - sum_comb_a * sum_comb_b / (n * (n - 1) / 2))
+                 / ((sum_comb_a + sum_comb_b) / 2.0
+                    - sum_comb_a * sum_comb_b / (n * (n - 1) / 2)), 6) AS ari,
+           CAST(n AS BIGINT) AS n_points
+    FROM sums
+    """,
+)
+def emb_cluster_purity_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering evaluation — purity and the ADJUSTED Rand index of a
+    16-bucket hyperplane clustering against the stored labels. Purity
+    flatters fine clusterings; ARI corrects for chance agreement (its
+    expected value under random assignment is 0), which is why it's the
+    metric to report. Everything reduces from the |clusters|×|labels|
+    contingency table: pair-counting combinations are exact integer
+    arithmetic (n·(n−1)/2 sums), so both engines agree bit-for-bit before
+    the single final division. The clustering under test is the
+    deterministic LSH bucketing — swap in any assignment column and the
+    evaluation plan is unchanged."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = e.select(
+        "label", SIM.hyperplane_bucket(F.col("v"), 4).alias("cluster")
+    )
+    cont = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n_ij")
+    ).persist()
+    w_c = Window.partitionBy("cluster")
+    w_l = Window.partitionBy("label")
+    wa = Window.partitionBy()
+    margins = cont.select(
+        "cluster",
+        "label",
+        "n_ij",
+        F.sum("n_ij").over(w_c).alias("a_i"),
+        F.sum("n_ij").over(w_l).alias("b_j"),
+        F.sum("n_ij").over(wa).alias("n"),
+    ).persist()
+    comb = lambda c: (c * (c - 1) / 2)  # noqa: E731
+    sum_ij = margins.agg(
+        F.sum(comb(F.col("n_ij"))).alias("sum_comb_ij"),
+        F.max("n").alias("n"),
+    )
+    sum_a = (
+        margins.select("cluster", "a_i")
+        .distinct()
+        .agg(F.sum(comb(F.col("a_i"))).alias("sum_comb_a"))
+    )
+    sum_b = (
+        margins.select("label", "b_j")
+        .distinct()
+        .agg(F.sum(comb(F.col("b_j"))).alias("sum_comb_b"))
+    )
+    pur = (
+        margins.groupBy("cluster")
+        .agg(F.max("n_ij").alias("mx"), F.max("n").alias("n"))
+        .agg((F.sum("mx") * 1.0 / F.max("n")).alias("p"))
+    )
+    j = (
+        sum_ij.crossJoin(F.broadcast(sum_a))
+        .crossJoin(F.broadcast(sum_b))
+        .crossJoin(F.broadcast(pur))
+    )
+    exp = F.col("sum_comb_a") * F.col("sum_comb_b") / (
+        F.col("n") * (F.col("n") - 1) / 2
+    )
+    return j.select(
+        F.round(F.col("p"), 6).alias("purity"),
+        F.round(
+            (F.col("sum_comb_ij") - exp)
+            / ((F.col("sum_comb_a") + F.col("sum_comb_b")) / 2.0 - exp),
+            6,
+        ).alias("ari"),
+        F.col("n").cast("long").alias("n_points"),
+    )
+
+
+@register(
+    "a_user_feature_vector",
+    """
+    WITH base AS (
+      SELECT user_id, event_type, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(ts AS DATE) AS d
+      FROM events
+    ),
+    mx AS (SELECT MAX(ts) AS max_ts FROM base),
+    feats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS n_active_days,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases,
+             ROUND(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+                   / 100.0, 2) AS total_spend,
+             ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0 END)
+                   / COUNT(*), 6) AS purchase_rate,
+             CAST(DATE_DIFF('second', MAX(ts), mx.max_ts) AS BIGINT)
+               AS recency_s,
+             CAST(DATE_DIFF('second', MIN(ts), MAX(ts)) AS BIGINT)
+               AS tenure_s,
+             ROUND(SUM(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0 END)
+                   / COUNT(*), 6) AS error_rate
+      FROM base, mx GROUP BY user_id, mx.max_ts
+    )
+    SELECT * FROM feats WHERE user_id % 50 = 0
+    """,
+)
+def a_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store assembly: eight behavioral features per user (volume,
+    breadth, monetization, recency, tenure, error exposure) computed in
+    ONE conditional-aggregate pass over the event log — the pattern that
+    matters at 100 TB: N features from one shuffle, not N jobs (every
+    CASE folds into the same partial aggregate; the global max-timestamp
+    anchor broadcasts). Output thinned to every 50th user for the
+    contract; the unthinned frame is what a training job would join
+    against labels."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("ts").cast("date").alias("d"),
+    )
+    mx = base.agg(F.max("ts").alias("max_ts"))
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    feats = (
+        base.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("d").alias("n_active_days"),
+            F.sum(is_p).alias("n_purchases"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0))
+                / 100.0,
+                2,
+            ).alias("total_spend"),
+            F.round(F.sum(is_p * F.lit(1.0)) / F.count(F.lit(1)), 6).alias(
+                "purchase_rate"
+            ),
+            F.max(
+                F.col("max_ts").cast("long") - F.col("ts").cast("long")
+            ).alias("_rec_candidate"),
+            (
+                F.max(F.col("max_ts").cast("long"))
+                - F.max(F.col("ts").cast("long"))
+            ).alias("recency_s"),
+            (
+                F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+            ).alias("tenure_s"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "error", F.lit(1.0)).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("error_rate"),
+        )
+        .drop("_rec_candidate")
+    )
+    return feats.filter(F.col("user_id") % 50 == 0).select(
+        "user_id",
+        "n_events",
+        "n_active_days",
+        "n_purchases",
+        "total_spend",
+        "purchase_rate",
+        "recency_s",
+        "tenure_s",
+        "error_rate",
+    )

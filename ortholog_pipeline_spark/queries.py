@@ -14503,9 +14503,6 @@ def a_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(is_p * F.lit(1.0)) / F.count(F.lit(1)), 6).alias(
                 "purchase_rate"
             ),
-            F.max(
-                F.col("max_ts").cast("long") - F.col("ts").cast("long")
-            ).alias("_rec_candidate"),
             (
                 F.max(F.col("max_ts").cast("long"))
                 - F.max(F.col("ts").cast("long"))
@@ -14521,7 +14518,6 @@ def a_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("error_rate"),
         )
-        .drop("_rec_candidate")
     )
     return feats.filter(F.col("user_id") % 50 == 0).select(
         "user_id",

@@ -238,6 +238,9 @@ HEADLINE = [
     # round-2 wave 46: clustering eval, feature store
     "emb_cluster_purity_ari",
     "a_user_feature_vector",
+    # round-2 wave 47: skyline, assortativity
+    "a_skyline_pareto_front",
+    "g_degree_assortativity",
 ]
 
 

@@ -14530,3 +14530,122 @@ def a_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tenure_s",
         "error_rate",
     )
+
+# ---------------------------------------------------------------------------
+# Wave 47 — skyline (Pareto front) and graph assortativity.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_skyline_pareto_front",
+    """
+    WITH pts AS (
+      SELECT p_partkey,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ),
+    scanned AS (
+      SELECT p_partkey, price_cents, size,
+             MAX(size) OVER (ORDER BY price_cents, p_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_size_cheaper
+      FROM pts
+    )
+    SELECT p_partkey, ROUND(price_cents / 100.0, 2) AS price, size
+    FROM scanned
+    WHERE best_size_cheaper IS NULL OR size > best_size_cheaper
+    """,
+)
+def a_skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front query (minimize price, maximize size): a part
+    is on the front iff nothing is both cheaper and at-least-as-large.
+    The naive formulation is a quadratic NOT EXISTS self-join; the
+    sort-scan identity replaces it — order by price and a point survives
+    iff its size beats the running max over everything STRICTLY cheaper
+    (the 1-PRECEDING frame; the p_partkey tie-break makes equal-price
+    points compare against earlier ids only, a total deterministic rule).
+    One window over |parts|; at 100 TB, range-partition by price and
+    carry per-partition max prefixes — the same two-phase shape as the
+    distributed prefix sum."""
+    part = _t(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w = Window.orderBy("price_cents", "p_partkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    scanned = pts.select(
+        "p_partkey",
+        "price_cents",
+        "size",
+        F.max("size").over(w).alias("best_size_cheaper"),
+    )
+    return scanned.filter(
+        F.col("best_size_cheaper").isNull()
+        | (F.col("size") > F.col("best_size_cheaper"))
+    ).select(
+        "p_partkey",
+        F.round(F.col("price_cents") / 100.0, 2).alias("price"),
+        "size",
+    )
+
+
+@register(
+    "g_degree_assortativity",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT LEAST(l_orderkey % 2000, l_partkey % 2000) AS u,
+             GREATEST(l_orderkey % 2000, l_partkey % 2000) AS v
+      FROM lineitem
+      WHERE l_orderkey % 2000 != l_partkey % 2000
+        AND (l_orderkey * 31 + l_partkey) % 13 = 0
+    ),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    pairs AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM sym JOIN deg du ON sym.u = du.node JOIN deg dv ON sym.v = dv.node
+    )
+    SELECT ROUND(CORR(dx, dy), 6) AS assortativity,
+           CAST(COUNT(*) AS BIGINT) AS n_directed_edges,
+           ROUND(AVG(dx), 4) AS mean_degree
+    FROM pairs
+    """,
+)
+def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity — the Pearson correlation of endpoint degrees
+    over all (directed) edges: positive means hubs attach to hubs (social
+    graphs), negative means hubs attach to leaves (the hub-and-spoke
+    signature of infrastructure and star-schema-derived graphs). One
+    degree aggregate, two broadcast joins of the ≤|nodes| degree table
+    back onto the edge list, one corr fold. The single number says which
+    sampling and partitioning strategies will work on this graph."""
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter((F.col("l_orderkey") * 31 + F.col("l_partkey")) % 13 == 0)
+        .select(
+            F.least(F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000).alias(
+                "u"
+            ),
+            F.greatest(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    pairs = sym.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    return pairs.agg(
+        F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
+        F.count(F.lit(1)).alias("n_directed_edges"),
+        F.round(F.avg("dx"), 4).alias("mean_degree"),
+    )

@@ -241,6 +241,9 @@ HEADLINE = [
     # round-2 wave 47: skyline, assortativity
     "a_skyline_pareto_front",
     "g_degree_assortativity",
+    # round-2 wave 48: Granger screen, Bellman-Ford
+    "w_granger_screen",
+    "g_bellman_ford",
 ]
 
 

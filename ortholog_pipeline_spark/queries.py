@@ -14649,3 +14649,227 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_directed_edges"),
         F.round(F.avg("dx"), 4).alias("mean_degree"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 48 — Granger-causality screening and weighted shortest paths
+# (min-plus relaxation rounds).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_granger_screen",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS clicks,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS purchases
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT purchases * 1.0 AS y,
+             LAG(purchases) OVER (ORDER BY d) * 1.0 AS x,
+             LAG(clicks) OVER (ORDER BY d) * 1.0 AS z
+      FROM daily
+    ),
+    pts AS (SELECT y, x, z FROM lagged WHERE x IS NOT NULL),
+    m AS (
+      SELECT COUNT(*) AS n, AVG(y) AS my, AVG(x) AS mx, AVG(z) AS mz,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(x * z) AS sxz,
+             SUM(z * z) AS szz, SUM(z * y) AS szy, SUM(y * y) AS syy
+      FROM pts
+    ),
+    c AS (
+      SELECT n,
+             sxx - n * mx * mx AS cxx, sxy - n * mx * my AS cxy,
+             sxz - n * mx * mz AS cxz, szz - n * mz * mz AS czz,
+             szy - n * mz * my AS czy, syy - n * my * my AS cyy
+      FROM m
+    )
+    SELECT ROUND((cxy * cxy / cxx) / cyy, 6) AS r2_restricted,
+           ROUND(((czz * cxy - cxz * czy) * cxy + (cxx * czy - cxz * cxy) * czy)
+                 / ((cxx * czz - cxz * cxz) * cyy), 6) AS r2_full,
+           ROUND((((czz * cxy - cxz * czy) * cxy
+                   + (cxx * czy - cxz * cxy) * czy)
+                  / (cxx * czz - cxz * cxz)
+                  - cxy * cxy / cxx)
+                 / (cyy - ((czz * cxy - cxz * czy) * cxy
+                           + (cxx * czy - cxz * cxy) * czy)
+                          / (cxx * czz - cxz * cxz))
+                 * (n - 3), 4) AS f_stat,
+           CAST(n AS BIGINT) AS n_days
+    FROM c
+    """,
+)
+def w_granger_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality screen: does yesterday's CLICK volume improve the
+    prediction of today's PURCHASE volume beyond yesterday's purchases
+    alone? Both the restricted (AR(1)) and full (AR(1)+exogenous lag)
+    regressions are solved in CLOSED FORM from one pass of centered moment
+    sums (the 2×2 normal equations by Cramer's rule — no iterative
+    fitting, no driver-side linear algebra), and the F statistic prices
+    the R² gain. The fold runs over the |days| rollup; at scale this is
+    how you screen thousands of series pairs for lead-lag structure —
+    one agg per pair, embarrassingly parallel."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "clicks"
+        ),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchases"
+        ),
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        (F.col("purchases") * 1.0).alias("y"),
+        (F.lag("purchases").over(w) * 1.0).alias("x"),
+        (F.lag("clicks").over(w) * 1.0).alias("z"),
+    ).filter(F.col("x").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("my"),
+        F.avg("x").alias("mx"),
+        F.avg("z").alias("mz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("z") * F.col("y")).alias("szy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    c = m.select(
+        "n",
+        (F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")).alias("cxx"),
+        (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")).alias("cxy"),
+        (F.col("sxz") - F.col("n") * F.col("mx") * F.col("mz")).alias("cxz"),
+        (F.col("szz") - F.col("n") * F.col("mz") * F.col("mz")).alias("czz"),
+        (F.col("szy") - F.col("n") * F.col("mz") * F.col("my")).alias("czy"),
+        (F.col("syy") - F.col("n") * F.col("my") * F.col("my")).alias("cyy"),
+    )
+    det = F.col("cxx") * F.col("czz") - F.col("cxz") * F.col("cxz")
+    ess_full = (
+        (F.col("czz") * F.col("cxy") - F.col("cxz") * F.col("czy")) * F.col("cxy")
+        + (F.col("cxx") * F.col("czy") - F.col("cxz") * F.col("cxy"))
+        * F.col("czy")
+    ) / det
+    ess_restricted = F.col("cxy") * F.col("cxy") / F.col("cxx")
+    return c.select(
+        F.round(ess_restricted / F.col("cyy"), 6).alias("r2_restricted"),
+        F.round(ess_full * det / (det * F.col("cyy")), 6).alias("r2_full"),
+        F.round(
+            (ess_full - ess_restricted)
+            / (F.col("cyy") - ess_full)
+            * (F.col("n") - 3),
+            4,
+        ).alias("f_stat"),
+        F.col("n").cast("long").alias("n_days"),
+    )
+
+
+@register(
+    "g_bellman_ford",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT LEAST(l_orderkey % 2000, l_partkey % 2000) AS u,
+             GREATEST(l_orderkey % 2000, l_partkey % 2000) AS v
+      FROM lineitem
+      WHERE l_orderkey % 2000 != l_partkey % 2000
+    ),
+    we AS (
+      SELECT u, v,
+             1 + CAST(('0x' || substr(md5('w' || CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) % 10
+               AS w
+      FROM e0
+    ),
+    e AS (SELECT u, v, w FROM we UNION ALL SELECT v, u, w FROM we),
+    d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+           UNION ALL SELECT 1, 0 UNION ALL SELECT 2, 0),
+    r1 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL
+        SELECT e.v, d0.dist + e.w FROM d0 JOIN e ON d0.node = e.u
+      ) GROUP BY node
+    ),
+    r2 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM r1
+        UNION ALL
+        SELECT e.v, r1.dist + e.w FROM r1 JOIN e ON r1.node = e.u
+      ) GROUP BY node
+    ),
+    r3 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM r2
+        UNION ALL
+        SELECT e.v, r2.dist + e.w FROM r2 JOIN e ON r2.node = e.u
+      ) GROUP BY node
+    )
+    SELECT CAST(dist AS BIGINT) AS distance,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM r3 GROUP BY dist
+    """,
+)
+def g_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source(×3) shortest paths by Bellman-Ford relaxation
+    (3 synchronous rounds): each round unions the current distance table
+    with every edge-relaxed candidate and min-reduces per node — the
+    min-plus semiring version of the BFS rounds (g_bfs_distance is this
+    query with all weights 1). Edge weights are the portable md5 coin in
+    1..10, symmetric by construction. Round state stays a set (min-reduce
+    BETWEEN rounds — never the path explosion); summarized as a distance
+    histogram. At 100 TB: same level-synchronous join, edges pre-bucketed
+    by source node."""
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        li.select(
+            F.least(F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000).alias(
+                "u"
+            ),
+            F.greatest(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    we = e0.withColumn(
+        "w",
+        1
+        + F.pmod(
+            DD.hex_hash64(
+                F.concat(
+                    F.lit("w"),
+                    F.col("u").cast("string"),
+                    F.lit("_"),
+                    F.col("v").cast("string"),
+                )
+            ),
+            F.lit(10),
+        ),
+    )
+    e = we.unionByName(
+        we.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).persist()
+    dist = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], schema="node long, dist long"
+    )
+    for _ in range(3):
+        relaxed = dist.join(e, dist["node"] == e["u"]).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+    return dist.groupBy(F.col("dist").alias("distance")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

@@ -244,6 +244,9 @@ HEADLINE = [
     # round-2 wave 48: Granger screen, Bellman-Ford
     "w_granger_screen",
     "g_bellman_ford",
+    # round-2 wave 49: Simpson screen, catalog coverage
+    "a_simpsons_paradox",
+    "a_catalog_coverage",
 ]
 
 

@@ -14873,3 +14873,138 @@ def g_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 49 — Simpson's-paradox detection and catalog coverage health.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_simpsons_paradox",
+    """
+    WITH pts AS (
+      SELECT l_returnflag AS grp, l_discount AS x, l_quantity AS y
+      FROM lineitem
+    ),
+    overall AS (SELECT CORR(x, y) AS r_all FROM pts),
+    per_grp AS (
+      SELECT grp, CORR(x, y) AS r_g, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY grp
+    )
+    SELECT g.grp, ROUND(g.r_g, 6) AS group_corr,
+           ROUND(o.r_all, 6) AS overall_corr, g.n,
+           CASE WHEN SIGN(g.r_g) <> SIGN(o.r_all) AND ABS(g.r_g) > 0.01
+                THEN 'SIGN_FLIP' ELSE 'CONSISTENT' END AS verdict
+    FROM per_grp g, overall o
+    """,
+)
+def a_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the discount→quantity correlation computed
+    overall AND within each group, flagging groups whose sign flips
+    against the aggregate (the aggregation artifact that turns 'discounts
+    increase volume' into the opposite once you condition on the right
+    stratum — the reason no observational metric ships without a
+    stratified readout). One scan feeds both correlation passes; the
+    per-group and overall folds share the same moments machinery."""
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_discount").alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    overall = pts.agg(F.corr("x", "y").alias("r_all"))
+    per_grp = pts.groupBy("grp").agg(
+        F.corr("x", "y").alias("r_g"), F.count(F.lit(1)).alias("n")
+    )
+    return per_grp.crossJoin(F.broadcast(overall)).select(
+        "grp",
+        F.round("r_g", 6).alias("group_corr"),
+        F.round("r_all", 6).alias("overall_corr"),
+        "n",
+        F.when(
+            (F.signum("r_g") != F.signum("r_all")) & (F.abs("r_g") > 0.01),
+            F.lit("SIGN_FLIP"),
+        )
+        .otherwise(F.lit("CONSISTENT"))
+        .alias("verdict"),
+    )
+
+
+@register(
+    "a_catalog_coverage",
+    """
+    WITH interactions AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM lineitem GROUP BY l_partkey
+    ),
+    catalog AS (
+      SELECT p.p_partkey, COALESCE(i.n_inter, 0) AS n_inter
+      FROM part p LEFT JOIN interactions i ON p.p_partkey = i.l_partkey
+    ),
+    ranked AS (
+      SELECT n_inter,
+             ROW_NUMBER() OVER (ORDER BY n_inter DESC, p_partkey) AS rnk,
+             COUNT(*) OVER () AS n_items,
+             SUM(n_inter) OVER () AS total
+      FROM catalog
+    )
+    SELECT CAST(MAX(n_items) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN n_inter = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dead_items,
+           ROUND(SUM(CASE WHEN n_inter = 0 THEN 1.0 ELSE 0 END) / MAX(n_items), 6)
+             AS dead_share,
+           CAST(SUM(CASE WHEN n_inter < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cold_items,
+           ROUND(SUM(CASE WHEN rnk * 10 <= n_items THEN n_inter ELSE 0 END) * 1.0
+                 / MAX(total), 6) AS top_decile_share
+    FROM ranked
+    """,
+)
+def a_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog coverage health: dead items (zero interactions — only
+    visible through the LEFT join against the full catalog; aggregating
+    interactions alone can't see them), cold items (< 5), and the
+    top-decile demand share (how head-heavy the catalog is). The trio
+    drives assortment pruning and cold-start strategy. One interaction
+    aggregate, one outer join to the catalog dimension, one rank window
+    over |items|."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    inter = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_inter"))
+    catalog = part.select("p_partkey").join(
+        inter, part["p_partkey"] == inter["l_partkey"], "left_outer"
+    ).select(
+        "p_partkey", F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter")
+    )
+    w_r = Window.orderBy(F.col("n_inter").desc(), "p_partkey")
+    wa = Window.partitionBy()
+    ranked = catalog.select(
+        "n_inter",
+        F.row_number().over(w_r).alias("rnk"),
+        F.count(F.lit(1)).over(wa).alias("n_items"),
+        F.sum("n_inter").over(wa).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n_items").cast("long").alias("n_items"),
+        F.sum(F.when(F.col("n_inter") == 0, 1).otherwise(0)).alias(
+            "n_dead_items"
+        ),
+        F.round(
+            F.sum(F.when(F.col("n_inter") == 0, F.lit(1.0)).otherwise(0))
+            / F.max("n_items"),
+            6,
+        ).alias("dead_share"),
+        F.sum(F.when(F.col("n_inter") < 5, 1).otherwise(0)).alias(
+            "n_cold_items"
+        ),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rnk") * 10 <= F.col("n_items"), F.col("n_inter")
+                ).otherwise(0)
+            )
+            * 1.0
+            / F.max("total"),
+            6,
+        ).alias("top_decile_share"),
+    )

@@ -247,6 +247,8 @@ HEADLINE = [
     # round-2 wave 49: Simpson screen, catalog coverage
     "a_simpsons_paradox",
     "a_catalog_coverage",
+    # round-2 wave 50: F1 operating point
+    "a_f1_threshold",
 ]
 
 

@@ -15008,3 +15008,100 @@ def a_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_decile_share"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 50 — decision-threshold optimization (max-F1 operating point).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_f1_threshold",
+    """
+    WITH scored AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    per_score AS (
+      SELECT score, CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score,
+             SUM(n_pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+               AS tp,
+             SUM(n_neg) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+               AS fp,
+             SUM(n_pos) OVER () AS total_pos
+      FROM per_score
+    ),
+    f1s AS (
+      SELECT score, tp, fp, total_pos - tp AS fn,
+             2.0 * tp / (2.0 * tp + fp + (total_pos - tp)) AS f1,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(ROUND(2.0 * tp / (2.0 * tp + fp + (total_pos - tp))
+                                   * 1000000) AS BIGINT) DESC,
+                        score) AS rn
+      FROM cum
+    )
+    SELECT ROUND(score, 6) AS best_threshold,
+           ROUND(f1, 6) AS best_f1,
+           ROUND(tp * 1.0 / (tp + fp), 6) AS precision_at_best,
+           ROUND(tp * 1.0 / (tp + fn), 6) AS recall_at_best,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn
+    FROM f1s WHERE rn = 1
+    """,
+)
+def a_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal decision threshold: sweep EVERY distinct score as a
+    candidate cut (predict positive above it), compute TP/FP/FN from one
+    descending cumulative pass, and pick the max-F1 operating point — the
+    companion to a_auc_rank (AUC says how good the scorer is; this says
+    where to CUT it). The sweep costs one window over distinct scores
+    (bounded like the AUC query, with the same quantize-at-scale note);
+    ranking snaps F1 to integer micro-units with a score tie-break so the
+    chosen threshold is engine-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.partitionBy()
+    cum = per_score.select(
+        "score",
+        F.sum("n_pos").over(w).alias("tp"),
+        F.sum("n_neg").over(w).alias("fp"),
+        F.sum("n_pos").over(wa).alias("total_pos"),
+    )
+    fn = F.col("total_pos") - F.col("tp")
+    f1 = 2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + fn)
+    w_rn = Window.orderBy(
+        F.round(f1 * 1000000).cast("long").desc(), F.col("score")
+    )
+    return (
+        cum.withColumn("f1", f1)
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.round("score", 6).alias("best_threshold"),
+            F.round("f1", 6).alias("best_f1"),
+            F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6).alias(
+                "precision_at_best"
+            ),
+            F.round(F.col("tp") * 1.0 / (F.col("tp") + fn), 6).alias(
+                "recall_at_best"
+            ),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            fn.cast("long").alias("fn"),
+        )
+    )

@@ -249,6 +249,8 @@ HEADLINE = [
     "a_catalog_coverage",
     # round-2 wave 50: F1 operating point
     "a_f1_threshold",
+    # round-2 wave 51: retention half-life
+    "a_retention_halflife",
 ]
 
 

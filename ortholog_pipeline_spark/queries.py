@@ -15105,3 +15105,94 @@ def a_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             fn.cast("long").alias("fn"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 51 — retention half-life (log-linear decay fit).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_retention_halflife",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             DATE_DIFF('day', f.first_d, CAST(e.ts AS DATE)) // 7 AS offset_w
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    cohort_n AS (SELECT COUNT(*) AS n0 FROM firsts),
+    curve AS (
+      SELECT offset_w, COUNT(*) * 1.0 / n0 AS retention
+      FROM activity, cohort_n
+      WHERE offset_w >= 1
+      GROUP BY offset_w, n0
+    ),
+    pts AS (SELECT offset_w * 1.0 AS x, LN(retention) AS y FROM curve),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+             AS decay_slope,
+           ROUND(LN(2) / NULLIF(ABS((n * sxy - sx * sy)
+                                    / NULLIF(n * sxx - sx * sx, 0)), 0), 4)
+             AS halflife_weeks,
+           CAST(n AS BIGINT) AS n_points
+    FROM m
+    """,
+)
+def a_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: fit ln(retention) against week offset by
+    closed-form OLS and convert the decay slope to a half-life — the one
+    number that compares retention across products ('weeks until half the
+    cohort is gone') and feeds LTV extrapolation beyond the observed
+    window. Week-0 is excluded (it's 1.0 by definition and biases the
+    fit). First-touch aggregate, distinct (user, offset), a |weeks|-row
+    curve, a 1-row moment fold."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("first_d")) / 7
+            ).alias("offset_w"),
+        )
+        .distinct()
+    )
+    n0 = firsts.agg(F.count(F.lit(1)).alias("n0"))
+    curve = (
+        activity.filter(F.col("offset_w") >= 1)
+        .groupBy("offset_w")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .crossJoin(F.broadcast(n0))
+        .select(
+            (F.col("offset_w") * 1.0).alias("x"),
+            F.log(F.col("n_active") * 1.0 / F.col("n0")).alias("y"),
+        )
+    )
+    m = curve.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # NULLIF guards: a 1-point curve (tiny corpora) has zero x-variance and
+    # a defined fit does not exist -- both engines return NULL, not an error
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    return m.select(
+        F.round(slope, 6).alias("decay_slope"),
+        F.round(
+            F.log(F.lit(2.0)) / F.nullif(F.abs(slope), F.lit(0.0)), 4
+        ).alias("halflife_weeks"),
+        F.col("n").cast("long").alias("n_points"),
+    )

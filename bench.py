@@ -251,6 +251,9 @@ HEADLINE = [
     "a_f1_threshold",
     # round-2 wave 51: retention half-life
     "a_retention_halflife",
+    # round-2 wave 52: Heaps law, peak detection
+    "text_heaps_law",
+    "w_peak_detection",
 ]
 
 

@@ -15196,3 +15196,172 @@ def a_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("halflife_weeks"),
         F.col("n").cast("long").alias("n_points"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 52 — vocabulary growth (Heaps' law) and series peak detection.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_heaps_law",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents)
+    ),
+    doc_tokens AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks FROM toks GROUP BY doc_id
+    ),
+    first_seen AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+    ),
+    new_types AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY first_doc
+    ),
+    grid AS (
+      SELECT d.doc_id,
+             SUM(d.n_toks) OVER (ORDER BY d.doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             SUM(COALESCE(nt.n_new, 0)) OVER (ORDER BY d.doc_id
+                                              ROWS UNBOUNDED PRECEDING)
+               AS cum_types,
+             ROW_NUMBER() OVER (ORDER BY d.doc_id) AS rn
+      FROM doc_tokens d LEFT JOIN new_types nt ON d.doc_id = nt.doc_id
+    ),
+    pts AS (
+      SELECT LN(cum_tokens * 1.0) AS x, LN(cum_types * 1.0) AS y
+      FROM grid WHERE rn % 10 = 0 AND cum_types > 0
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+             AS heaps_beta,
+           ROUND(EXP((sy - sx * ((n * sxy - sx * sy)
+                                 / NULLIF(n * sxx - sx * sx, 0))) / n), 4)
+             AS heaps_k,
+           CAST(n AS BIGINT) AS n_points
+    FROM m
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K·Nᵝ of vocabulary growth: cumulative distinct
+    types against cumulative tokens in document order, fit log-log by
+    closed-form OLS. Natural corpora sit at β ≈ 0.4-0.6; β near 1 screams
+    ID-like junk tokens, β near 0 screams a closed template vocabulary —
+    the fastest corpus-authenticity check after Zipf. The trick that keeps
+    it distributed: cumulative distinct = running sum of FIRST-OCCURRENCE
+    counts (min doc per type — one aggregate), never a cumulative
+    COUNT(DISTINCT) window. Growth curve sampled every 10 docs for the
+    fit."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    ).persist()
+    doc_tokens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    new_types = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    grid = (
+        doc_tokens.join(new_types, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias(
+                "cum_types"
+            ),
+            F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+        )
+    )
+    pts = grid.filter((F.col("rn") % 10 == 0) & (F.col("cum_types") > 0)).select(
+        F.log(F.col("cum_tokens") * 1.0).alias("x"),
+        F.log(F.col("cum_types") * 1.0).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    return m.select(
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy") - F.col("sx") * slope) / F.col("n")), 4
+        ).alias("heaps_k"),
+        F.col("n").cast("long").alias("n_points"),
+    )
+
+
+@register(
+    "w_peak_detection",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    ctx AS (
+      SELECT d, cents,
+             LAG(cents) OVER (ORDER BY d) AS prv,
+             LEAD(cents) OVER (ORDER BY d) AS nxt,
+             AVG(cents) OVER () AS mu
+      FROM daily
+    )
+    SELECT d, ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(cents / mu, 4) AS vs_mean
+    FROM ctx
+    WHERE prv IS NOT NULL AND nxt IS NOT NULL
+      AND cents > prv AND cents > nxt
+      AND cents * 10 > mu * 13
+    """,
+)
+def w_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection with a prominence floor: days strictly above
+    both neighbors AND 30% above the series mean (the floor is what
+    separates peaks from noise wiggles — strict local maxima alone flag
+    half the series). LAG/LEAD/mean from one ordered window pass over the
+    |days| rollup; the prominence comparison is exact integer
+    cross-multiplication (cents·10 > μ·13)."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    wa = Window.partitionBy()
+    ctx = daily.select(
+        "d",
+        "cents",
+        F.lag("cents").over(w).alias("prv"),
+        F.lead("cents").over(w).alias("nxt"),
+        F.avg("cents").over(wa).alias("mu"),
+    )
+    return ctx.filter(
+        F.col("prv").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("cents") > F.col("prv"))
+        & (F.col("cents") > F.col("nxt"))
+        & (F.col("cents") * 10 > F.col("mu") * 13)
+    ).select(
+        "d",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("cents") / F.col("mu"), 4).alias("vs_mean"),
+    )

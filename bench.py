@@ -254,6 +254,9 @@ HEADLINE = [
     # round-2 wave 52: Heaps law, peak detection
     "text_heaps_law",
     "w_peak_detection",
+    # round-2 wave 53: James-Stein shrinkage, Hill tail index
+    "a_james_stein_means",
+    "a_hill_tail_index",
 ]
 
 

@@ -15365,3 +15365,131 @@ def w_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
         F.round(F.col("cents") / F.col("mu"), 4).alias("vs_mean"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 53 — empirical-Bayes shrinkage (James-Stein) and heavy-tail index
+# (Hill estimator).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_james_stein_means",
+    """
+    WITH grp AS (
+      SELECT n_name, AVG(o_totalprice) AS xbar,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             VAR_SAMP(o_totalprice) AS v
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ),
+    g AS (
+      SELECT AVG(xbar) AS grand, COUNT(*) AS k,
+             SUM(POWER(xbar - (SELECT AVG(xbar) FROM grp), 2)) AS ss_between,
+             AVG(v / n) AS avg_se2
+      FROM grp
+    )
+    SELECT n_name,
+           ROUND(xbar, 4) AS raw_mean,
+           ROUND(grand + (1 - LEAST(1.0, (k - 3) * avg_se2 / ss_between))
+                         * (xbar - grand), 4) AS shrunk_mean,
+           ROUND(LEAST(1.0, (k - 3) * avg_se2 / ss_between), 6) AS shrink_factor,
+           n
+    FROM grp, g
+    """,
+)
+def a_james_stein_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """James-Stein (empirical-Bayes) shrinkage of per-nation mean order
+    values toward the grand mean: the shrink factor (k−3)·SE²/SS_between
+    is estimated FROM the data — groups whose spread looks like pure noise
+    get pulled almost entirely to the pool, well-separated groups keep
+    their means. This dominates the raw group means in total squared error
+    whenever k > 3 (Stein's paradox) and is the principled version of the
+    ad-hoc smoothing a_target_encoding applies. One group aggregate + a
+    1-row pooled estimate broadcast back."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    grp = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.avg("o_totalprice").alias("xbar"),
+            F.count(F.lit(1)).alias("n"),
+            F.var_samp("o_totalprice").alias("v"),
+        )
+        .persist()
+    )
+    grand_df = grp.agg(F.avg("xbar").alias("grand"))
+    g = (
+        grp.crossJoin(F.broadcast(grand_df))
+        .agg(
+            F.max("grand").alias("grand"),
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.pow(F.col("xbar") - F.col("grand"), 2)).alias("ss_between"),
+            F.avg(F.col("v") / F.col("n")).alias("avg_se2"),
+        )
+    )
+    shrink = F.least(
+        F.lit(1.0),
+        (F.col("k") - 3) * F.col("avg_se2") / F.col("ss_between"),
+    )
+    return grp.crossJoin(F.broadcast(g)).select(
+        "n_name",
+        F.round("xbar", 4).alias("raw_mean"),
+        F.round(
+            F.col("grand") + (1 - shrink) * (F.col("xbar") - F.col("grand")), 4
+        ).alias("shrunk_mean"),
+        F.round(shrink, 6).alias("shrink_factor"),
+        "n",
+    )
+
+
+@register(
+    "a_hill_tail_index",
+    """
+    WITH top AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders ORDER BY cents DESC, o_orderkey LIMIT 201
+    ),
+    ranked AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents DESC) AS rn,
+             MIN(cents) OVER () AS x_k
+      FROM top
+    )
+    SELECT ROUND(1.0 / (SUM(LN(cents * 1.0 / x_k)) / 200), 4) AS hill_alpha,
+           ROUND(SUM(LN(cents * 1.0 / x_k)) / 200, 6) AS mean_log_excess,
+           ROUND(MAX(x_k) / 100.0, 2) AS threshold_value,
+           CAST(200 AS BIGINT) AS k_order_stats
+    FROM ranked WHERE rn <= 200
+    """,
+)
+def a_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the heavy-tail index α over the top-200 order
+    statistics: α̂ = 1 / mean(ln(x_i / x_{k+1})) — the standard diagnostic
+    for 'does this distribution even HAVE a usable mean/variance'
+    (α ≤ 2 ⇒ infinite variance: percentile-based planning only; α large ⇒
+    thin tail: averages are safe). The top-(k+1) comes from a heap-merged
+    global top (TakeOrderedAndProject with an integer-cents key), so the
+    estimator reads k+1 rows regardless of table size."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    top = orders.orderBy(F.col("cents").desc(), "o_orderkey").limit(201)
+    wa = Window.partitionBy()
+    ranked = top.select(
+        "cents",
+        F.row_number().over(Window.orderBy(F.col("cents").desc(), "o_orderkey")).alias("rn"),
+        F.min("cents").over(wa).alias("x_k"),
+    )
+    kept = ranked.filter(F.col("rn") <= 200)
+    mean_log = F.sum(F.log(F.col("cents") * 1.0 / F.col("x_k"))) / 200
+    return kept.agg(
+        F.round(1.0 / mean_log, 4).alias("hill_alpha"),
+        F.round(mean_log, 6).alias("mean_log_excess"),
+        F.round(F.max("x_k") / 100.0, 2).alias("threshold_value"),
+        F.lit(200).cast("long").alias("k_order_stats"),
+    )

@@ -13763,11 +13763,20 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     nt = toks.agg(F.count(F.lit(1)).alias("nt"))
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    a = toks.select("doc_id", F.col("pos").alias("p1"), F.col("tok").alias("w1"))
-    b = toks.select("doc_id", F.col("pos").alias("p2"), F.col("tok").alias("w2"))
+    # pnext is materialized as an ATTRIBUTE so Catalyst extracts
+    # (doc_id, pnext)=(doc_id, p2) as hash-join keys -- left as the raw
+    # predicate p2 == p1 + 1 the join degrades to a BroadcastNestedLoopJoin
+    # (observed), which is quadratic per document at scale
+    a = toks.select(
+        "doc_id",
+        (F.col("pos") + 1).alias("pnext"),
+        F.col("tok").alias("w1"),
+    )
+    b = toks.select(
+        "doc_id", F.col("pos").alias("p2"), F.col("tok").alias("w2")
+    )
     pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("p2") == F.col("p1") + 1)
+        a.join(b, (a["doc_id"] == b["doc_id"]) & (a["pnext"] == b["p2"]))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= 20)

@@ -603,3 +603,30 @@ def test_dynamic_partition_pruning_on_partitioned_write(spark, tmp_path):
         )
     )
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(rf" in plan, plan[:2000]
+
+
+def test_pmi_adjacency_join_is_hash_join(spark):
+    """The pos+1 adjacency join must run as an equi hash join on
+    (doc_id, pnext)=(doc_id, p2) — if the key extraction regresses, the
+    join degrades to a per-document nested loop (quadratic in doc length).
+    The only permitted BNL is the 1-row corpus-total broadcast."""
+    df = Q.queries()["text_collocations_pmi"](spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    joins = [
+        ln for ln in plan.splitlines() if "Join" in ln and "BuildRight" in ln
+    ]
+    big = [ln for ln in joins if "pnext" in ln]
+    assert big and all("HashJoin" in ln for ln in big), plan[:1500]
+
+
+def test_skyline_is_single_window_no_join(spark):
+    plan = _plan(spark, "a_skyline_pareto_front")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_hill_uses_heap_topk(spark):
+    plan = _plan(spark, "a_hill_tail_index")
+    assert "TakeOrderedAndProject" in plan

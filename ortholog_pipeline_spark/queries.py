@@ -14066,9 +14066,24 @@ def emb_sim_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("l2"),
         F.col("v").alias("v2"),
     )
-    pairs = a.join(
-        b,
-        (F.col("id2") > F.col("id1")) & (F.col("id2") <= F.col("id1") + 20),
+    # ring pairs via BLOCK equi-join: id2 in (id1, id1+20] implies
+    # id2 div 20 is id1's block or the next one, so exploding each left row
+    # to its two candidate blocks turns the range predicate into hash-join
+    # keys (a raw non-equi join here compiles to BroadcastNestedLoopJoin --
+    # n^2 predicate evaluations at scale even though the OUTPUT is bounded)
+    a_blocked = a.select(
+        "id1",
+        "l1",
+        "v1",
+        F.explode(
+            F.array(
+                F.floor(F.col("id1") / 20), F.floor(F.col("id1") / 20) + 1
+            )
+        ).alias("blk"),
+    )
+    b_blocked = b.withColumn("blk", F.floor(F.col("id2") / 20))
+    pairs = a_blocked.join(b_blocked, "blk").filter(
+        (F.col("id2") > F.col("id1")) & (F.col("id2") <= F.col("id1") + 20)
     )
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z

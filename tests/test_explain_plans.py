@@ -630,3 +630,24 @@ def test_skyline_is_single_window_no_join(spark):
 def test_hill_uses_heap_topk(spark):
     plan = _plan(spark, "a_hill_tail_index")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_undeclared_cartesian_products(spark):
+    """Whole-registry plan hygiene: a CartesianProduct may appear ONLY in
+    the two documented brute-force baselines (their LSH twins are the
+    scale paths). Any other occurrence is an accidental O(n^2) — the
+    regression this net exists to catch. (BroadcastNestedLoopJoins of
+    1-row statistic frames are legitimate and not flagged here; the
+    specific big-side BNL hazards have their own pins above.)"""
+    ALLOWED = {"dedup_embedding_cosine", "ngram_jaccard_pairs"}
+    offenders = []
+    for name, fn in sorted(Q.queries().items()):
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        if "CartesianProduct" in plan and name not in ALLOWED:
+            offenders.append(name)
+    assert not offenders, offenders

@@ -257,6 +257,8 @@ HEADLINE = [
     # round-2 wave 53: James-Stein shrinkage, Hill tail index
     "a_james_stein_means",
     "a_hill_tail_index",
+    # round-2 wave 54: geodesic nearest neighbor
+    "j_haversine_nearest",
 ]
 
 

@@ -15517,3 +15517,132 @@ def a_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("x_k") / 100.0, 2).alias("threshold_value"),
         F.lit(200).cast("long").alias("k_order_stats"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 54 — geodesic nearest neighbor (haversine + grid blocking).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_haversine_nearest",
+    """
+    WITH p AS (
+      SELECT c_custkey AS id,
+             (CAST(('0x' || substr(md5('lat' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 * 120 - 60 AS lat,
+             (CAST(('0x' || substr(md5('lon' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 * 360 - 180 AS lon
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    g AS (
+      SELECT id, lat, lon,
+             CAST(FLOOR(lat / 5) AS BIGINT) AS gy,
+             CAST(FLOOR(lon / 5) AS BIGINT) AS gx
+      FROM p
+    ),
+    queries AS (SELECT * FROM g WHERE id < 60),
+    probes AS (
+      SELECT q.id, q.lat, q.lon, q.gy + dy AS gy, q.gx + dx AS gx
+      FROM queries q
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+    ),
+    cand AS (
+      SELECT pr.id AS query_id, c.id AS neighbor_id,
+             CAST(ROUND(2 * 6371000 * ASIN(SQRT(
+               POWER(SIN(RADIANS(c.lat - pr.lat) / 2), 2)
+               + COS(RADIANS(pr.lat)) * COS(RADIANS(c.lat))
+                 * POWER(SIN(RADIANS(c.lon - pr.lon) / 2), 2)))) AS BIGINT)
+               AS dist_m
+      FROM probes pr JOIN g c ON pr.gy = c.gy AND pr.gx = c.gx
+      WHERE pr.id <> c.id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, dist_m,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist_m, neighbor_id) AS rn
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, dist_m FROM ranked WHERE rn = 1
+    """,
+)
+def j_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic nearest neighbor: great-circle (haversine) distance with
+    5°-cell grid blocking and 3×3 neighborhood probing — the bounded-radius
+    nearest-neighbor contract every geo join ships (a query with no
+    neighbor within the probed ring returns nothing rather than scanning
+    the planet; widen the ring, not the join). Distances snap to integer
+    meters before ranking with an id tie-break. Coordinates are
+    md5-synthesized (the corpus carries none); the formula and the
+    blocking plan are the real operator. Grid cells degenerate near the
+    poles — production grids switch to geohash/S2 cells there; the
+    synthesized band (±60°) stays in the well-behaved regime."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    lat = (
+        F.pmod(
+            DD.hex_hash64(F.concat(F.lit("lat"), F.col("c_custkey").cast("string"))),
+            F.lit(1_000_000),
+        )
+        / 1_000_000.0
+        * 120
+        - 60
+    )
+    lon = (
+        F.pmod(
+            DD.hex_hash64(F.concat(F.lit("lon"), F.col("c_custkey").cast("string"))),
+            F.lit(1_000_000),
+        )
+        / 1_000_000.0
+        * 360
+        - 180
+    )
+    g = cust.select(
+        F.col("c_custkey").alias("id"), lat.alias("lat"), lon.alias("lon")
+    ).select(
+        "id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / 5).cast("long").alias("gy"),
+        F.floor(F.col("lon") / 5).cast("long").alias("gx"),
+    ).persist()
+    queries_df = g.filter(F.col("id") < 60)
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    probes = queries_df.select("id", "lat", "lon", "gy", "gx", offsets).select(
+        F.col("id").alias("qid"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+        (F.col("gy") + F.col("o.dy")).alias("gy"),
+        (F.col("gx") + F.col("o.dx")).alias("gx"),
+    )
+    dphi = F.radians(F.col("lat") - F.col("qlat")) / 2
+    dlam = F.radians(F.col("lon") - F.col("qlon")) / 2
+    hav = (
+        F.pow(F.sin(dphi), 2)
+        + F.cos(F.radians(F.col("qlat")))
+        * F.cos(F.radians(F.col("lat")))
+        * F.pow(F.sin(dlam), 2)
+    )
+    dist_m = F.round(2 * 6371000 * F.asin(F.sqrt(hav))).cast("long")
+    cand = (
+        probes.join(g, ["gy", "gx"])
+        .filter(F.col("qid") != F.col("id"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            dist_m.alias("dist_m"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_m", "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "dist_m")
+    )

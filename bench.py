@@ -259,6 +259,8 @@ HEADLINE = [
     "a_hill_tail_index",
     # round-2 wave 54: geodesic nearest neighbor
     "j_haversine_nearest",
+    # round-2 wave 55: FD discovery
+    "a_fd_discovery",
 ]
 
 

@@ -15646,3 +15646,92 @@ def j_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", "neighbor_id", "dist_m")
     )
+
+# ---------------------------------------------------------------------------
+# Wave 55 — approximate functional-dependency discovery.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_fd_discovery",
+    """
+    WITH cands AS (
+      SELECT 'o_custkey->priority' AS fd, CAST(o_custkey AS VARCHAR) AS lhs,
+             o_orderpriority AS rhs FROM orders
+      UNION ALL
+      SELECT 'o_orderkey->status', CAST(o_orderkey AS VARCHAR), o_orderstatus
+      FROM orders
+      UNION ALL
+      SELECT 'custkey->mktsegment', CAST(c_custkey AS VARCHAR), c_mktsegment
+      FROM customer
+      UNION ALL
+      SELECT 'nationkey->mktsegment', CAST(c_nationkey AS VARCHAR), c_mktsegment
+      FROM customer
+    ),
+    groups AS (
+      SELECT fd, lhs, CAST(COUNT(DISTINCT rhs) AS BIGINT) AS n_rhs
+      FROM cands GROUP BY fd, lhs
+    )
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           ROUND(1.0 - SUM(CASE WHEN n_rhs > 1 THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+             AS fd_strength,
+           CASE WHEN SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 THEN 'EXACT_FD'
+                WHEN SUM(CASE WHEN n_rhs > 1 THEN 1.0 ELSE 0 END) / COUNT(*) < 0.05
+                THEN 'APPROX_FD' ELSE 'NO_FD' END AS verdict
+    FROM groups GROUP BY fd
+    """,
+)
+def a_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (the Metanome/profiling primitive
+    behind key detection, normalization advice, and dirty-data triage):
+    for each candidate X→Y, count X-groups whose Y is not unique —
+    zero violators = exact FD (a key or derivable column), a small
+    violation rate = approximate FD (usually dirty data worth repairing),
+    otherwise no dependency. Four candidates checked in ONE unioned pass
+    (each leg is a pruned 2-column scan); per-candidate work is a
+    two-phase distinct aggregate keyed on (fd, lhs) — adding candidates
+    adds union legs, not jobs."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    legs = [
+        orders.select(
+            F.lit("o_custkey->priority").alias("fd"),
+            F.col("o_custkey").cast("string").alias("lhs"),
+            F.col("o_orderpriority").alias("rhs"),
+        ),
+        orders.select(
+            F.lit("o_orderkey->status").alias("fd"),
+            F.col("o_orderkey").cast("string").alias("lhs"),
+            F.col("o_orderstatus").alias("rhs"),
+        ),
+        cust.select(
+            F.lit("custkey->mktsegment").alias("fd"),
+            F.col("c_custkey").cast("string").alias("lhs"),
+            F.col("c_mktsegment").alias("rhs"),
+        ),
+        cust.select(
+            F.lit("nationkey->mktsegment").alias("fd"),
+            F.col("c_nationkey").cast("string").alias("lhs"),
+            F.col("c_mktsegment").alias("rhs"),
+        ),
+    ]
+    cands = legs[0]
+    for leg in legs[1:]:
+        cands = cands.unionByName(leg)
+    groups = cands.groupBy("fd", "lhs").agg(
+        F.countDistinct("rhs").alias("n_rhs")
+    )
+    viol = F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+    viol_f = F.sum(F.when(F.col("n_rhs") > 1, F.lit(1.0)).otherwise(0))
+    return groups.groupBy("fd").agg(
+        F.count(F.lit(1)).alias("n_lhs_groups"),
+        viol.alias("n_violating_groups"),
+        F.round(1.0 - viol_f / F.count(F.lit(1)), 6).alias("fd_strength"),
+        F.when(viol == 0, F.lit("EXACT_FD"))
+        .when(viol_f / F.count(F.lit(1)) < 0.05, F.lit("APPROX_FD"))
+        .otherwise(F.lit("NO_FD"))
+        .alias("verdict"),
+    )

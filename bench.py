@@ -261,6 +261,7 @@ HEADLINE = [
     "j_haversine_nearest",
     # round-2 wave 55: FD discovery
     "a_fd_discovery",
+    "a_ind_discovery",
 ]
 
 

@@ -15735,3 +15735,106 @@ def a_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("NO_FD"))
         .alias("verdict"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 56 — inclusion-dependency (foreign-key) discovery.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_ind_discovery",
+    """
+    WITH checks AS (
+      SELECT 'lineitem.orderkey<=orders' AS ind,
+             (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_lhs,
+             (SELECT COUNT(*) FROM (
+                SELECT DISTINCT l_orderkey FROM lineitem
+             ) l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.partkey<=part',
+             (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+             (SELECT COUNT(*) FROM (
+                SELECT DISTINCT l_partkey FROM lineitem
+             ) l ANTI JOIN part p ON l.l_partkey = p.p_partkey)
+      UNION ALL
+      SELECT 'orders.custkey<=customer',
+             (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+             (SELECT COUNT(*) FROM (
+                SELECT DISTINCT o_custkey FROM orders
+             ) o ANTI JOIN customer c ON o.o_custkey = c.c_custkey)
+      UNION ALL
+      SELECT 'lineitem.suppkey<=nation(neg)',
+             (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+             (SELECT COUNT(*) FROM (
+                SELECT DISTINCT l_suppkey FROM lineitem
+             ) l ANTI JOIN nation n ON l.l_suppkey = n.n_nationkey)
+    )
+    SELECT ind, CAST(n_lhs AS BIGINT) AS n_lhs_distinct,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           ROUND(1.0 - n_orphans * 1.0 / n_lhs, 6) AS containment,
+           CASE WHEN n_orphans = 0 THEN 'FK_CANDIDATE'
+                WHEN n_orphans * 20 < n_lhs THEN 'APPROX_IND'
+                ELSE 'NOT_CONTAINED' END AS verdict
+    FROM checks
+    """,
+)
+def a_ind_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery — the foreign-key detector that pairs
+    with a_fd_discovery to recover a schema's join graph from data alone:
+    for each candidate X ⊆ Y, count distinct X values with no match in Y
+    (an anti-join over the DISTINCT left side — never the raw fact table).
+    Zero orphans = FK candidate; a small orphan rate usually means
+    referential rot worth a cleanup job; the deliberately-wrong fourth
+    candidate (suppkey vs nationkey) shows the negative verdict. Each
+    check is distinct + anti-join + count; checks are independent and
+    union into one result."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    def check(name, lhs, rhs):
+        d = lhs.distinct().persist()
+        n_lhs = d.agg(F.count(F.lit(1)).alias("n_lhs"))
+        orphans = d.join(
+            rhs, d[d.columns[0]] == rhs[rhs.columns[0]], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        return (
+            n_lhs.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(name).alias("ind"),
+                F.col("n_lhs").alias("n_lhs_distinct"),
+                "n_orphans",
+                F.round(1.0 - F.col("n_orphans") * 1.0 / F.col("n_lhs"), 6).alias(
+                    "containment"
+                ),
+                F.when(F.col("n_orphans") == 0, F.lit("FK_CANDIDATE"))
+                .when(
+                    F.col("n_orphans") * 20 < F.col("n_lhs"), F.lit("APPROX_IND")
+                )
+                .otherwise(F.lit("NOT_CONTAINED"))
+                .alias("verdict"),
+            )
+        )
+
+    out = check(
+        "lineitem.orderkey<=orders",
+        li.select("l_orderkey"),
+        orders.select("o_orderkey"),
+    )
+    for args in [
+        ("lineitem.partkey<=part", li.select("l_partkey"), part.select("p_partkey")),
+        (
+            "orders.custkey<=customer",
+            orders.select("o_custkey"),
+            cust.select("c_custkey"),
+        ),
+        (
+            "lineitem.suppkey<=nation(neg)",
+            li.select("l_suppkey"),
+            nation.select("n_nationkey"),
+        ),
+    ]:
+        out = out.unionByName(check(*args))
+    return out

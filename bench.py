@@ -262,6 +262,7 @@ HEADLINE = [
     # round-2 wave 55: FD discovery
     "a_fd_discovery",
     "a_ind_discovery",
+    "a_ucc_discovery",
 ]
 
 

@@ -15838,3 +15838,84 @@ def a_ind_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         out = out.unionByName(check(*args))
     return out
+
+# ---------------------------------------------------------------------------
+# Wave 57 — unique-column-combination (key) discovery.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_ucc_discovery",
+    """
+    WITH checks AS (
+      SELECT 'orders(o_orderkey)' AS ucc,
+             (SELECT COUNT(*) FROM orders) AS n_rows,
+             (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct
+      UNION ALL
+      SELECT 'customer(c_name)',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(DISTINCT c_name) FROM customer)
+      UNION ALL
+      SELECT 'lineitem(l_orderkey)',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
+      UNION ALL
+      SELECT 'lineitem(l_orderkey,l_linenumber)',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM (
+                SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+    )
+    SELECT ucc, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_rows - n_distinct AS BIGINT) AS n_duplicated,
+           CASE WHEN n_rows = n_distinct THEN 'KEY'
+                WHEN (n_rows - n_distinct) * 100 < n_rows THEN 'NEAR_KEY'
+                ELSE 'NOT_KEY' END AS verdict
+    FROM checks
+    """,
+)
+def a_ucc_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-column-combination (candidate-key) discovery — the third leg
+    of the profiling trio with a_fd_discovery and a_ind_discovery (keys,
+    dependencies, and join edges together recover a schema from raw
+    parquet): a combination is a KEY iff distinct count equals row count.
+    The single-column lineitem check fails (6 lines per order) while the
+    (orderkey, linenumber) pair passes — exactly the compound-key shape
+    profilers must try after singles fail. Each check is one
+    count-distinct aggregate; near-keys (< 1% duplicated) are flagged
+    separately because they're usually a dirty key, not a non-key."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def check(name, df, cols):
+        n_rows = df.agg(F.count(F.lit(1)).alias("n_rows"))
+        n_dist = df.select(*cols).distinct().agg(
+            F.count(F.lit(1)).alias("n_distinct")
+        )
+        return n_rows.crossJoin(F.broadcast(n_dist)).select(
+            F.lit(name).alias("ucc"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct")).alias("n_duplicated"),
+            F.when(F.col("n_rows") == F.col("n_distinct"), F.lit("KEY"))
+            .when(
+                (F.col("n_rows") - F.col("n_distinct")) * 100 < F.col("n_rows"),
+                F.lit("NEAR_KEY"),
+            )
+            .otherwise(F.lit("NOT_KEY"))
+            .alias("verdict"),
+        )
+
+    out = check("orders(o_orderkey)", orders, ["o_orderkey"])
+    for args in [
+        ("customer(c_name)", cust, ["c_name"]),
+        ("lineitem(l_orderkey)", li, ["l_orderkey"]),
+        (
+            "lineitem(l_orderkey,l_linenumber)",
+            li,
+            ["l_orderkey", "l_linenumber"],
+        ),
+    ]:
+        out = out.unionByName(check(*args))
+    return out

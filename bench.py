@@ -263,6 +263,7 @@ HEADLINE = [
     "a_fd_discovery",
     "a_ind_discovery",
     "a_ucc_discovery",
+    "a_od_discovery",
 ]
 
 

@@ -15919,3 +15919,102 @@ def a_ucc_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         out = out.unionByName(check(*args))
     return out
+
+# ---------------------------------------------------------------------------
+# Wave 58 — order-dependency discovery (the fourth profiling class).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_od_discovery",
+    """
+    WITH c1 AS (
+      SELECT 'lineitem: qty->extprice within part' AS od,
+             l_partkey AS grp,
+             l_quantity AS x, l_extendedprice AS y,
+             l_orderkey * 10 + l_linenumber AS tie
+      FROM lineitem
+    ),
+    c2 AS (
+      SELECT 'orders: orderdate->orderkey global' AS od,
+             CAST(0 AS BIGINT) AS grp,
+             CAST(epoch(o_orderdate) AS DOUBLE) AS x,
+             CAST(o_orderkey AS DOUBLE) AS y,
+             o_orderkey AS tie
+      FROM orders
+    ),
+    cands AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+    lagged AS (
+      SELECT od, grp, y,
+             LAG(y) OVER (PARTITION BY od, grp ORDER BY x, tie) AS prev_y
+      FROM cands
+    )
+    SELECT od,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs_checked,
+           CAST(SUM(CASE WHEN prev_y IS NOT NULL AND y < prev_y
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           ROUND(1.0 - SUM(CASE WHEN prev_y IS NOT NULL AND y < prev_y
+                                THEN 1.0 ELSE 0 END)
+                 / NULLIF(SUM(CASE WHEN prev_y IS NOT NULL THEN 1 ELSE 0 END), 0), 6)
+             AS od_strength,
+           CASE WHEN SUM(CASE WHEN prev_y IS NOT NULL AND y < prev_y
+                              THEN 1 ELSE 0 END) = 0 THEN 'EXACT_OD'
+                ELSE 'NOT_OD' END AS verdict
+    FROM lagged GROUP BY od
+    """,
+)
+def a_od_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-dependency discovery — the fourth profiling class after keys
+    (UCC), dependencies (FD), and join edges (IND): does sorting by X also
+    sort Y? Checked by ONE lag window per candidate over (group, X-order):
+    any adjacent descent in Y is a violation (adjacent checks are
+    sufficient — a sorted sequence is exactly one with no adjacent
+    inversion). Within-part quantity→extended-price holds (price is
+    quantity-linear per part: an exact OD the optimizer could exploit for
+    interesting orders); global orderdate→orderkey is the
+    'are ids time-ordered' check every incremental pipeline wants to know
+    about its source."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    c1 = li.select(
+        F.lit("lineitem: qty->extprice within part").alias("od"),
+        F.col("l_partkey").alias("grp"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tie"),
+    )
+    c2 = orders.select(
+        F.lit("orders: orderdate->orderkey global").alias("od"),
+        F.lit(0).cast("long").alias("grp"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).cast("double").alias("x"),
+        F.col("o_orderkey").cast("double").alias("y"),
+        F.col("o_orderkey").alias("tie"),
+    )
+    cands = c1.unionByName(c2)
+    w = Window.partitionBy("od", "grp").orderBy("x", "tie")
+    lagged = cands.select(
+        "od", "y", F.lag("y").over(w).alias("prev_y")
+    )
+    viol = F.sum(
+        F.when(F.col("prev_y").isNotNull() & (F.col("y") < F.col("prev_y")), 1)
+        .otherwise(0)
+    )
+    checked = F.sum(F.when(F.col("prev_y").isNotNull(), 1).otherwise(0))
+    return lagged.groupBy("od").agg(
+        F.count(F.lit(1)).alias("n_pairs_checked"),
+        viol.alias("n_violations"),
+        F.round(
+            1.0
+            - F.sum(
+                F.when(
+                    F.col("prev_y").isNotNull() & (F.col("y") < F.col("prev_y")),
+                    F.lit(1.0),
+                ).otherwise(0)
+            )
+            / F.nullif(checked.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("od_strength"),
+        F.when(viol == 0, F.lit("EXACT_OD"))
+        .otherwise(F.lit("NOT_OD"))
+        .alias("verdict"),
+    )

@@ -264,6 +264,7 @@ HEADLINE = [
     "a_ind_discovery",
     "a_ucc_discovery",
     "a_od_discovery",
+    "w_p_chart",
 ]
 
 

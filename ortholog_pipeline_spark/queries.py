@@ -16018,3 +16018,66 @@ def a_od_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("NOT_OD"))
         .alias("verdict"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 59 — attribute control chart (p-chart for proportions).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_p_chart",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_err
+      FROM events GROUP BY 1
+    ),
+    pooled AS (
+      SELECT SUM(n_err) * 1.0 / SUM(n) AS pbar FROM daily
+    )
+    SELECT d, n, n_err,
+           ROUND(n_err * 1.0 / n, 6) AS p_obs,
+           ROUND(pbar + 3 * SQRT(pbar * (1 - pbar) / n), 6) AS ucl,
+           ROUND(GREATEST(0, pbar - 3 * SQRT(pbar * (1 - pbar) / n)), 6) AS lcl,
+           CASE WHEN n_err * 1.0 / n > pbar + 3 * SQRT(pbar * (1 - pbar) / n)
+                  OR n_err * 1.0 / n < pbar - 3 * SQRT(pbar * (1 - pbar) / n)
+                THEN 'OUT_OF_CONTROL' ELSE 'IN_CONTROL' END AS signal
+    FROM daily, pooled
+    """,
+)
+def w_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart (attribute control chart) for the daily error RATE: unlike
+    the XmR individuals chart, the p-chart's limits vary PER DAY with the
+    sample size (p̄ ± 3√(p̄(1−p̄)/nᵢ)) — a 2% error rate is an incident on
+    a 10k-event day and noise on a 40-event day, and the chart knows the
+    difference. Emits only out-of-control days with their day-specific
+    limits. One rollup + one pooled-rate broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_err"
+        ),
+    )
+    pooled = daily.agg(
+        (F.sum("n_err") * 1.0 / F.sum("n")).alias("pbar")
+    )
+    j = daily.crossJoin(F.broadcast(pooled))
+    se = F.sqrt(F.col("pbar") * (1 - F.col("pbar")) / F.col("n"))
+    p_obs = F.col("n_err") * 1.0 / F.col("n")
+    out_of_control = (p_obs > F.col("pbar") + 3 * se) | (
+        p_obs < F.col("pbar") - 3 * se
+    )
+    return j.select(
+        "d",
+        "n",
+        "n_err",
+        F.round(p_obs, 6).alias("p_obs"),
+        F.round(F.col("pbar") + 3 * se, 6).alias("ucl"),
+        F.round(F.greatest(F.lit(0.0), F.col("pbar") - 3 * se), 6).alias("lcl"),
+        F.when(out_of_control, F.lit("OUT_OF_CONTROL"))
+        .otherwise(F.lit("IN_CONTROL"))
+        .alias("signal"),
+    )

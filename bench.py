@@ -265,6 +265,7 @@ HEADLINE = [
     "a_ucc_discovery",
     "a_od_discovery",
     "w_p_chart",
+    "a_variance_ratio_test",
 ]
 
 

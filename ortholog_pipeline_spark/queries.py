@@ -16081,3 +16081,78 @@ def w_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("IN_CONTROL"))
         .alias("signal"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 60 — variance-ratio drift test.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_variance_ratio_test",
+    """
+    WITH halves AS (
+      SELECT CASE WHEN EXTRACT(year FROM o_orderdate) <= 1997
+                  THEN 'early' ELSE 'late' END AS half,
+             o_totalprice AS x
+      FROM orders
+    ),
+    stats AS (
+      SELECT half, VAR_SAMP(x) AS v, CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(x) AS m
+      FROM halves GROUP BY half
+    )
+    SELECT ROUND(MAX(CASE WHEN half = 'late' THEN v END)
+                 / MAX(CASE WHEN half = 'early' THEN v END), 6) AS var_ratio,
+           ROUND(MAX(CASE WHEN half = 'late' THEN m END)
+                 - MAX(CASE WHEN half = 'early' THEN m END), 4) AS mean_shift,
+           CAST(MAX(CASE WHEN half = 'early' THEN n END) AS BIGINT) AS n_early,
+           CAST(MAX(CASE WHEN half = 'late' THEN n END) AS BIGINT) AS n_late,
+           CASE WHEN MAX(CASE WHEN half = 'late' THEN v END)
+                     / MAX(CASE WHEN half = 'early' THEN v END)
+                     BETWEEN 1.0 / 1.5 AND 1.5
+                THEN 'STABLE' ELSE 'VARIANCE_DRIFT' END AS verdict
+    FROM stats
+    """,
+)
+def a_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-ratio (F-style) drift test between the early and late
+    halves of the order history — the drift dimension the rest of the
+    family misses: PSI and KS see distribution shape, Welch sees the mean,
+    but a variance DOUBLING with a stable mean (volatility regime change)
+    passes all three at low power and breaks every fixed-width model
+    downstream. Both halves' moments come from ONE conditional aggregate;
+    the 1.5x band is the practical flag (exact F critical values need a
+    CDF no engine ships portably — at n in the thousands the band is far
+    outside any plausible null)."""
+    orders = _t(spark, sf_dir, "orders")
+    halves = orders.select(
+        F.when(F.year("o_orderdate") <= 1997, "early").otherwise("late").alias(
+            "half"
+        ),
+        F.col("o_totalprice").alias("x"),
+    )
+    stats = halves.groupBy("half").agg(
+        F.var_samp("x").alias("v"),
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("m"),
+    )
+    late_v = F.max(F.when(F.col("half") == "late", F.col("v")))
+    early_v = F.max(F.when(F.col("half") == "early", F.col("v")))
+    ratio = late_v / early_v
+    return stats.agg(
+        F.round(ratio, 6).alias("var_ratio"),
+        F.round(
+            F.max(F.when(F.col("half") == "late", F.col("m")))
+            - F.max(F.when(F.col("half") == "early", F.col("m"))),
+            4,
+        ).alias("mean_shift"),
+        F.max(F.when(F.col("half") == "early", F.col("n")))
+        .cast("long")
+        .alias("n_early"),
+        F.max(F.when(F.col("half") == "late", F.col("n")))
+        .cast("long")
+        .alias("n_late"),
+        F.when((ratio >= 1.0 / 1.5) & (ratio <= 1.5), F.lit("STABLE"))
+        .otherwise(F.lit("VARIANCE_DRIFT"))
+        .alias("verdict"),
+    )

@@ -266,6 +266,9 @@ HEADLINE = [
     "a_od_discovery",
     "w_p_chart",
     "a_variance_ratio_test",
+    # round-2 wave 61: revenue bridge, segment migration
+    "a_price_volume_mix",
+    "a_segment_migration",
 ]
 
 

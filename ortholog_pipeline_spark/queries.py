@@ -16156,3 +16156,140 @@ def a_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("VARIANCE_DRIFT"))
         .alias("verdict"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 61 — revenue bridge (price/volume/mix decomposition) and segment
+# migration.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_price_volume_mix",
+    """
+    WITH yearly AS (
+      SELECT l_partkey, EXTRACT(year FROM l_shipdate) AS yr,
+             SUM(l_extendedprice) / SUM(l_quantity) AS price,
+             SUM(l_quantity) AS qty,
+             SUM(l_extendedprice) AS rev
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) IN (1996, 2000) AND l_quantity > 0
+      GROUP BY 1, 2
+    ),
+    matched AS (
+      SELECT b.l_partkey, b.price AS p0, b.qty AS q0, c.price AS p1, c.qty AS q1
+      FROM (SELECT * FROM yearly WHERE yr = 1996) b
+      JOIN (SELECT * FROM yearly WHERE yr = 2000) c USING (l_partkey)
+    )
+    SELECT ROUND(SUM(p1 * q1 - p0 * q0), 2) AS total_change,
+           ROUND(SUM((q1 - q0) * p0), 2) AS volume_effect,
+           ROUND(SUM((p1 - p0) * q0), 2) AS price_effect,
+           ROUND(SUM((p1 - p0) * (q1 - q0)), 2) AS mix_effect,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_parts
+    FROM matched
+    """,
+)
+def a_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge: the change in matched-part revenue between two years
+    decomposed into volume (Δq at old prices), price (Δp at old volumes),
+    and the joint/mix cross term — volume + price + mix = total EXACTLY
+    (the additivity every FP&A bridge must satisfy; it's checked by
+    construction here because the three terms are an algebraic identity).
+    Same matched-basket frame as the price-index query, one decomposition
+    fold. This is 'why did revenue move' as a query, not a spreadsheet."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1996, 2000) & (F.col("l_quantity") > 0)
+    )
+    yearly = li.groupBy("l_partkey", F.year("l_shipdate").alias("yr")).agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("price"),
+        F.sum("l_quantity").alias("qty"),
+    )
+    base = yearly.filter(F.col("yr") == 1996).select(
+        "l_partkey", F.col("price").alias("p0"), F.col("qty").alias("q0")
+    )
+    cur = yearly.filter(F.col("yr") == 2000).select(
+        "l_partkey", F.col("price").alias("p1"), F.col("qty").alias("q1")
+    )
+    matched = base.join(cur, "l_partkey")
+    return matched.agg(
+        F.round(
+            F.sum(F.col("p1") * F.col("q1") - F.col("p0") * F.col("q0")), 2
+        ).alias("total_change"),
+        F.round(F.sum((F.col("q1") - F.col("q0")) * F.col("p0")), 2).alias(
+            "volume_effect"
+        ),
+        F.round(F.sum((F.col("p1") - F.col("p0")) * F.col("q0")), 2).alias(
+            "price_effect"
+        ),
+        F.round(
+            F.sum((F.col("p1") - F.col("p0")) * (F.col("q1") - F.col("q0"))), 2
+        ).alias("mix_effect"),
+        F.count(F.lit(1)).alias("n_matched_parts"),
+    )
+
+
+@register(
+    "a_segment_migration",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CASE WHEN EXTRACT(year FROM o_orderdate) <= 1997 THEN 'early'
+                  ELSE 'late' END AS period,
+             CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    classed AS (
+      SELECT o_custkey, period,
+             CASE WHEN cents >= 200000000 THEN 'high'
+                  WHEN cents >= 50000000 THEN 'mid'
+                  ELSE 'low' END AS seg
+      FROM spend
+    ),
+    wide AS (
+      SELECT COALESCE(e.o_custkey, l.o_custkey) AS custkey,
+             COALESCE(e.seg, 'none') AS seg_early,
+             COALESCE(l.seg, 'none') AS seg_late
+      FROM (SELECT * FROM classed WHERE period = 'early') e
+      FULL OUTER JOIN (SELECT * FROM classed WHERE period = 'late') l
+        ON e.o_custkey = l.o_custkey
+    )
+    SELECT seg_early, seg_late, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM wide GROUP BY seg_early, seg_late
+    """,
+)
+def a_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment migration matrix: customers classified into fixed spend
+    bands in an early and a late period, cross-tabulated — who upgraded,
+    who lapsed ('none' = absent that period, which only a FULL OUTER join
+    can say; an inner join silently drops exactly the churn and
+    acquisition cells the matrix exists to show). Fixed band boundaries
+    (not quantiles) so the classes mean the same thing in both periods.
+    One conditional aggregate, one self full-outer on the customer key,
+    one 16-cell count."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy(
+        "o_custkey",
+        F.when(F.year("o_orderdate") <= 1997, "early").otherwise("late").alias(
+            "period"
+        ),
+    ).agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
+    seg = (
+        F.when(F.col("cents") >= 200000000, "high")
+        .when(F.col("cents") >= 50000000, "mid")
+        .otherwise("low")
+    )
+    classed = spend.select("o_custkey", "period", seg.alias("seg"))
+    early = classed.filter(F.col("period") == "early").select(
+        F.col("o_custkey").alias("ck_e"), F.col("seg").alias("seg_early")
+    )
+    late = classed.filter(F.col("period") == "late").select(
+        F.col("o_custkey").alias("ck_l"), F.col("seg").alias("seg_late")
+    )
+    wide = early.join(
+        late, early["ck_e"] == late["ck_l"], "full_outer"
+    ).select(
+        F.coalesce(F.col("seg_early"), F.lit("none")).alias("seg_early"),
+        F.coalesce(F.col("seg_late"), F.lit("none")).alias("seg_late"),
+    )
+    return wide.groupBy("seg_early", "seg_late").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

@@ -269,6 +269,7 @@ HEADLINE = [
     # round-2 wave 61: revenue bridge, segment migration
     "a_price_volume_mix",
     "a_segment_migration",
+    "er_blocking_quality",
 ]
 
 

@@ -16293,3 +16293,109 @@ def a_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.groupBy("seg_early", "seg_late").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+# ---------------------------------------------------------------------------
+# Wave 62 — blocking-quality evaluation for entity resolution.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "er_blocking_quality",
+    """
+    WITH sample_c AS (
+      SELECT c_custkey, c_name, c_nationkey FROM customer
+      WHERE c_custkey % 10 = 0
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sample_c),
+    truth AS (
+      SELECT a.c_custkey AS u, b.c_custkey AS v
+      FROM sample_c a JOIN sample_c b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    blocked AS (
+      SELECT a.c_custkey AS u, b.c_custkey AS v
+      FROM sample_c a JOIN sample_c b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    ),
+    found AS (
+      SELECT t.u, t.v FROM truth t
+      JOIN blocked bl ON t.u = bl.u AND t.v = bl.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM blocked) AS BIGINT) AS n_candidate_pairs,
+           CAST((SELECT n * (n - 1) / 2 FROM n) AS BIGINT) AS n_all_pairs,
+           ROUND(1.0 - (SELECT COUNT(*) FROM blocked) * 1.0
+                 / (SELECT n * (n - 1) / 2 FROM n), 6) AS reduction_ratio,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_matches,
+           CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found_matches,
+           ROUND((SELECT COUNT(*) FROM found) * 1.0
+                 / NULLIF((SELECT COUNT(*) FROM truth), 0), 6)
+             AS pairs_completeness
+    """,
+)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation — the two numbers every ER blocking
+    scheme is judged on: REDUCTION RATIO (what fraction of the quadratic
+    pair space the blocking avoided) and PAIRS COMPLETENESS (what fraction
+    of true matches survive inside blocks). Ground truth is exhaustive
+    levenshtein ≤ 1 on a deterministic 10% sample (the audit-on-a-sample
+    pattern the LSH scorecard uses — exhaustive truth is affordable
+    exactly because it's sampled); the scheme under test is the nation
+    blocking the ER pipeline actually uses. RR without PC rewards
+    over-aggressive blocking; reporting both is the point."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 == 0
+    ).select("c_custkey", "c_name", "c_nationkey").persist()
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    a = cust.select(
+        F.col("c_custkey").alias("u"),
+        F.col("c_name").alias("name_u"),
+        F.col("c_nationkey").alias("nat_u"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("v"),
+        F.col("c_name").alias("name_v"),
+        F.col("c_nationkey").alias("nat_v"),
+    )
+    truth = (
+        a.crossJoin(b)
+        .filter(
+            (F.col("u") < F.col("v"))
+            & (F.levenshtein("name_u", "name_v") <= 1)
+        )
+        .select("u", "v")
+        .persist()
+    )
+    blocked = (
+        a.join(b, F.col("nat_u") == F.col("nat_v"))
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .persist()
+    )
+    found = truth.join(blocked, ["u", "v"])
+    nc = blocked.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true_matches"))
+    nf = found.agg(F.count(F.lit(1)).alias("n_found_matches"))
+    return (
+        nc.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "n_candidate_pairs",
+            (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_all_pairs"),
+            F.round(
+                1.0
+                - F.col("n_candidate_pairs")
+                * 1.0
+                / (F.col("n") * (F.col("n") - 1) / 2),
+                6,
+            ).alias("reduction_ratio"),
+            "n_true_matches",
+            "n_found_matches",
+            F.round(
+                F.col("n_found_matches")
+                * 1.0
+                / F.nullif(F.col("n_true_matches").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("pairs_completeness"),
+        )
+    )

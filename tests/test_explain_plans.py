@@ -639,7 +639,13 @@ def test_no_undeclared_cartesian_products(spark):
     regression this net exists to catch. (BroadcastNestedLoopJoins of
     1-row statistic frames are legitimate and not flagged here; the
     specific big-side BNL hazards have their own pins above.)"""
-    ALLOWED = {"dedup_embedding_cosine", "ngram_jaccard_pairs"}
+    # the three declared exhaustive baselines: two brute-force dedup
+    # references and the sampled ground-truth pass of the blocking audit
+    ALLOWED = {
+        "dedup_embedding_cosine",
+        "ngram_jaccard_pairs",
+        "er_blocking_quality",
+    }
     offenders = []
     for name, fn in sorted(Q.queries().items()):
         df = fn(spark, SF)

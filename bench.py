@@ -270,6 +270,7 @@ HEADLINE = [
     "a_price_volume_mix",
     "a_segment_migration",
     "er_blocking_quality",
+    "j_bm25_search",
 ]
 
 

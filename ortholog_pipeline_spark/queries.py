@@ -16399,3 +16399,100 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pairs_completeness"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 63 — BM25 ranked retrieval.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_bm25_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks GROUP BY doc_id, tok
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(len) AS avgdl FROM dl
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+      WHERE tok IN ('window', 'merge') GROUP BY tok
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(LN(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * tf.f * 2.2
+                 / (tf.f + 1.2 * (0.25 + 0.75 * dl.len / stats.avgdl)))
+               AS bm25
+      FROM tf
+      JOIN df ON tf.tok = df.tok
+      JOIN dl ON tf.doc_id = dl.doc_id, stats
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(ROUND(bm25 * 1000000) AS BIGINT) DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, ROUND(bm25, 6) AS bm25_score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def j_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for the query {window, merge}: the IR-standard
+    scoring the inverted index + TF-IDF queries stop short of — term
+    frequency SATURATES (k₁ = 1.2: the 10th occurrence adds almost
+    nothing, unlike raw TF-IDF) and long documents are penalized toward
+    the average length (b = 0.75). The IDF is the Robertson-Sparck-Jones
+    form. Per-term postings join against the 2-row query-term df table
+    (broadcast); doc-length norms join from the length table; top-10 by
+    integer-snapped score. The same plan serves any query size — the df
+    frame is |query terms| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    ).persist()
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avgdl")
+    )
+    df_t = (
+        tf.filter(F.col("tok").isin("window", "merge"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    k1, b = 1.2, 0.75
+    denom = F.col("f") + k1 * (1 - b + b * F.col("len") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("f") * (k1 + 1) / denom).alias("bm25"))
+    )
+    w = Window.orderBy(
+        F.round(F.col("bm25") * 1000000).cast("long").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "doc_id",
+            F.round("bm25", 6).alias("bm25_score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -271,6 +271,9 @@ HEADLINE = [
     "a_segment_migration",
     "er_blocking_quality",
     "j_bm25_search",
+    # round-2 wave 64: association rules, interrupted time series
+    "a_association_rules",
+    "w_interrupted_ts",
 ]
 
 

@@ -16496,3 +16496,198 @@ def j_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 64 — association-rule metrics and interrupted time-series analysis.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_association_rules",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey % 200 AS item
+      FROM lineitem
+    ),
+    n_baskets AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS nb FROM baskets),
+    item_n AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM baskets GROUP BY item),
+    pair_n AS (
+      SELECT a.item AS x, b.item AS y, CAST(COUNT(*) AS BIGINT) AS nxy
+      FROM baskets a JOIN baskets b ON a.basket = b.basket AND a.item <> b.item
+      GROUP BY a.item, b.item
+    ),
+    rules AS (
+      SELECT p.x, p.y, p.nxy, ix.n AS nx, iy.n AS ny, nb.nb,
+             p.nxy * 1.0 / ix.n AS confidence,
+             p.nxy * 1.0 / nb.nb AS support,
+             (p.nxy * 1.0 / nb.nb) - (ix.n * 1.0 / nb.nb) * (iy.n * 1.0 / nb.nb)
+               AS leverage
+      FROM pair_n p
+      JOIN item_n ix ON p.x = ix.item JOIN item_n iy ON p.y = iy.item, n_baskets nb
+      WHERE p.nxy >= 10
+    ),
+    ranked AS (
+      SELECT x, y, nxy, confidence, support, leverage,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(ROUND(confidence * 1000000) AS BIGINT) DESC, x, y)
+               AS rn
+      FROM rules
+    )
+    SELECT x AS antecedent, y AS consequent, nxy AS n_cobaskets,
+           ROUND(confidence, 6) AS confidence,
+           ROUND(support, 6) AS support,
+           ROUND(leverage, 6) AS leverage
+    FROM ranked WHERE rn <= 15
+    """,
+)
+def a_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules X→Y with the full metric set — support
+    (how often), CONFIDENCE (P(Y|X): the direction lift can't express —
+    lift is symmetric, confidence is not, and 'diapers→beer' ≠
+    'beer→diapers' is the whole point), and leverage (co-occurrence above
+    independence). Basket-bounded pair join (the j_cooccurrence_lift
+    shape), a support floor before ranking (confidence on 3 baskets is
+    noise), top-15 by integer-snapped confidence."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 200).alias("item"),
+    ).distinct().persist()
+    nb = baskets.agg(F.countDistinct("basket").alias("nb"))
+    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.select("basket", F.col("item").alias("x"))
+    b = baskets.select("basket", F.col("item").alias("y"))
+    pair_n = (
+        a.join(b, "basket")
+        .filter(F.col("x") != F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        .filter(F.col("nxy") >= 10)
+    )
+    ix = item_n.select(F.col("item").alias("x"), F.col("n").alias("nx"))
+    iy = item_n.select(F.col("item").alias("y"), F.col("n").alias("ny"))
+    rules = (
+        pair_n.join(F.broadcast(ix), "x")
+        .join(F.broadcast(iy), "y")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "x",
+            "y",
+            "nxy",
+            (F.col("nxy") * 1.0 / F.col("nx")).alias("confidence"),
+            (F.col("nxy") * 1.0 / F.col("nb")).alias("support"),
+            (
+                F.col("nxy") * 1.0 / F.col("nb")
+                - (F.col("nx") * 1.0 / F.col("nb"))
+                * (F.col("ny") * 1.0 / F.col("nb"))
+            ).alias("leverage"),
+        )
+    )
+    w = Window.orderBy(
+        F.round(F.col("confidence") * 1000000).cast("long").desc(), "x", "y"
+    )
+    return (
+        rules.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            F.col("nxy").alias("n_cobaskets"),
+            F.round("confidence", 6).alias("confidence"),
+            F.round("support", 6).alias("support"),
+            F.round("leverage", 6).alias("leverage"),
+        )
+    )
+
+
+@register(
+    "w_interrupted_ts",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             DATE_DIFF('day', DATE '1998-01-01', CAST(l_shipdate AS DATE)) AS t,
+             CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+                  THEN 'post' ELSE 'pre' END AS seg,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               / 100.0 AS y
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    fits AS (
+      SELECT seg, COUNT(*) AS n, SUM(t) AS sx, SUM(y) AS sy,
+             SUM(t * CAST(t AS DOUBLE)) AS sxx, SUM(t * y) AS sxy
+      FROM daily GROUP BY seg
+    ),
+    params AS (
+      SELECT seg,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n
+               AS intercept,
+             CAST(n AS BIGINT) AS n_days
+      FROM fits
+    )
+    SELECT ROUND(MAX(CASE WHEN seg = 'pre' THEN intercept END), 4)
+             AS pre_level_at_t0,
+           ROUND(MAX(CASE WHEN seg = 'post' THEN intercept END), 4)
+             AS post_level_at_t0,
+           ROUND(MAX(CASE WHEN seg = 'post' THEN intercept END)
+                 - MAX(CASE WHEN seg = 'pre' THEN intercept END), 4)
+             AS level_change,
+           ROUND(MAX(CASE WHEN seg = 'pre' THEN slope END), 6) AS pre_slope,
+           ROUND(MAX(CASE WHEN seg = 'post' THEN slope END), 6) AS post_slope,
+           ROUND(MAX(CASE WHEN seg = 'post' THEN slope END)
+                 - MAX(CASE WHEN seg = 'pre' THEN slope END), 6) AS slope_change
+    FROM params
+    """,
+)
+def w_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series analysis around the 1998-01-01 boundary:
+    fit each segment's level and trend by closed-form OLS with time
+    CENTERED AT THE INTERVENTION (so both intercepts are the fitted value
+    AT the boundary and their difference is the immediate level jump —
+    uncentered intercepts would compare extrapolations to day zero of the
+    epoch, a classic ITS bug), and report level change + slope change —
+    the two causal quantities an ITS estimates. One rollup, one per-segment
+    moment fold."""
+    li = _t(spark, sf_dir, "lineitem")
+    t0 = F.lit("1998-01-01").cast("date")
+    daily = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        (
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            ).cast("long")
+            / 100.0
+        ).alias("y")
+    ).select(
+        F.datediff(F.col("d"), t0).cast("double").alias("t"),
+        F.when(F.col("d") >= t0, "post").otherwise("pre").alias("seg"),
+        "y",
+    )
+    fits = daily.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+        F.sum(F.col("t") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    params = fits.select(
+        "seg",
+        slope.alias("slope"),
+        ((F.col("sy") - F.col("sx") * slope) / F.col("n")).alias("intercept"),
+    )
+    pre_i = F.max(F.when(F.col("seg") == "pre", F.col("intercept")))
+    post_i = F.max(F.when(F.col("seg") == "post", F.col("intercept")))
+    pre_s = F.max(F.when(F.col("seg") == "pre", F.col("slope")))
+    post_s = F.max(F.when(F.col("seg") == "post", F.col("slope")))
+    return params.agg(
+        F.round(pre_i, 4).alias("pre_level_at_t0"),
+        F.round(post_i, 4).alias("post_level_at_t0"),
+        F.round(post_i - pre_i, 4).alias("level_change"),
+        F.round(pre_s, 6).alias("pre_slope"),
+        F.round(post_s, 6).alias("post_slope"),
+        F.round(post_s - pre_s, 6).alias("slope_change"),
+    )

@@ -274,6 +274,7 @@ HEADLINE = [
     # round-2 wave 64: association rules, interrupted time series
     "a_association_rules",
     "w_interrupted_ts",
+    "w_runs_test",
 ]
 
 

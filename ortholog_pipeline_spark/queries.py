@@ -16691,3 +16691,123 @@ def w_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(post_s, 6).alias("post_slope"),
         F.round(post_s - pre_s, 6).alias("slope_change"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 65 — runs test (Wald–Wolfowitz) for sequence randomness.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_runs_test",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    med AS (
+      SELECT cents AS m FROM (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, d) AS rn,
+               COUNT(*) OVER () AS n
+        FROM daily
+      ) WHERE rn = (n + 1) // 2
+    ),
+    signed AS (
+      SELECT d, CASE WHEN cents > med.m THEN 1 ELSE 0 END AS up
+      FROM daily, med WHERE cents <> med.m
+    ),
+    runs AS (
+      SELECT up,
+             CASE WHEN LAG(up) OVER (ORDER BY d) IS NULL
+                    OR LAG(up) OVER (ORDER BY d) <> up
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signed
+    ),
+    agg AS (
+      SELECT CAST(SUM(new_run) AS BIGINT) AS r,
+             CAST(SUM(up) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(up) AS BIGINT) AS n2
+      FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2), 4) AS expected_runs,
+           ROUND((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 4) AS z,
+           CASE WHEN ABS((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))) > 1.96
+                THEN 'NON_RANDOM' ELSE 'CONSISTENT_WITH_RANDOM' END AS verdict
+    FROM agg
+    """,
+)
+def w_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the above/below-median daily revenue
+    sequence: too FEW runs means persistence (trending/regimes — ACF's
+    finding, confirmed nonparametrically), too MANY means oscillation.
+    The median split uses the exact rank-picked median (ties excluded, the
+    standard treatment); runs count from one lag window; the z-score
+    against E[R] = 1 + 2n₁n₂/n is closed-form. The randomness answer
+    decides whether time-series machinery is even warranted for a
+    series — the cheapest first question."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w_n = Window.orderBy("cents", "d")
+    wa = Window.partitionBy()
+    med = (
+        daily.select(
+            "cents",
+            F.row_number().over(w_n).alias("rn"),
+            F.count(F.lit(1)).over(wa).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("cents").alias("m"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("m"))
+        .select(
+            "d", F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("up")
+        )
+    )
+    w_d = Window.orderBy("d")
+    runs = signed.select(
+        "up",
+        F.when(
+            F.lag("up").over(w_d).isNull()
+            | (F.lag("up").over(w_d) != F.col("up")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").alias("r"),
+        F.sum("up").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("up")).alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    er = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    vr = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    z = (r - er) / F.sqrt(vr)
+    return agg.select(
+        r.alias("n_runs"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        F.round(er, 4).alias("expected_runs"),
+        F.round(z, 4).alias("z"),
+        F.when(F.abs(z) > 1.96, F.lit("NON_RANDOM"))
+        .otherwise(F.lit("CONSISTENT_WITH_RANDOM"))
+        .alias("verdict"),
+    )

@@ -275,6 +275,9 @@ HEADLINE = [
     "a_association_rules",
     "w_interrupted_ts",
     "w_runs_test",
+    # round-2 wave 66: knapsack selection, newsvendor quantile
+    "a_budget_knapsack",
+    "a_newsvendor_quantile",
 ]
 
 

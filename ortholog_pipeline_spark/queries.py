@@ -16811,3 +16811,153 @@ def w_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("CONSISTENT_WITH_RANDOM"))
         .alias("verdict"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 66 — budgeted selection (fractional knapsack) and newsvendor
+# critical-fractile stocking.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_budget_knapsack",
+    """
+    WITH items AS (
+      SELECT p_partkey,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS value_cents,
+             CAST(p_size AS BIGINT) AS cost,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) * 1000 / p_size
+               AS density_milli
+      FROM part WHERE p_size > 0
+    ),
+    budget AS (SELECT CAST(FLOOR(SUM(cost) / 4.0) AS BIGINT) AS b FROM items),
+    ranked AS (
+      SELECT p_partkey, value_cents, cost, density_milli,
+             SUM(cost) OVER (ORDER BY density_milli DESC, p_partkey
+                             ROWS UNBOUNDED PRECEDING) AS cum_cost
+      FROM items
+    ),
+    taken AS (
+      SELECT r.* FROM ranked r, budget WHERE r.cum_cost <= budget.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_selected,
+           ROUND(SUM(value_cents) / 100.0, 2) AS total_value,
+           CAST(SUM(cost) AS BIGINT) AS total_cost,
+           CAST((SELECT b FROM budget) AS BIGINT) AS budget,
+           CAST(MIN(density_milli) AS BIGINT) AS marginal_density_milli
+    FROM taken
+    """,
+)
+def a_budget_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted selection as a greedy density knapsack: rank items by
+    value/cost density (exact integer milli-units), take the prefix that
+    fits 25% of total cost. Greedy-by-density is OPTIMAL for the
+    fractional relaxation and the standard scalable heuristic for the 0/1
+    case (the gap is at most one item); its dataflow is exactly the
+    cumulative-prefix shape used by shard packing and ABC classes — a
+    running-sum window over the ranked frame, distributed via the
+    range-partitioned prefix sum at scale. The marginal density is the
+    shadow price: what the next unit of budget would buy."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") > 0)
+    items = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("value_cents"),
+        F.col("p_size").cast("long").alias("cost"),
+        (
+            F.round(F.col("p_retailprice") * 100).cast("long")
+            * 1000
+            / F.col("p_size")
+        ).alias("density_milli"),
+    )
+    budget = items.agg(
+        F.floor(F.sum("cost") / 4.0).cast("long").alias("b")
+    )
+    w = Window.orderBy(F.col("density_milli").desc(), "p_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = items.select(
+        "p_partkey",
+        "value_cents",
+        "cost",
+        "density_milli",
+        F.sum("cost").over(w).alias("cum_cost"),
+    )
+    taken = ranked.crossJoin(F.broadcast(budget)).filter(
+        F.col("cum_cost") <= F.col("b")
+    )
+    return taken.agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.round(F.sum("value_cents") / 100.0, 2).alias("total_value"),
+        F.sum("cost").alias("total_cost"),
+        F.max("b").alias("budget"),
+        F.min("density_milli").cast("long").alias("marginal_density_milli"),
+    )
+
+
+@register(
+    "a_newsvendor_quantile",
+    """
+    WITH weekly AS (
+      SELECT l_returnflag,
+             DATE_DIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) // 7
+               AS wk,
+             CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS demand
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT l_returnflag, demand,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY demand, wk) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM weekly
+    )
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_weeks,
+           CAST(MIN(CASE WHEN rn = CAST(CEIL(0.8 * n) AS BIGINT)
+                         THEN demand END) AS BIGINT) AS order_up_to_q80,
+           CAST(MIN(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                         THEN demand END) AS BIGINT) AS median_demand,
+           ROUND(MIN(CASE WHEN rn = CAST(CEIL(0.8 * n) AS BIGINT)
+                          THEN demand END) * 1.0
+                 / MIN(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                            THEN demand END), 4) AS safety_multiplier
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def a_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking level: with underage cost 4x overage, the
+    critical fractile is 0.8 — the optimal order-up-to level is the 80th
+    percentile of weekly demand, NOT a mean-plus-buffer (the newsvendor
+    result: the optimal policy is a demand QUANTILE, which is why quantile
+    machinery matters to operations). Exact rank-picked q80 and median
+    per series; the safety multiplier (q80/median) is the interpretable
+    'how much above typical' knob planners sanity-check."""
+    li = _t(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_returnflag",
+        F.floor(
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")
+            )
+            / 7
+        ).alias("wk"),
+    ).agg(F.round(F.sum("l_quantity")).cast("long").alias("demand"))
+    w = Window.partitionBy("l_returnflag").orderBy("demand", "wk")
+    wp = Window.partitionBy("l_returnflag")
+    ranked = weekly.select(
+        "l_returnflag",
+        "demand",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    q80 = F.min(
+        F.when(F.col("rn") == F.ceil(0.8 * F.col("n")).cast("long"), F.col("demand"))
+    )
+    q50 = F.min(
+        F.when(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"), F.col("demand"))
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n_weeks"),
+        q80.cast("long").alias("order_up_to_q80"),
+        q50.cast("long").alias("median_demand"),
+        F.round(q80 * 1.0 / q50, 4).alias("safety_multiplier"),
+    )

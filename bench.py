@@ -278,6 +278,7 @@ HEADLINE = [
     # round-2 wave 66: knapsack selection, newsvendor quantile
     "a_budget_knapsack",
     "a_newsvendor_quantile",
+    "a_ab_proportions_z",
 ]
 
 

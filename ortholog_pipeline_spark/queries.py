@@ -16961,3 +16961,103 @@ def a_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         q50.cast("long").alias("median_demand"),
         F.round(q80 * 1.0 / q50, 4).alias("safety_multiplier"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 67 — two-proportion experiment readout (z, risk ratio, odds ratio).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_ab_proportions_z",
+    """
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 360
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS k
+      FROM users GROUP BY arm
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 'control' THEN n END) AS n1,
+             MAX(CASE WHEN arm = 'control' THEN k END) AS k1,
+             MAX(CASE WHEN arm = 'treatment' THEN n END) AS n2,
+             MAX(CASE WHEN arm = 'treatment' THEN k END) AS k2
+      FROM cells
+    )
+    SELECT ROUND(k1 * 1.0 / n1, 6) AS p_control,
+           ROUND(k2 * 1.0 / n2, 6) AS p_treatment,
+           ROUND((k2 * 1.0 / n2 - k1 * 1.0 / n1)
+                 / NULLIF(SQRT(((k1 + k2) * 1.0 / (n1 + n2))
+                               * (1 - (k1 + k2) * 1.0 / (n1 + n2))
+                               * (1.0 / n1 + 1.0 / n2)), 0), 4) AS z,
+           ROUND((k2 * 1.0 / n2) / NULLIF(k1 * 1.0 / n1, 0), 6) AS risk_ratio,
+           ROUND((k2 * 1.0 * (n1 - k1))
+                 / NULLIF(k1 * 1.0 * (n2 - k2), 0), 6) AS odds_ratio,
+           CAST(n1 AS BIGINT) AS n_control, CAST(n2 AS BIGINT) AS n_treatment
+    FROM wide
+    """,
+)
+def a_ab_proportions_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout on USER-level conversion (did the
+    user purchase at all — the binarization that fixes the
+    heavy-user-dominance bias of event-level rates; the bar is a
+    high-value purchase, value > 360, because EVERY user in this dense
+    synthetic stream purchases at least once): pooled-variance z,
+    plus the two effect sizes each audience wants — risk ratio
+    (product/medical framing: 'treatment converts 1.1x as often') and
+    odds ratio (the logistic-regression-compatible one). Same md5 arm
+    coin as a_ab_test_welch and a_srm_check, so the three queries read
+    the SAME experiment: mean effect, validity, and conversion effect."""
+    ev = _t(spark, sf_dir, "events")
+    arm = F.when(
+        F.pmod(
+            DD.hex_hash64(F.concat(F.lit("ab"), F.col("user_id").cast("string"))),
+            F.lit(2),
+        )
+        == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 360), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(arm.alias("arm"), "converted")
+    cells = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("k")
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "control", F.col("k"))).alias("k1"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("k"))).alias("k2"),
+    )
+    p1 = F.col("k1") * 1.0 / F.col("n1")
+    p2 = F.col("k2") * 1.0 / F.col("n2")
+    pp = (F.col("k1") + F.col("k2")) * 1.0 / (F.col("n1") + F.col("n2"))
+    z = (p2 - p1) / F.nullif(
+        F.sqrt(pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+        F.lit(0.0),
+    )
+    return wide.select(
+        F.round(p1, 6).alias("p_control"),
+        F.round(p2, 6).alias("p_treatment"),
+        F.round(z, 4).alias("z"),
+        F.round(p2 / F.nullif(p1, F.lit(0.0)), 6).alias("risk_ratio"),
+        F.round(
+            (F.col("k2") * 1.0 * (F.col("n1") - F.col("k1")))
+            / F.nullif(
+                F.col("k1") * 1.0 * (F.col("n2") - F.col("k2")), F.lit(0.0)
+            ),
+            6,
+        ).alias("odds_ratio"),
+        F.col("n1").cast("long").alias("n_control"),
+        F.col("n2").cast("long").alias("n_treatment"),
+    )

@@ -279,6 +279,9 @@ HEADLINE = [
     "a_budget_knapsack",
     "a_newsvendor_quantile",
     "a_ab_proportions_z",
+    # round-2 wave 68: process capability, JS divergence
+    "a_process_capability",
+    "text_js_divergence",
 ]
 
 

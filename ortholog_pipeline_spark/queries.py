@@ -17061,3 +17061,125 @@ def a_ab_proportions_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("long").alias("n_control"),
         F.col("n2").cast("long").alias("n_treatment"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 68 — process capability (Cp/Cpk) and corpus divergence (Jensen-
+# Shannon).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_process_capability",
+    """
+    WITH s AS (
+      SELECT AVG(o_totalprice) AS mu, STDDEV_SAMP(o_totalprice) AS sd,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+    )
+    SELECT ROUND(mu, 4) AS mean,
+           ROUND(sd, 4) AS stddev,
+           ROUND((450000.0 - 50000.0) / (6 * sd), 6) AS cp,
+           ROUND(LEAST(450000.0 - mu, mu - 50000.0) / (3 * sd), 6) AS cpk,
+           ROUND((mu - 250000.0) / sd, 6) AS centering_z,
+           n
+    FROM s
+    """,
+)
+def a_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process capability indices against spec limits [50k, 450k]: Cp
+    (spread capability — could the process fit the specs if centered) and
+    Cpk (actual capability — penalized by off-centering; Cpk ≪ Cp means
+    'fix the mean, not the variance', the triage decision these two
+    numbers exist to make). Pairs with the control charts: charts detect
+    CHANGE, capability judges the steady state against requirements. One
+    1-row moment aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    s = orders.agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    usl, lsl = 450000.0, 50000.0
+    return s.select(
+        F.round("mu", 4).alias("mean"),
+        F.round("sd", 4).alias("stddev"),
+        F.round((usl - lsl) / (6 * F.col("sd")), 6).alias("cp"),
+        F.round(
+            F.least(usl - F.col("mu"), F.col("mu") - lsl) / (3 * F.col("sd")), 6
+        ).alias("cpk"),
+        F.round((F.col("mu") - (usl + lsl) / 2) / F.col("sd"), 6).alias(
+            "centering_z"
+        ),
+        "n",
+    )
+
+
+@register(
+    "text_js_divergence",
+    """
+    WITH toks AS (
+      SELECT CASE WHEN lang = 'en' THEN 'p' ELSE 'q' END AS side,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT tok,
+             SUM(CASE WHEN side = 'p' THEN 1 ELSE 0 END) AS np,
+             SUM(CASE WHEN side = 'q' THEN 1 ELSE 0 END) AS nq
+      FROM toks GROUP BY tok
+    ),
+    tots AS (SELECT SUM(np) AS tp, SUM(nq) AS tq FROM tf),
+    probs AS (
+      SELECT (np + 0.5) / (tp + 0.5 * (SELECT COUNT(*) FROM tf)) AS p,
+             (nq + 0.5) / (tq + 0.5 * (SELECT COUNT(*) FROM tf)) AS q
+      FROM tf, tots
+    )
+    SELECT ROUND(SUM(0.5 * p * LN(2 * p / (p + q))
+                     + 0.5 * q * LN(2 * q / (p + q))) / LN(2), 6) AS jsd_bits,
+           ROUND(SQRT(SUM(0.5 * p * LN(2 * p / (p + q))
+                          + 0.5 * q * LN(2 * q / (p + q))) / LN(2)), 6)
+             AS js_distance,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size
+    FROM probs
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the en and non-en term
+    distributions — KL's symmetric, bounded (≤ 1 bit), always-finite
+    cousin, and the standard single-number answer to 'how different are
+    these two corpora' (its square root is a true metric, reported
+    alongside). Laplace-smoothed term probabilities so no term zeroes the
+    log; the whole statistic folds from the (term, n_p, n_q) vocabulary
+    table. Complements a_psi_drift (numeric dists) and
+    text_distinctive_terms (which terms) with the corpus-level number."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.when(F.col("lang") == "en", "p").otherwise("q").alias("side"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("side") == "p", 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("side") == "q", 1).otherwise(0)).alias("nq"),
+    ).persist()
+    tots = tf.agg(
+        F.sum("np").alias("tp"),
+        F.sum("nq").alias("tq"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    probs = tf.crossJoin(F.broadcast(tots)).select(
+        ((F.col("np") + 0.5) / (F.col("tp") + 0.5 * F.col("v"))).alias("p"),
+        ((F.col("nq") + 0.5) / (F.col("tq") + 0.5 * F.col("v"))).alias("q"),
+    )
+    kl_term = 0.5 * F.col("p") * F.log(
+        2 * F.col("p") / (F.col("p") + F.col("q"))
+    ) + 0.5 * F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))
+    import math
+
+    jsd = F.sum(kl_term) / math.log(2)
+    return probs.agg(
+        F.round(jsd, 6).alias("jsd_bits"),
+        F.round(F.sqrt(jsd), 6).alias("js_distance"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )

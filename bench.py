@@ -282,6 +282,7 @@ HEADLINE = [
     # round-2 wave 68: process capability, JS divergence
     "a_process_capability",
     "text_js_divergence",
+    "a_pr_auc",
 ]
 
 

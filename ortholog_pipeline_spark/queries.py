@@ -17183,3 +17183,90 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(jsd), 6).alias("js_distance"),
         F.count(F.lit(1)).alias("vocab_size"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 69 — average precision (area under the PR curve).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_pr_auc",
+    """
+    WITH scored AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    per_score AS (
+      SELECT score, CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score,
+             SUM(n_pos) OVER w AS tp,
+             SUM(n_neg) OVER w AS fp,
+             SUM(n_pos) OVER () AS total_pos
+      FROM per_score
+      WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+    ),
+    steps AS (
+      SELECT (tp - COALESCE(LAG(tp) OVER (ORDER BY score DESC), 0)) * 1.0
+               / total_pos AS d_recall,
+             tp * 1.0 / (tp + fp) AS prec,
+             total_pos
+      FROM cum
+    )
+    SELECT ROUND(SUM(d_recall * prec), 6) AS average_precision,
+           ROUND(MAX(total_pos) * 1.0
+                 / (SELECT COUNT(*) FROM scored), 6) AS positive_base_rate,
+           CAST(MAX(total_pos) AS BIGINT) AS n_pos
+    FROM steps
+    """,
+)
+def a_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve by the
+    standard step interpolation AP = Σ Δrecall·precision) — the ranking
+    metric that matters when positives are rare: ROC-AUC barely moves
+    when false positives grow against a huge negative class, AP collapses
+    (compare against the base rate shown alongside — AP ≈ base rate means
+    the scorer is useless). Same per-distinct-score cumulative frame as
+    a_auc_rank and a_f1_threshold: the three metrics share one dataflow,
+    one bounded window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    n_all = scored.count()
+    per_score = scored.groupBy("score").agg(
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.partitionBy()
+    cum = per_score.select(
+        "score",
+        F.sum("n_pos").over(w).alias("tp"),
+        F.sum("n_neg").over(w).alias("fp"),
+        F.sum("n_pos").over(wa).alias("total_pos"),
+    )
+    w_lag = Window.orderBy(F.col("score").desc())
+    steps = cum.select(
+        (
+            (F.col("tp") - F.coalesce(F.lag("tp").over(w_lag), F.lit(0)))
+            * 1.0
+            / F.col("total_pos")
+        ).alias("d_recall"),
+        (F.col("tp") * 1.0 / (F.col("tp") + F.col("fp"))).alias("prec"),
+        "total_pos",
+    )
+    return steps.agg(
+        F.round(F.sum(F.col("d_recall") * F.col("prec")), 6).alias(
+            "average_precision"
+        ),
+        F.round(F.max("total_pos") * 1.0 / n_all, 6).alias("positive_base_rate"),
+        F.max("total_pos").cast("long").alias("n_pos"),
+    )

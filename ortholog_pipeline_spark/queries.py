@@ -17238,7 +17238,7 @@ def a_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("score"),
         F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
     )
-    n_all = scored.count()
+    n_all_df = scored.agg(F.count(F.lit(1)).alias("n_all"))
     per_score = scored.groupBy("score").agg(
         F.sum("y").alias("n_pos"),
         (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
@@ -17263,10 +17263,19 @@ def a_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tp") * 1.0 / (F.col("tp") + F.col("fp"))).alias("prec"),
         "total_pos",
     )
-    return steps.agg(
-        F.round(F.sum(F.col("d_recall") * F.col("prec")), 6).alias(
-            "average_precision"
-        ),
-        F.round(F.max("total_pos") * 1.0 / n_all, 6).alias("positive_base_rate"),
-        F.max("total_pos").cast("long").alias("n_pos"),
+    return (
+        steps.agg(
+            F.round(F.sum(F.col("d_recall") * F.col("prec")), 6).alias(
+                "average_precision"
+            ),
+            F.max("total_pos").cast("long").alias("n_pos"),
+        )
+        .crossJoin(F.broadcast(n_all_df))
+        .select(
+            "average_precision",
+            F.round(F.col("n_pos") * 1.0 / F.col("n_all"), 6).alias(
+                "positive_base_rate"
+            ),
+            "n_pos",
+        )
     )

@@ -283,6 +283,9 @@ HEADLINE = [
     "a_process_capability",
     "text_js_divergence",
     "a_pr_auc",
+    # round-2 wave 70: normality test, regression influence
+    "a_jarque_bera",
+    "w_cooks_distance",
 ]
 
 

@@ -17279,3 +17279,191 @@ def a_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pos",
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 70 — normality testing (Jarque-Bera) and regression influence
+# diagnostics (Cook's distance).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_jarque_bera",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(l_extendedprice) AS s1,
+             SUM(l_extendedprice * l_extendedprice) AS s2,
+             SUM(l_extendedprice * l_extendedprice * l_extendedprice) AS s3,
+             SUM(l_extendedprice * l_extendedprice * l_extendedprice
+                 * l_extendedprice) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n, s1 / n AS mu,
+             (s2 / n) - POWER(s1 / n, 2) AS m2,
+             (s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * POWER(s1 / n, 3) AS m3,
+             (s4 / n) - 4 * (s1 / n) * (s3 / n)
+               + 6 * POWER(s1 / n, 2) * (s2 / n) - 3 * POWER(s1 / n, 4) AS m4
+      FROM s
+    )
+    SELECT l_returnflag, n,
+           ROUND(m3 / POWER(m2, 1.5), 6) AS skewness,
+           ROUND(m4 / POWER(m2, 2) - 3, 6) AS excess_kurtosis,
+           ROUND(n / 6.0 * (POWER(m3 / POWER(m2, 1.5), 2)
+                            + POWER(m4 / POWER(m2, 2) - 3, 2) / 4), 2) AS jb_stat,
+           CASE WHEN n / 6.0 * (POWER(m3 / POWER(m2, 1.5), 2)
+                                + POWER(m4 / POWER(m2, 2) - 3, 2) / 4) > 5.991
+                THEN 'REJECT_NORMALITY' ELSE 'CONSISTENT_WITH_NORMAL' END
+             AS verdict
+    FROM m
+    """,
+)
+def a_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per group — JB = n/6·(S² + K²/4) from the
+    SAME mergeable power sums a_moments_skew_kurtosis computes (the test is
+    free once the moments exist — one more arithmetic row, zero extra
+    passes), against the χ²(2) 5% critical value 5.991. The answer decides
+    whether z-scores and t-intervals downstream are even meaningful for a
+    column; uniform-ish synthetic prices reject loudly, which is correct."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * (F.col("s2") / F.col("n")) + 2 * F.pow(mu, 3)
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * F.pow(mu, 2) * (F.col("s2") / F.col("n"))
+        - 3 * F.pow(mu, 4)
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    kurt = m4 / F.pow(m2, 2) - 3
+    jb = F.col("n") / 6.0 * (F.pow(skew, 2) + F.pow(kurt, 2) / 4)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(jb, 2).alias("jb_stat"),
+        F.when(jb > 5.991, F.lit("REJECT_NORMALITY"))
+        .otherwise(F.lit("CONSISTENT_WITH_NORMAL"))
+        .alias("verdict"),
+    )
+
+
+@register(
+    "w_cooks_distance",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             DATE_DIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) * 1.0
+               AS t,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               / 100.0 AS y
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, AVG(t) AS mt, AVG(y) AS my,
+             SUM(t * t) - COUNT(*) * AVG(t) * AVG(t) AS sxx,
+             SUM(t * y) - COUNT(*) * AVG(t) * AVG(y) AS sxy
+      FROM daily
+    ),
+    fitted AS (
+      SELECT d, t, y,
+             my + (sxy / sxx) * (t - mt) AS yhat,
+             1.0 / n + POWER(t - mt, 2) / sxx AS h,
+             n, sxx, mt, my, sxy
+      FROM daily, m
+    ),
+    mse AS (
+      SELECT SUM(POWER(y - yhat, 2)) / (MAX(n) - 2) AS s2 FROM fitted
+    ),
+    cooks AS (
+      SELECT d, y, yhat, h,
+             POWER(y - yhat, 2) * h / (2 * s2 * POWER(1 - h, 2)) AS cook_d,
+             4.0 / n AS threshold
+      FROM fitted, mse
+    )
+    SELECT d, ROUND(y, 2) AS revenue, ROUND(yhat, 2) AS fitted,
+           ROUND(cook_d, 6) AS cooks_d
+    FROM cooks
+    WHERE cook_d > 2 * threshold
+    """,
+)
+def w_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance over the daily-revenue trend regression: per-point
+    influence D = r²·h / (2σ̂²(1−h)²) with leverage h = 1/n + (t−t̄)²/Sxx —
+    closed form for simple regression, so the whole diagnostic is two
+    folds (moments, then MSE) and a map. Flags days at 8× the
+    conventional 4/n cut: the points that are bending the trend line,
+    which is a different question from 'is this day extreme' (a z-score
+    outlier mid-sample has low leverage; a mild endpoint can dominate the
+    slope). The regression-diagnostics companion to the fit queries."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        (
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            ).cast("long")
+            / 100.0
+        ).alias("y")
+    ).select(
+        "d",
+        F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+        .cast("double")
+        .alias("t"),
+        "y",
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("t").alias("mt"),
+        F.avg("y").alias("my"),
+        (F.sum(F.col("t") * F.col("t")) - F.count(F.lit(1)) * F.avg("t") * F.avg("t")).alias(
+            "sxx"
+        ),
+        (F.sum(F.col("t") * F.col("y")) - F.count(F.lit(1)) * F.avg("t") * F.avg("y")).alias(
+            "sxy"
+        ),
+    )
+    fitted = daily.crossJoin(F.broadcast(m)).select(
+        "d",
+        "t",
+        "y",
+        (F.col("my") + (F.col("sxy") / F.col("sxx")) * (F.col("t") - F.col("mt"))).alias(
+            "yhat"
+        ),
+        (1.0 / F.col("n") + F.pow(F.col("t") - F.col("mt"), 2) / F.col("sxx")).alias(
+            "h"
+        ),
+        "n",
+    ).persist()
+    mse = fitted.agg(
+        (F.sum(F.pow(F.col("y") - F.col("yhat"), 2)) / (F.max("n") - 2)).alias(
+            "s2"
+        )
+    )
+    cooks = fitted.crossJoin(F.broadcast(mse)).select(
+        "d",
+        "y",
+        "yhat",
+        (
+            F.pow(F.col("y") - F.col("yhat"), 2)
+            * F.col("h")
+            / (2 * F.col("s2") * F.pow(1 - F.col("h"), 2))
+        ).alias("cook_d"),
+        (4.0 / F.col("n")).alias("threshold"),
+    )
+    return cooks.filter(F.col("cook_d") > 2 * F.col("threshold")).select(
+        "d",
+        F.round("y", 2).alias("revenue"),
+        F.round("yhat", 2).alias("fitted"),
+        F.round("cook_d", 6).alias("cooks_d"),
+    )

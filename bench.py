@@ -286,6 +286,9 @@ HEADLINE = [
     # round-2 wave 70: normality test, regression influence
     "a_jarque_bera",
     "w_cooks_distance",
+    # round-2 wave 71: PACF, robust skewness
+    "w_pacf",
+    "a_bowley_skewness",
 ]
 
 

@@ -17467,3 +17467,150 @@ def w_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("yhat", 2).alias("fitted"),
         F.round("cook_d", 6).alias("cooks_d"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 71 — partial autocorrelation and quantile (Bowley) skewness.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_pacf",
+    """
+    WITH daily AS (
+      SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT l_returnflag,
+             cents / 100.0 AS x,
+             LAG(cents, 1) OVER w / 100.0 AS x1,
+             LAG(cents, 2) OVER w / 100.0 AS x2
+      FROM daily WINDOW w AS (PARTITION BY l_returnflag ORDER BY d)
+    ),
+    acf AS (
+      SELECT l_returnflag,
+             CORR(x, x1) AS r1, CORR(x, x2) AS r2,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM lagged GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND(r1, 6) AS pacf1,
+           ROUND((r2 - r1 * r1) / (1 - r1 * r1), 6) AS pacf2,
+           ROUND(r2, 6) AS acf2,
+           n_days
+    FROM acf
+    """,
+)
+def w_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1-2 via Durbin-Levinson closed form
+    (φ₁₁ = ρ₁; φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²)) — the AR-order selector: an
+    AR(1) series shows φ₂₂ ≈ 0 even when ρ₂ is large (the raw ACF at lag
+    2 of an AR(1) is ρ₁², which looks like structure but is just lag-1
+    echoed — the exact confusion PACF exists to remove). Same daily
+    rollup + lag window as w_acf_daily; the PACF conversion is row
+    arithmetic on the 3-row ACF table."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("d")
+    lagged = daily.select(
+        "l_returnflag",
+        (F.col("cents") / 100.0).alias("x"),
+        (F.lag("cents", 1).over(w) / 100.0).alias("x1"),
+        (F.lag("cents", 2).over(w) / 100.0).alias("x2"),
+    )
+    acf = lagged.groupBy("l_returnflag").agg(
+        F.corr("x", "x1").alias("r1"),
+        F.corr("x", "x2").alias("r2"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return acf.select(
+        "l_returnflag",
+        F.round("r1", 6).alias("pacf1"),
+        F.round(
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (1 - F.col("r1") * F.col("r1")),
+            6,
+        ).alias("pacf2"),
+        F.round("r2", 6).alias("acf2"),
+        "n_days",
+    )
+
+
+@register(
+    "a_bowley_skewness",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    qs AS (
+      SELECT l_returnflag,
+             MIN(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN cents END)
+               AS q1,
+             MIN(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN cents END)
+               AS q2,
+             MIN(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN cents END)
+               AS q3
+      FROM ranked GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND(q1 / 100.0, 2) AS q1, ROUND(q2 / 100.0, 2) AS median,
+           ROUND(q3 / 100.0, 2) AS q3,
+           ROUND((q1 + q3 - 2.0 * q2) / NULLIF(q3 - q1, 0), 6)
+             AS bowley_skewness
+    FROM qs
+    """,
+)
+def a_bowley_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness — (Q₁ + Q₃ − 2·median)/(Q₃ − Q₁): the
+    robust skewness that one wild outlier cannot move (the moment-based
+    skewness in a_moments_skew_kurtosis is cubed-deviation-weighted, so a
+    single extreme row can own it; Bowley sees only quartile POSITIONS).
+    Disagreement between the two skewness measures is itself the
+    diagnostic: it means the tails, not the body, carry the asymmetry.
+    Exact rank-picked integer-cents quartiles per group, one partitioned
+    window."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wp = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    def q(p):
+        return F.min(
+            F.when(
+                F.col("rn") == F.ceil(p * F.col("n")).cast("long"), F.col("cents")
+            )
+        )
+    qs = ranked.groupBy("l_returnflag").agg(
+        q(0.25).alias("q1"), q(0.50).alias("q2"), q(0.75).alias("q3")
+    )
+    return qs.select(
+        "l_returnflag",
+        F.round(F.col("q1") / 100.0, 2).alias("q1"),
+        F.round(F.col("q2") / 100.0, 2).alias("median"),
+        F.round(F.col("q3") / 100.0, 2).alias("q3"),
+        F.round(
+            (F.col("q1") + F.col("q3") - 2.0 * F.col("q2"))
+            / F.nullif((F.col("q3") - F.col("q1")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("bowley_skewness"),
+    )

@@ -289,6 +289,9 @@ HEADLINE = [
     # round-2 wave 71: PACF, robust skewness
     "w_pacf",
     "a_bowley_skewness",
+    # round-2 wave 72: Spearman, FD histogram sizing
+    "w_spearman_daily",
+    "a_fd_histogram",
 ]
 
 

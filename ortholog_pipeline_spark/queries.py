@@ -17614,3 +17614,128 @@ def a_bowley_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bowley_skewness"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 72 — Spearman rank correlation and Freedman-Diaconis histogram
+# sizing.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_spearman_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS rev_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT d,
+             ROW_NUMBER() OVER (ORDER BY rev_cents, d) * 1.0 AS rx,
+             ROW_NUMBER() OVER (ORDER BY n_lines, d) * 1.0 AS ry
+      FROM daily
+    )
+    SELECT ROUND(CORR(rx, ry), 6) AS spearman_rho,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM ranked
+    """,
+)
+def w_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily revenue and daily line count
+    — Pearson on RANKS, so it measures monotone association and shrugs at
+    outliers and nonlinear (but monotone) relationships that depress the
+    raw Pearson. Ranks are total (date tie-break) over the |days|-bounded
+    rollup; at 100 TB of raw rows the same statistic ranks via the
+    distributed global-rank operator. Reading it against w_acf_daily's
+    Pearson numbers is the outlier-sensitivity diagnostic."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    ranked = daily.select(
+        (F.row_number().over(Window.orderBy("rev_cents", "d")) * 1.0).alias("rx"),
+        (F.row_number().over(Window.orderBy("n_lines", "d")) * 1.0).alias("ry"),
+    )
+    return ranked.agg(
+        F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@register(
+    "a_fd_histogram",
+    """
+    WITH ranked AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ),
+    qs AS (
+      SELECT MIN(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN cents END)
+               AS q1,
+             MIN(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN cents END)
+               AS q3,
+             MAX(n) AS n,
+             MIN(CASE WHEN rn = 1 THEN cents END) AS lo,
+             MIN(CASE WHEN rn = n THEN cents END) AS hi
+      FROM ranked
+    ),
+    width AS (
+      SELECT CAST(GREATEST(1, ROUND(2.0 * (q3 - q1) / POWER(n, 1.0 / 3)))
+                  AS BIGINT) AS w,
+             lo, hi, n
+      FROM qs
+    )
+    SELECT CAST(w AS BIGINT) AS fd_bin_width_cents,
+           CAST(FLOOR((hi - lo) * 1.0 / w) + 1 AS BIGINT) AS n_bins,
+           ROUND(lo / 100.0, 2) AS min_value,
+           ROUND(hi / 100.0, 2) AS max_value,
+           CAST(n AS BIGINT) AS n_rows
+    FROM width
+    """,
+)
+def a_fd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freedman-Diaconis histogram sizing: bin width 2·IQR/n^⅓ — the
+    statistically-grounded answer to 'how many bins', robust to outliers
+    because it uses the IQR, not the range (Sturges under-bins big data;
+    range-based rules explode on one extreme value). The output is the
+    binning SPEC (width, count, bounds) that a_histogram_equidepth-style
+    builders consume; computing the spec costs one rank window over
+    distinct values and a 1-row fold. Integer-cents quartiles keep the
+    width engine-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    w_r = Window.orderBy("o_totalprice", "o_orderkey")
+    wa = Window.partitionBy()
+    ranked = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.row_number().over(w_r).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    qs = ranked.agg(
+        F.min(
+            F.when(F.col("rn") == F.ceil(0.25 * F.col("n")).cast("long"), F.col("cents"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(0.75 * F.col("n")).cast("long"), F.col("cents"))
+        ).alias("q3"),
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("rn") == 1, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("rn") == F.col("n"), F.col("cents"))).alias("hi"),
+    )
+    w_col = F.greatest(
+        F.lit(1),
+        F.round(2.0 * (F.col("q3") - F.col("q1")) / F.pow(F.col("n"), 1.0 / 3)),
+    ).cast("long")
+    return qs.select(
+        w_col.alias("fd_bin_width_cents"),
+        (F.floor((F.col("hi") - F.col("lo")) * 1.0 / w_col) + 1).cast("long").alias("n_bins"),
+        F.round(F.col("lo") / 100.0, 2).alias("min_value"),
+        F.round(F.col("hi") / 100.0, 2).alias("max_value"),
+        F.col("n").cast("long").alias("n_rows"),
+    )

@@ -292,6 +292,9 @@ HEADLINE = [
     # round-2 wave 72: Spearman, FD histogram sizing
     "w_spearman_daily",
     "a_fd_histogram",
+    # round-2 wave 73: effect size, Mann-Kendall trend
+    "a_effect_size_cohens_d",
+    "w_mann_kendall",
 ]
 
 

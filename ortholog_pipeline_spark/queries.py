@@ -17739,3 +17739,163 @@ def a_fd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hi") / 100.0, 2).alias("max_value"),
         F.col("n").cast("long").alias("n_rows"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 73 — standardized effect size (Cohen's d) and the Mann-Kendall
+# trend test.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_effect_size_cohens_d",
+    """
+    WITH users AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             SUM(value) AS total_value
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, AVG(total_value) AS m,
+             VAR_SAMP(total_value) AS v
+      FROM users GROUP BY arm
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 'control' THEN n END) AS n1,
+             MAX(CASE WHEN arm = 'control' THEN m END) AS m1,
+             MAX(CASE WHEN arm = 'control' THEN v END) AS v1,
+             MAX(CASE WHEN arm = 'treatment' THEN n END) AS n2,
+             MAX(CASE WHEN arm = 'treatment' THEN m END) AS m2,
+             MAX(CASE WHEN arm = 'treatment' THEN v END) AS v2
+      FROM s
+    )
+    SELECT ROUND((m2 - m1) / SQRT(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                  / (n1 + n2 - 2)), 6) AS cohens_d,
+           ROUND((m2 - m1) / SQRT(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                  / (n1 + n2 - 2))
+                 * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g,
+           ROUND(m2 - m1, 4) AS raw_difference,
+           CAST(n1 AS BIGINT) AS n_control, CAST(n2 AS BIGINT) AS n_treatment
+    FROM wide
+    """,
+)
+def a_effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size for the hash-assigned experiment: Cohen's d
+    (mean difference in pooled-SD units — the number that survives across
+    metrics and experiments where raw differences and p-values don't) and
+    Hedges' g (the small-sample bias correction). Completes the experiment
+    triptych: a_ab_test_welch says IS there an effect, a_srm_check says
+    can you trust the assignment, this says HOW BIG in portable units.
+    One per-user aggregate + a 2-row moment fold."""
+    ev = _t(spark, sf_dir, "events")
+    arm = F.when(
+        F.pmod(
+            DD.hex_hash64(F.concat(F.lit("ab"), F.col("user_id").cast("string"))),
+            F.lit(2),
+        )
+        == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    users = ev.groupBy("user_id").agg(F.sum("value").alias("total_value")).select(
+        arm.alias("arm"), "total_value"
+    )
+    s = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("total_value").alias("m"),
+        F.var_samp("total_value").alias("v"),
+    )
+    wide = s.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "control", F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("arm") == "control", F.col("v"))).alias("v1"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("m"))).alias("m2"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("v"))).alias("v2"),
+    )
+    pooled_sd = F.sqrt(
+        ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2"))
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    d = (F.col("m2") - F.col("m1")) / pooled_sd
+    return wide.select(
+        F.round(d, 6).alias("cohens_d"),
+        F.round(
+            d * (1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9)), 6
+        ).alias("hedges_g"),
+        F.round(F.col("m2") - F.col("m1"), 4).alias("raw_difference"),
+        F.col("n1").cast("long").alias("n_control"),
+        F.col("n2").cast("long").alias("n_treatment"),
+    )
+
+
+@register(
+    "w_mann_kendall",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS m,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+      FROM monthly a JOIN monthly b ON a.m < b.m
+    ),
+    agg AS (
+      SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat,
+             (SELECT COUNT(*) FROM monthly) AS n
+      FROM pairs
+    )
+    SELECT s_stat, CAST(n AS BIGINT) AS n_periods,
+           ROUND((s_stat - SIGN(s_stat))
+                 / SQRT(n * (n - 1.0) * (2 * n + 5) / 18), 4) AS z,
+           CASE WHEN ABS((s_stat - SIGN(s_stat))
+                 / SQRT(n * (n - 1.0) * (2 * n + 5) / 18)) > 1.96
+                THEN CASE WHEN s_stat > 0 THEN 'INCREASING' ELSE 'DECREASING' END
+                ELSE 'NO_TREND' END AS verdict
+    FROM agg
+    """,
+)
+def w_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on monthly revenue: S = Σ sign(x_j − x_i)
+    over all ordered period pairs — the nonparametric trend test that
+    needs no linearity, no normality, and shrugs at outliers (one wild
+    month changes S by at most n−1). The pair join is over the MONTHLY
+    rollup (|months|² pairs — bounded by calendar, never by data volume);
+    z uses the continuity-corrected normal approximation. The verdict
+    pairs with the runs test: runs says 'is it random', MK says 'is the
+    non-randomness a monotone trend'."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate").cast("date")).alias("m")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("cents")
+    ).persist()
+    a = monthly.select(F.col("m").alias("ma"), F.col("cents").alias("ca"))
+    b = monthly.select(F.col("m").alias("mb"), F.col("cents").alias("cb"))
+    pairs = a.join(b, F.col("ma") < F.col("mb")).select(
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    n_df = monthly.agg(F.count(F.lit(1)).alias("n"))
+    agg = pairs.agg(F.sum("sgn").alias("s_stat")).crossJoin(F.broadcast(n_df))
+    var = F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5) / 18
+    z = (F.col("s_stat") - F.signum(F.col("s_stat"))) / F.sqrt(var)
+    return agg.select(
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.col("n").cast("long").alias("n_periods"),
+        F.round(z, 4).alias("z"),
+        F.when(
+            F.abs(z) > 1.96,
+            F.when(F.col("s_stat") > 0, F.lit("INCREASING")).otherwise(
+                F.lit("DECREASING")
+            ),
+        )
+        .otherwise(F.lit("NO_TREND"))
+        .alias("verdict"),
+    )

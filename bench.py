@@ -295,6 +295,9 @@ HEADLINE = [
     # round-2 wave 73: effect size, Mann-Kendall trend
     "a_effect_size_cohens_d",
     "w_mann_kendall",
+    # round-2 wave 74: quantile normalization, propensity matching
+    "a_quantile_normalization",
+    "a_psm_matching",
 ]
 
 

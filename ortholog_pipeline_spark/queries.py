@@ -17899,3 +17899,185 @@ def w_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("NO_TREND"))
         .alias("verdict"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 74 — batch-effect correction (quantile normalization) and causal
+# matching (nearest-neighbor propensity pairing).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_quantile_normalization",
+    """
+    WITH vals AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM documents
+    ),
+    pooled AS (
+      SELECT n_chars AS pooled_val,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS prk,
+             COUNT(*) OVER () AS n_all
+      FROM documents
+    ),
+    mapped AS (
+      SELECT v.source, v.n_chars AS raw_val, p.pooled_val
+      FROM vals v JOIN pooled p
+        ON p.prk = CAST(CEIL(v.rk * 1.0 / v.n_src * p.n_all) AS BIGINT)
+    )
+    SELECT source,
+           ROUND(AVG(raw_val), 4) AS mean_before,
+           ROUND(AVG(pooled_val), 4) AS mean_after,
+           ROUND(STDDEV_SAMP(raw_val), 4) AS sd_before,
+           ROUND(STDDEV_SAMP(pooled_val), 4) AS sd_after,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM mapped GROUP BY source
+    """,
+)
+def a_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document lengths onto the
+    pooled distribution — the batch-effect correction (from microarray
+    genomics, equally at home fixing per-crawler length biases): each
+    value is replaced by the POOLED value at its within-source quantile,
+    so after mapping every source has (near-)identical marginal moments —
+    which the before/after mean/sd columns exhibit directly. The mapping
+    is a rank-to-rank equi-join (within-source rank rescaled to a pooled
+    rank), windows partitioned by source plus one pooled total-order
+    rank over the |docs| frame."""
+    docs = _t(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_src_n = Window.partitionBy("source")
+    vals = docs.select(
+        "source",
+        F.col("n_chars").alias("raw_val"),
+        F.row_number().over(w_src).alias("rk"),
+        F.count(F.lit(1)).over(w_src_n).alias("n_src"),
+    )
+    w_all = Window.orderBy("n_chars", "doc_id")
+    wa = Window.partitionBy()
+    pooled = docs.select(
+        F.col("n_chars").alias("pooled_val"),
+        F.row_number().over(w_all).alias("prk"),
+        F.count(F.lit(1)).over(wa).alias("n_all"),
+    )
+    mapped = vals.join(
+        pooled,
+        pooled["prk"]
+        == F.ceil(vals["rk"] * 1.0 / vals["n_src"] * pooled["n_all"]).cast(
+            "long"
+        ),
+    )
+    return mapped.groupBy("source").agg(
+        F.round(F.avg("raw_val"), 4).alias("mean_before"),
+        F.round(F.avg("pooled_val"), 4).alias("mean_after"),
+        F.round(F.stddev_samp("raw_val"), 4).alias("sd_before"),
+        F.round(F.stddev_samp("pooled_val"), 4).alias("sd_after"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "a_psm_matching",
+    """
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                  THEN 0 ELSE 1 END AS treated,
+             CAST(COUNT(*) AS BIGINT) AS activity,
+             SUM(value) AS outcome
+      FROM events GROUP BY user_id
+    ),
+    ordered AS (
+      SELECT *,
+             last_value(CASE WHEN treated = 0 THEN outcome END IGNORE NULLS)
+               OVER (ORDER BY activity, user_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_ctrl_outcome,
+             last_value(CASE WHEN treated = 0 THEN activity END IGNORE NULLS)
+               OVER (ORDER BY activity, user_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_ctrl_activity
+      FROM users
+    ),
+    matched AS (
+      SELECT user_id, activity, outcome,
+             prev_ctrl_outcome, prev_ctrl_activity
+      FROM ordered
+      WHERE treated = 1 AND prev_ctrl_activity IS NOT NULL
+        AND ABS(activity - prev_ctrl_activity) <= 5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matched_pairs,
+           ROUND(AVG(outcome - prev_ctrl_outcome), 4) AS att_estimate,
+           ROUND(AVG(ABS(activity - prev_ctrl_activity)), 4)
+             AS mean_caliper_gap,
+           CAST((SELECT SUM(treated) FROM users) AS BIGINT) AS n_treated
+    FROM matched
+    """,
+)
+def a_psm_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor matching on a confounder (activity level) with a
+    caliper — the observational-causal workhorse: each treated user is
+    paired with the nearest-preceding control in confounder order (an
+    IGNORE NULLS lag over the interleaved sorted frame — matching as ONE
+    window pass, no pairwise distance join), pairs outside the ±5 caliper
+    are discarded, and the ATT estimate is the mean matched outcome
+    difference. The caliper-gap column audits match quality (a tight
+    caliper with few pairs beats a loose one with bias). Sorted-merge
+    matching is the scalable form: no n² candidate generation at any
+    size."""
+    ev = _t(spark, sf_dir, "events")
+    treated = F.when(
+        F.pmod(
+            DD.hex_hash64(F.concat(F.lit("ab"), F.col("user_id").cast("string"))),
+            F.lit(2),
+        )
+        == 0,
+        0,
+    ).otherwise(1)
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("activity"),
+        F.sum("value").alias("outcome"),
+    ).select("user_id", treated.alias("treated"), "activity", "outcome")
+    # lag-ignore-nulls = last(ignorenulls) over an end-exclusive frame
+    w = Window.orderBy("activity", "user_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ordered = users.select(
+        "*",
+        F.last(
+            F.when(F.col("treated") == 0, F.col("outcome")), ignorenulls=True
+        )
+        .over(w)
+        .alias("prev_ctrl_outcome"),
+        F.last(
+            F.when(F.col("treated") == 0, F.col("activity")), ignorenulls=True
+        )
+        .over(w)
+        .alias("prev_ctrl_activity"),
+    )
+    matched = ordered.filter(
+        (F.col("treated") == 1)
+        & F.col("prev_ctrl_activity").isNotNull()
+        & (F.abs(F.col("activity") - F.col("prev_ctrl_activity")) <= 5)
+    )
+    n_treated = users.agg(F.sum("treated").alias("n_treated"))
+    return (
+        matched.agg(
+            F.count(F.lit(1)).alias("n_matched_pairs"),
+            F.round(F.avg(F.col("outcome") - F.col("prev_ctrl_outcome")), 4).alias(
+                "att_estimate"
+            ),
+            F.round(
+                F.avg(F.abs(F.col("activity") - F.col("prev_ctrl_activity"))), 4
+            ).alias("mean_caliper_gap"),
+        )
+        .crossJoin(F.broadcast(n_treated))
+        .select(
+            "n_matched_pairs",
+            "att_estimate",
+            "mean_caliper_gap",
+            F.col("n_treated").cast("long").alias("n_treated"),
+        )
+    )

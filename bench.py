@@ -298,6 +298,9 @@ HEADLINE = [
     # round-2 wave 74: quantile normalization, propensity matching
     "a_quantile_normalization",
     "a_psm_matching",
+    # round-2 wave 75: DiD, V-shape pattern matching
+    "a_diff_in_diff",
+    "w_pattern_vshape",
 ]
 
 

@@ -18081,3 +18081,153 @@ def a_psm_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_treated").cast("long").alias("n_treated"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 75 — difference-in-differences and sequential pattern matching
+# (MATCH_RECOGNIZE-style V-shape detection).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_diff_in_diff",
+    """
+    WITH cells AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'pre'
+                  ELSE 'post' END AS period,
+             AVG(value) AS mean_value,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT ROUND(MAX(CASE WHEN arm = 'treatment' AND period = 'post'
+                          THEN mean_value END)
+                 - MAX(CASE WHEN arm = 'treatment' AND period = 'pre'
+                            THEN mean_value END)
+                 - (MAX(CASE WHEN arm = 'control' AND period = 'post'
+                             THEN mean_value END)
+                    - MAX(CASE WHEN arm = 'control' AND period = 'pre'
+                               THEN mean_value END)), 6) AS did_estimate,
+           ROUND(MAX(CASE WHEN arm = 'treatment' AND period = 'pre'
+                          THEN mean_value END)
+                 - MAX(CASE WHEN arm = 'control' AND period = 'pre'
+                            THEN mean_value END), 6) AS pre_period_gap,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM cells
+    """,
+)
+def a_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: (treatment post − pre) − (control post −
+    pre) — the design that removes BOTH the stable group difference and
+    the common time trend, which neither a post-only comparison nor a
+    pre/post within one group can do. The pre-period gap is reported
+    alongside as the parallel-trends sanity check (a large gap with no
+    trend data is the estimator's known blind spot). One 4-cell
+    conditional aggregate — the entire causal design is a pivot."""
+    ev = _t(spark, sf_dir, "events")
+    arm = F.when(
+        F.pmod(
+            DD.hex_hash64(F.concat(F.lit("ab"), F.col("user_id").cast("string"))),
+            F.lit(2),
+        )
+        == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    period = F.when(
+        F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), "pre"
+    ).otherwise("post")
+    cells = ev.select(arm.alias("arm"), period.alias("period"), "value").groupBy(
+        "arm", "period"
+    ).agg(F.avg("value").alias("mean_value"), F.count(F.lit(1)).alias("n"))
+
+    def cell(a, p):
+        return F.max(
+            F.when(
+                (F.col("arm") == a) & (F.col("period") == p), F.col("mean_value")
+            )
+        )
+
+    return cells.agg(
+        F.round(
+            cell("treatment", "post")
+            - cell("treatment", "pre")
+            - (cell("control", "post") - cell("control", "pre")),
+            6,
+        ).alias("did_estimate"),
+        F.round(cell("treatment", "pre") - cell("control", "pre"), 6).alias(
+            "pre_period_gap"
+        ),
+        F.sum("n").alias("n_events"),
+    )
+
+
+@register(
+    "w_pattern_vshape",
+    """
+    WITH daily AS (
+      SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT l_returnflag, d, cents,
+             LAG(cents, 2) OVER w AS p2, LAG(cents, 1) OVER w AS p1,
+             LEAD(cents, 1) OVER w AS f1, LEAD(cents, 2) OVER w AS f2
+      FROM daily WINDOW w AS (PARTITION BY l_returnflag ORDER BY d)
+    ),
+    vs AS (
+      SELECT l_returnflag, d, cents, p2, f2
+      FROM ctx
+      WHERE p2 > p1 AND p1 > cents AND cents < f1 AND f1 < f2
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_vshapes,
+           ROUND(AVG((p2 - cents) / 100.0), 2) AS avg_drop_depth,
+           ROUND(AVG((f2 - cents) / 100.0), 2) AS avg_recovery
+    FROM vs GROUP BY l_returnflag
+    """,
+)
+def w_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern matching (the MATCH_RECOGNIZE / Flink-CEP shape,
+    expressed as a lag/lead kernel): V-shaped events — two strictly
+    falling days into a trough followed by two strictly rising days — per
+    series, with average depth and recovery. Fixed-length patterns over
+    ordered sequences ARE window kernels: the five-point predicate runs
+    in one partitioned window pass, no state machine and no self-joins;
+    variable-length patterns are where applyInPandasWithState takes over
+    (the rate limiter demonstrates that machinery). The count and depth
+    are dip-buying / incident-recovery analytics."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("d")
+    ctx = daily.select(
+        "l_returnflag",
+        "d",
+        "cents",
+        F.lag("cents", 2).over(w).alias("p2"),
+        F.lag("cents", 1).over(w).alias("p1"),
+        F.lead("cents", 1).over(w).alias("f1"),
+        F.lead("cents", 2).over(w).alias("f2"),
+    )
+    vs = ctx.filter(
+        (F.col("p2") > F.col("p1"))
+        & (F.col("p1") > F.col("cents"))
+        & (F.col("cents") < F.col("f1"))
+        & (F.col("f1") < F.col("f2"))
+    )
+    return vs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_vshapes"),
+        F.round(F.avg((F.col("p2") - F.col("cents")) / 100.0), 2).alias(
+            "avg_drop_depth"
+        ),
+        F.round(F.avg((F.col("f2") - F.col("cents")) / 100.0), 2).alias(
+            "avg_recovery"
+        ),
+    )

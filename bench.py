@@ -301,6 +301,7 @@ HEADLINE = [
     # round-2 wave 75: DiD, V-shape pattern matching
     "a_diff_in_diff",
     "w_pattern_vshape",
+    "a_mann_whitney",
 ]
 
 

@@ -18231,3 +18231,86 @@ def w_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_recovery"
         ),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 76 — Mann-Whitney U (rank-sum) two-sample test.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_mann_whitney",
+    """
+    WITH vals AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN EXTRACT(year FROM o_orderdate) = 1996 THEN 1 ELSE 0 END
+               AS g1
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1996, 2000)
+    ),
+    per_val AS (
+      SELECT cents, CAST(SUM(g1) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(g1) AS BIGINT) AS n2
+      FROM vals GROUP BY cents
+    ),
+    cum AS (
+      SELECT n1, n2,
+             SUM(n2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - n2
+               AS n2_below
+      FROM per_val
+    ),
+    agg AS (
+      SELECT SUM(n1 * (n2_below + 0.5 * n2)) AS u,
+             SUM(n1) AS t1, SUM(n2) AS t2
+      FROM cum
+    )
+    SELECT CAST(u AS BIGINT) AS u_stat,
+           ROUND(u / (t1 * t2), 6) AS common_language_effect,
+           ROUND((u - t1 * t2 / 2.0)
+                 / SQRT(t1 * t2 * (t1 + t2 + 1) / 12.0), 4) AS z,
+           CAST(t1 AS BIGINT) AS n_1996, CAST(t2 AS BIGINT) AS n_2000
+    FROM agg
+    """,
+)
+def a_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between the 1996 and 2000 order-value
+    samples — the nonparametric 'did the distribution shift' test whose
+    statistic IS tie-aware AUC scaled by n₁·n₂ (the same
+    per-distinct-value cumulative dataflow as a_auc_rank, reused verbatim),
+    with U/(n₁n₂) reported as the common-language effect size (probability
+    a random 1996 order exceeds a random 2000 one). Completes the
+    two-sample family: Welch (means), variance-ratio (spread), KS (shape),
+    MW (stochastic dominance). z uses the normal approximation; tie
+    correction is negligible at integer-cents granularity and documented
+    as omitted."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.year("o_orderdate").alias("yr"),
+    ).filter(F.col("yr").isin(1996, 2000))
+    per_val = orders.groupBy("cents").agg(
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("yr") == 2000, 1).otherwise(0)).alias("n2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        "n1",
+        "n2",
+        (F.sum("n2").over(w) - F.col("n2")).alias("n2_below"),
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("n1") * (F.col("n2_below") + 0.5 * F.col("n2"))
+        ).alias("u"),
+        F.sum("n1").alias("t1"),
+        F.sum("n2").alias("t2"),
+    )
+    z = (F.col("u") - F.col("t1") * F.col("t2") / 2.0) / F.sqrt(
+        F.col("t1") * F.col("t2") * (F.col("t1") + F.col("t2") + 1) / 12.0
+    )
+    return agg.select(
+        F.col("u").cast("long").alias("u_stat"),
+        F.round(F.col("u") / (F.col("t1") * F.col("t2")), 6).alias(
+            "common_language_effect"
+        ),
+        F.round(z, 4).alias("z"),
+        F.col("t1").cast("long").alias("n_1996"),
+        F.col("t2").cast("long").alias("n_2000"),
+    )

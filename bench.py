@@ -302,6 +302,7 @@ HEADLINE = [
     "a_diff_in_diff",
     "w_pattern_vshape",
     "a_mann_whitney",
+    "a_ab_bootstrap_ci",
 ]
 
 

@@ -18314,3 +18314,162 @@ def a_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t1").cast("long").alias("n_1996"),
         F.col("t2").cast("long").alias("n_2000"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 77 — bootstrap confidence interval on the experiment effect.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_ab_bootstrap_ci",
+    f"""
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                  THEN 0 ELSE 1 END AS treated,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    g AS (SELECT unnest(generate_series(0, 7)) AS g),
+    j AS (SELECT unnest(generate_series(0, 4)) AS j),
+    hashed AS (
+      SELECT u.user_id, u.treated, u.cents, g.g,
+             md5('bs' || CAST(g.g AS VARCHAR) || '_' || CAST(u.user_id AS VARCHAR)) AS h
+      FROM users u, g
+    ),
+    weighted AS (
+      SELECT hashed.g * 5 + j.j AS b, treated, cents,
+             {_pois24_sql("CAST(('0x' || substr(h, j.j * 6 + 1, 6)) AS BIGINT)")} AS wt
+      FROM hashed, j
+    ),
+    reps AS (
+      SELECT b,
+             SUM(CASE WHEN treated = 1 THEN wt * cents ELSE 0 END) * 1.0
+               / NULLIF(SUM(CASE WHEN treated = 1 THEN wt ELSE 0 END), 0)
+             - SUM(CASE WHEN treated = 0 THEN wt * cents ELSE 0 END) * 1.0
+               / NULLIF(SUM(CASE WHEN treated = 0 THEN wt ELSE 0 END), 0)
+               AS diff_cents
+      FROM weighted GROUP BY b
+    ),
+    ranked AS (
+      SELECT diff_cents, ROW_NUMBER() OVER (ORDER BY diff_cents) AS rn,
+             COUNT(*) OVER () AS nb
+      FROM reps WHERE diff_cents IS NOT NULL
+    ),
+    point AS (
+      SELECT AVG(CASE WHEN treated = 1 THEN cents END)
+             - AVG(CASE WHEN treated = 0 THEN cents END) AS d
+      FROM users
+    )
+    SELECT ROUND((SELECT d FROM point) / 100.0, 4) AS point_diff,
+           ROUND(MIN(CASE WHEN rn = 2 THEN diff_cents END) / 100.0, 4) AS ci_lo,
+           ROUND(MIN(CASE WHEN rn = nb - 1 THEN diff_cents END) / 100.0, 4)
+             AS ci_hi,
+           CAST(MAX(nb) AS BIGINT) AS n_replicates
+    FROM ranked
+    """,
+)
+def a_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval on the experiment EFFECT (the
+    treatment−control mean difference) — the interval a z-statistic alone
+    doesn't give and the one stakeholders actually ask for ('how big could
+    it plausibly be'). Per replicate, BOTH arms are reweighted with
+    independent Poisson(1) draws and the mean difference recomputed; the
+    CI is the 2nd/39th order statistic of 40 replicate differences. Same
+    one-md5-five-draws derivation as sample_poisson_bootstrap, applied at
+    the USER grain (resampling users, not events — resampling events
+    would shatter the within-user correlation and understate the CI).
+    Exact integer cents·weight sums until the final divisions."""
+    ev = _t(spark, sf_dir, "events")
+    treated = F.when(
+        F.pmod(
+            DD.hex_hash64(F.concat(F.lit("ab"), F.col("user_id").cast("string"))),
+            F.lit(2),
+        )
+        == 0,
+        0,
+    ).otherwise(1)
+    users = ev.groupBy("user_id").agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    ).select("user_id", treated.alias("treated"), "cents").persist()
+    hashed = users.select(
+        "user_id",
+        "treated",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("g"),
+    ).select(
+        "treated",
+        "cents",
+        "g",
+        F.md5(
+            F.concat(
+                F.lit("bs"),
+                F.col("g").cast("string"),
+                F.lit("_"),
+                F.col("user_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    u = F.conv(
+        F.substring(F.col("h"), F.col("j") * 6 + 1, F.lit(6)), 16, 10
+    ).cast("long")
+    weighted = hashed.select(
+        "treated",
+        "cents",
+        "g",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"),
+    ).select(
+        (F.col("g") * 5 + F.col("j")).alias("b"),
+        "treated",
+        "cents",
+        F.coalesce(
+            *[F.when(u < t, F.lit(k)) for k, t in enumerate(_POIS24)], F.lit(6)
+        )
+        .cast("long")
+        .alias("wt"),
+    )
+    t_sum = F.sum(
+        F.when(F.col("treated") == 1, F.col("wt") * F.col("cents")).otherwise(0)
+    )
+    t_w = F.sum(F.when(F.col("treated") == 1, F.col("wt")).otherwise(0))
+    c_sum = F.sum(
+        F.when(F.col("treated") == 0, F.col("wt") * F.col("cents")).otherwise(0)
+    )
+    c_w = F.sum(F.when(F.col("treated") == 0, F.col("wt")).otherwise(0))
+    reps = weighted.groupBy("b").agg(
+        (
+            t_sum * 1.0 / F.nullif(t_w.cast("double"), F.lit(0.0))
+            - c_sum * 1.0 / F.nullif(c_w.cast("double"), F.lit(0.0))
+        ).alias("diff_cents")
+    ).filter(F.col("diff_cents").isNotNull())
+    w_rn = Window.orderBy("diff_cents")
+    wa = Window.partitionBy()
+    ranked = reps.select(
+        "diff_cents",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("nb"),
+    )
+    point = users.agg(
+        (
+            F.avg(F.when(F.col("treated") == 1, F.col("cents")))
+            - F.avg(F.when(F.col("treated") == 0, F.col("cents")))
+        ).alias("d")
+    )
+    ci = ranked.agg(
+        F.round(
+            F.min(F.when(F.col("rn") == 2, F.col("diff_cents"))) / 100.0, 4
+        ).alias("ci_lo"),
+        F.round(
+            F.min(F.when(F.col("rn") == F.col("nb") - 1, F.col("diff_cents")))
+            / 100.0,
+            4,
+        ).alias("ci_hi"),
+        F.max("nb").cast("long").alias("n_replicates"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        F.round(F.col("d") / 100.0, 4).alias("point_diff"),
+        "ci_lo",
+        "ci_hi",
+        "n_replicates",
+    )

@@ -303,6 +303,9 @@ HEADLINE = [
     "w_pattern_vshape",
     "a_mann_whitney",
     "a_ab_bootstrap_ci",
+    # round-2 wave 78: component beta, transition entropy
+    "w_component_beta",
+    "a_transition_entropy",
 ]
 
 

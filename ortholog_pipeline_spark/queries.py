@@ -18473,3 +18473,143 @@ def a_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_hi",
         "n_replicates",
     )
+
+# ---------------------------------------------------------------------------
+# Wave 78 — component beta (sensitivity to the aggregate) and transition
+# entropy (sequence predictability).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_component_beta",
+    """
+    WITH daily AS (
+      SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               / 100.0 AS rev
+      FROM lineitem GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT d, SUM(rev) AS total FROM daily GROUP BY d
+    )
+    SELECT daily.l_returnflag,
+           ROUND(COVAR_SAMP(daily.rev, totals.total)
+                 / VAR_SAMP(totals.total), 6) AS beta,
+           ROUND(CORR(daily.rev, totals.total), 6) AS corr_with_total,
+           ROUND(AVG(daily.rev) / AVG(totals.total), 6) AS avg_share,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily JOIN totals ON daily.d = totals.d
+    GROUP BY daily.l_returnflag
+    """,
+)
+def w_component_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component beta: cov(component, total)/var(total) per revenue stream
+    — how many dollars a component moves when the aggregate moves one
+    (betas sum to 1 across components by construction, so they decompose
+    aggregate volatility into ownership). A component whose beta exceeds
+    its average share amplifies swings; one below dampens them — the
+    portfolio lens applied to business lines. One day rollup, one
+    day-keyed join to the totals, covariance folds per component."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        (
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            ).cast("long")
+            / 100.0
+        ).alias("rev")
+    )
+    totals = daily.groupBy("d").agg(F.sum("rev").alias("total"))
+    j = daily.join(totals, "d")
+    return j.groupBy("l_returnflag").agg(
+        F.round(
+            F.covar_samp("rev", "total") / F.var_samp("total"), 6
+        ).alias("beta"),
+        F.round(F.corr("rev", "total"), 6).alias("corr_with_total"),
+        F.round(F.avg("rev") / F.avg("total"), 6).alias("avg_share"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@register(
+    "a_transition_entropy",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000 + event_id)
+               AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    m AS (
+      SELECT cur, nxt, n,
+             SUM(n) OVER (PARTITION BY cur) AS n_cur,
+             SUM(n) OVER () AS total
+      FROM trans
+    )
+    SELECT ROUND(-SUM((n * 1.0 / total) * LN(n * 1.0 / n_cur)), 6)
+             AS conditional_entropy_nats,
+           ROUND(EXP(-SUM((n * 1.0 / total) * LN(n * 1.0 / n_cur))), 4)
+             AS perplexity,
+           ROUND(-SUM((n * 1.0 / total) * LN(n * 1.0 / n_cur))
+                 / LN((SELECT COUNT(DISTINCT nxt) FROM trans)), 6)
+             AS normalized_h,
+           CAST(MAX(total) AS BIGINT) AS n_transitions
+    FROM m
+    """,
+)
+def a_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(next | current) of the event sequence — how
+    predictable the next action is given the current one, with its
+    perplexity (the effective branching factor: e^H ≈ 5 means knowing the
+    current event tells you nothing about which of the 5 comes next;
+    near 1 means scripted flows). The normalized form divides by ln|types|
+    so it's comparable across products. One LEAD window over the unique
+    per-user sequence key, then arithmetic over the 25-cell transition
+    table — Markov transitions (a_event_transitions) summarized to the
+    single number that says whether the matrix is worth modeling."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    w = Window.partitionBy("user_id").orderBy(
+        (sec * 100000 + F.col("event_id")).asc()
+    )
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n")).persist()
+    m = trans.select(
+        "cur",
+        "nxt",
+        "n",
+        F.sum("n").over(Window.partitionBy("cur")).alias("n_cur"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    n_types = trans.agg(F.countDistinct("nxt").alias("k"))
+    h = -F.sum(
+        (F.col("n") * 1.0 / F.col("total"))
+        * F.log(F.col("n") * 1.0 / F.col("n_cur"))
+    )
+    return (
+        m.agg(
+            h.alias("h"),
+            F.max("total").alias("total"),
+        )
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            F.round(F.col("h"), 6).alias("conditional_entropy_nats"),
+            F.round(F.exp(F.col("h")), 4).alias("perplexity"),
+            F.round(
+                F.col("h") / F.log(F.col("k").cast("double")), 6
+            ).alias("normalized_h"),
+            F.col("total").cast("long").alias("n_transitions"),
+        )
+    )

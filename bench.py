@@ -306,6 +306,7 @@ HEADLINE = [
     # round-2 wave 78: component beta, transition entropy
     "w_component_beta",
     "a_transition_entropy",
+    "j_fifo_matching",
 ]
 
 

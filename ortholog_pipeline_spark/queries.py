@@ -18613,3 +18613,123 @@ def a_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("long").alias("n_transitions"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 79 — FIFO lot matching (inventory costing via interval algebra).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_fifo_matching",
+    """
+    WITH receipts AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+             l_extendedprice / l_quantity AS unit_price,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) OVER w
+               AS r_end,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) OVER w
+               - CAST(ROUND(l_quantity) AS BIGINT) AS r_start
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) = 1996 AND l_partkey % 100 = 0
+        AND l_quantity > 0
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    issues AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) OVER w AS i_end,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) OVER w
+               - CAST(ROUND(l_quantity) AS BIGINT) AS i_start
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) = 1997 AND l_partkey % 100 = 0
+        AND l_quantity > 0
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    matched AS (
+      SELECT r.l_partkey,
+             LEAST(r.r_end, i.i_end) - GREATEST(r.r_start, i.i_start)
+               AS matched_qty,
+             r.unit_price
+      FROM receipts r JOIN issues i
+        ON r.l_partkey = i.l_partkey
+       AND r.r_start < i.i_end AND i.i_start < r.r_end
+    )
+    SELECT l_partkey,
+           CAST(SUM(matched_qty) AS BIGINT) AS fifo_matched_units,
+           ROUND(SUM(matched_qty * unit_price) / SUM(matched_qty), 4)
+             AS fifo_unit_cost
+    FROM matched GROUP BY l_partkey
+    """,
+)
+def j_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching as interval algebra — the inventory-costing
+    computation that looks inherently sequential (consume the oldest lot
+    first) but isn't: on each part's shared cumulative-units axis, the
+    k-th unit issued comes from the k-th unit received BY DEFINITION of
+    FIFO, so matching = intersecting each issue's cumulative interval
+    with each receipt's. Two partitioned running sums build the
+    intervals; a part-keyed overlap join (never cross-part) extracts
+    matched quantities; the weighted unit cost is the FIFO cost of goods
+    sold. 1996 receipts vs 1997 issues on a part sample; the same plan
+    does LIFO by reversing one ordering."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_partkey") % 100 == 0) & (F.col("l_quantity") > 0)
+    )
+
+    def cum_frame(year, with_price):
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        qty = F.round(F.col("l_quantity")).cast("long")
+        base = li.filter(F.year("l_shipdate") == year)
+        cols = [
+            "l_partkey",
+            F.sum(qty).over(w).alias("end"),
+            (F.sum(qty).over(w) - qty).alias("start"),
+        ]
+        if with_price:
+            cols.append(
+                (F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                    "unit_price"
+                )
+            )
+        return base.select(*cols)
+
+    receipts = cum_frame(1996, True).select(
+        "l_partkey",
+        F.col("start").alias("r_start"),
+        F.col("end").alias("r_end"),
+        "unit_price",
+    )
+    issues = cum_frame(1997, False).select(
+        F.col("l_partkey").alias("i_part"),
+        F.col("start").alias("i_start"),
+        F.col("end").alias("i_end"),
+    )
+    matched = receipts.join(
+        issues,
+        (F.col("l_partkey") == F.col("i_part"))
+        & (F.col("r_start") < F.col("i_end"))
+        & (F.col("i_start") < F.col("r_end")),
+    ).select(
+        "l_partkey",
+        (
+            F.least(F.col("r_end"), F.col("i_end"))
+            - F.greatest(F.col("r_start"), F.col("i_start"))
+        ).alias("matched_qty"),
+        "unit_price",
+    )
+    return matched.groupBy("l_partkey").agg(
+        F.sum("matched_qty").alias("fifo_matched_units"),
+        F.round(
+            F.sum(F.col("matched_qty") * F.col("unit_price"))
+            / F.sum("matched_qty"),
+            4,
+        ).alias("fifo_unit_cost"),
+    )

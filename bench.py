@@ -307,6 +307,7 @@ HEADLINE = [
     "w_component_beta",
     "a_transition_entropy",
     "j_fifo_matching",
+    "a_cohens_kappa",
 ]
 
 

@@ -18733,3 +18733,135 @@ def j_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fifo_unit_cost"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 80 — inter-rater agreement (Cohen's kappa).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_cohens_kappa",
+    f"""
+    WITH rated AS (
+      SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS rater_a,
+             {{pred}} AS rater_b
+      FROM (
+        SELECT lang,
+               len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                   t -> list_contains({{stops}}, t))) AS s,
+               len(regexp_extract_all(lower(text), '[a-z]+')) AS n
+        FROM documents
+      )
+    ),
+    cells AS (
+      SELECT rater_a, rater_b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM rated GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT rater_a, rater_b, n,
+             SUM(n) OVER (PARTITION BY rater_a) AS n_a,
+             SUM(n) OVER (PARTITION BY rater_b) AS n_b,
+             SUM(n) OVER () AS total
+      FROM cells
+    ),
+    agree AS (
+      SELECT SUM(CASE WHEN rater_a = rater_b THEN n ELSE 0 END) * 1.0
+               / MAX(total) AS po,
+             MAX(total) AS total
+      FROM m
+    ),
+    marg_a AS (
+      SELECT rater_a AS cls, SUM(n) * 1.0 AS na, MAX(tt) AS total
+      FROM (SELECT rater_a, n, SUM(n) OVER () AS tt FROM cells) GROUP BY rater_a
+    ),
+    marg_b AS (
+      SELECT rater_b AS cls, SUM(n) * 1.0 AS nb FROM cells GROUP BY rater_b
+    ),
+    expected AS (
+      SELECT SUM(ma.na * mb.nb / (ma.total * ma.total)) AS pe
+      FROM marg_a ma JOIN marg_b mb ON ma.cls = mb.cls
+    )
+    SELECT ROUND(agree.po, 6) AS observed_agreement,
+           ROUND(expected.pe, 6) AS expected_agreement,
+           ROUND((agree.po - expected.pe) / (1 - expected.pe), 6) AS kappa,
+           CAST(agree.total AS BIGINT) AS n_items
+    FROM agree, expected
+    """.format(
+        pred="CASE WHEN s * 5 >= n THEN 'en' ELSE 'other' END",
+        stops="['the','a','of','and','to','in','is','it','that','for']",
+    ),
+)
+def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two 'raters' — the stored language label vs a
+    stopword-density classifier — the agreement statistic that CORRECTS
+    FOR CHANCE (raw percent agreement flatters any pair of raters who
+    both favor the majority class; kappa subtracts the agreement their
+    marginals would produce at random). The chance term Σ pₐ(c)·p_b(c)
+    comes from the contingency marginals; everything reduces from the
+    |classes|² cell table. This is the annotation-quality gate every
+    labeling pipeline runs before trusting human or model labels."""
+    docs = _t(spark, sf_dir, "documents")
+    stops = F.array(
+        *[
+            F.lit(x)
+            for x in ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+        ]
+    )
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    s = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    n = F.size(toks)
+    rated = docs.select(
+        F.when(F.col("lang") == "en", F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("rater_a"),
+        F.when(s * 5 >= n, F.lit("en")).otherwise(F.lit("other")).alias(
+            "rater_b"
+        ),
+    )
+    cells = rated.groupBy("rater_a", "rater_b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = cells.select(
+        "rater_a",
+        "rater_b",
+        "n",
+        F.sum("n").over(Window.partitionBy("rater_a")).alias("n_a"),
+        F.sum("n").over(Window.partitionBy("rater_b")).alias("n_b"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    ).persist()
+    agree = m.agg(
+        (
+            F.sum(
+                F.when(F.col("rater_a") == F.col("rater_b"), F.col("n")).otherwise(
+                    0
+                )
+            )
+            * 1.0
+            / F.max("total")
+        ).alias("po"),
+        F.max("total").alias("total"),
+    )
+    tot = cells.agg(F.sum("n").alias("tt"))
+    marg_a = cells.groupBy(F.col("rater_a").alias("cls")).agg(
+        F.sum("n").alias("na")
+    )
+    marg_b = cells.groupBy(F.col("rater_b").alias("cls")).agg(
+        F.sum("n").alias("nb")
+    )
+    expected = (
+        marg_a.join(marg_b, "cls")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("na") * F.col("nb") * 1.0 / (F.col("tt") * F.col("tt"))
+            ).alias("pe")
+        )
+    )
+    return agree.crossJoin(F.broadcast(expected)).select(
+        F.round("po", 6).alias("observed_agreement"),
+        F.round("pe", 6).alias("expected_agreement"),
+        F.round((F.col("po") - F.col("pe")) / (1 - F.col("pe")), 6).alias(
+            "kappa"
+        ),
+        F.col("total").cast("long").alias("n_items"),
+    )

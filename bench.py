@@ -308,6 +308,9 @@ HEADLINE = [
     "a_transition_entropy",
     "j_fifo_matching",
     "a_cohens_kappa",
+    # round-2 wave 81: EVT return level, frequency spectrum
+    "a_evt_return_level",
+    "a_frequency_spectrum",
 ]
 
 

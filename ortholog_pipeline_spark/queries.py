@@ -18865,3 +18865,117 @@ def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("total").cast("long").alias("n_items"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 81 — extreme-value theory (Gumbel block maxima) and the vocabulary
+# frequency spectrum.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_evt_return_level",
+    """
+    WITH monthly_max AS (
+      SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS m,
+             MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS mx
+      FROM lineitem GROUP BY 1
+    ),
+    fit AS (
+      SELECT AVG(mx) AS mean_max, STDDEV_SAMP(mx) AS sd_max,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks
+      FROM monthly_max
+    )
+    SELECT ROUND(mean_max, 2) AS mean_block_max,
+           ROUND(sd_max * SQRT(6) / PI(), 4) AS gumbel_beta,
+           ROUND(mean_max - 0.5772156649 * sd_max * SQRT(6) / PI(), 2)
+             AS gumbel_mu,
+           ROUND(mean_max - 0.5772156649 * sd_max * SQRT(6) / PI()
+                 - sd_max * SQRT(6) / PI() * LN(-LN(1 - 1.0 / 120)), 2)
+             AS return_level_120mo,
+           n_blocks
+    FROM fit
+    """,
+)
+def a_evt_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis by block maxima: monthly maxima of line
+    revenue fit to a Gumbel distribution by the method of moments
+    (β = σ√6/π, μ = x̄ − γβ with Euler-Mascheroni γ), then inverted for
+    the 120-month RETURN LEVEL — 'the largest line we should expect once
+    a decade', the number capacity planning and risk limits actually need
+    (means and percentiles of the body say nothing about it; EVT's whole
+    point is that maxima have their own distribution). Block maxima are a
+    per-month MAX — one rollup, one moment fold, closed-form inversion."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly_max = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate").cast("date")).alias("m")
+    ).agg(
+        (F.max(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0).alias(
+            "mx"
+        )
+    )
+    fit = monthly_max.agg(
+        F.avg("mx").alias("mean_max"),
+        F.stddev_samp("mx").alias("sd_max"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+    import math
+
+    beta = F.col("sd_max") * math.sqrt(6) / math.pi
+    gamma = 0.5772156649
+    mu = F.col("mean_max") - gamma * beta
+    rl = mu - beta * F.log(-F.log(F.lit(1 - 1.0 / 120)))
+    return fit.select(
+        F.round("mean_max", 2).alias("mean_block_max"),
+        F.round(beta, 4).alias("gumbel_beta"),
+        F.round(mu, 2).alias("gumbel_mu"),
+        F.round(rl, 2).alias("return_level_120mo"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+    )
+
+
+@register(
+    "a_frequency_spectrum",
+    """
+    WITH tf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ),
+    spectrum AS (
+      SELECT LEAST(freq, 6) AS k, CAST(COUNT(*) AS BIGINT) AS v_k
+      FROM tf GROUP BY 1
+    ),
+    tot AS (SELECT SUM(v_k) AS v FROM spectrum)
+    SELECT CAST(k AS BIGINT) AS freq_class,
+           v_k AS n_types,
+           ROUND(v_k * 1.0 / tot.v, 6) AS type_share
+    FROM spectrum, tot
+    """,
+)
+def a_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency spectrum V(k) — how many types occur exactly k times
+    (k capped at 6+, the LNRE convention): the input to Good-Turing
+    smoothing (V(1)/N is the unseen-mass estimate), to vocabulary-growth
+    extrapolation, and the generalization of the hapax ratio to the whole
+    low-frequency tail. One term-frequency aggregate then a 6-row
+    histogram of the vocabulary table."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    spectrum = tf.groupBy(
+        F.least(F.col("freq"), F.lit(6)).alias("k")
+    ).agg(F.count(F.lit(1)).alias("v_k"))
+    tot = spectrum.agg(F.sum("v_k").alias("v"))
+    return spectrum.crossJoin(F.broadcast(tot)).select(
+        F.col("k").cast("long").alias("freq_class"),
+        F.col("v_k").alias("n_types"),
+        F.round(F.col("v_k") * 1.0 / F.col("v"), 6).alias("type_share"),
+    )

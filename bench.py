@@ -311,6 +311,7 @@ HEADLINE = [
     # round-2 wave 81: EVT return level, frequency spectrum
     "a_evt_return_level",
     "a_frequency_spectrum",
+    "text_textrank_keywords",
 ]
 
 

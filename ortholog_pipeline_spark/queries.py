@@ -18979,3 +18979,95 @@ def a_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_k").alias("n_types"),
         F.round(F.col("v_k") * 1.0 / F.col("v"), 6).alias("type_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 82 — TextRank keyword extraction (PageRank over the word graph).
+# ---------------------------------------------------------------------------
+
+
+_TEXTRANK_EDGES_SQL = """
+      SELECT w1 AS src, w2 AS dst FROM (
+        SELECT DISTINCT ts[i] AS w1, ts[i + 1] AS w2
+        FROM (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ts
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i)
+        WHERE ts[i] <> ts[i + 1]
+      )
+      UNION
+      SELECT w2, w1 FROM (
+        SELECT DISTINCT ts[i] AS w1, ts[i + 1] AS w2
+        FROM (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ts
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i)
+        WHERE ts[i] <> ts[i + 1]
+      )
+"""
+
+
+@register(
+    "text_textrank_keywords",
+    f"""
+    WITH edges AS ({_TEXTRANK_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    {_PAGERANK_ITER_SQL.format(k=1, p=0)},
+    {_PAGERANK_ITER_SQL.format(k=2, p=1)},
+    {_PAGERANK_ITER_SQL.format(k=3, p=2)},
+    ranked AS (
+      SELECT node AS keyword, r AS rank_scaled,
+             ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rnk
+      FROM r3
+    )
+    SELECT keyword, rank_scaled, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 15
+    """,
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction — PageRank over the word-adjacency graph
+    (distinct undirected bigram edges): a word is important if important
+    words stand next to it, the graph-centrality upgrade over raw
+    frequency (TF-IDF can't see that a mid-frequency word bridges many
+    contexts). Reuses the exact-integer fixed-point PageRank operator, so
+    ranks are bit-reproducible across engines and cluster layouts — the
+    oracle replays the identical integer trajectory through the same
+    unrolled CTEs as g_pagerank_fixedpoint. Top-15 keywords on the
+    deterministic integer ranks."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("pos", "tok"),
+    )
+    a = toks.select(
+        "doc_id",
+        (F.col("pos") + 1).alias("pnext"),
+        F.col("tok").alias("w1"),
+    )
+    b = toks.select("doc_id", F.col("pos").alias("p2"), F.col("tok").alias("w2"))
+    bigrams = (
+        a.join(b, (a["doc_id"] == b["doc_id"]) & (a["pnext"] == b["p2"]))
+        .filter(F.col("w1") != F.col("w2"))
+        .select("w1", "w2")
+        .distinct()
+    )
+    edges = (
+        bigrams.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionByName(
+            bigrams.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+        )
+        .distinct()
+    )
+    ranks = G.pagerank_fixed_point(edges, iters=3)
+    w = Window.orderBy(F.col("rank_scaled").desc(), "node")
+    return (
+        ranks.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 15)
+        .select(
+            F.col("node").alias("keyword"),
+            "rank_scaled",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -312,6 +312,9 @@ HEADLINE = [
     "a_evt_return_level",
     "a_frequency_spectrum",
     "text_textrank_keywords",
+    # round-2 wave 83: modularity, Ljung-Box
+    "g_modularity",
+    "w_ljung_box",
 ]
 
 

@@ -19071,3 +19071,227 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Wave 83 — community quality (modularity) and residual whiteness
+# (Ljung-Box portmanteau).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_modularity",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT LEAST(l_orderkey % 2000, l_partkey % 2000) AS u,
+             GREATEST(l_orderkey % 2000, l_partkey % 2000) AS v
+      FROM lineitem
+      WHERE l_orderkey % 2000 != l_partkey % 2000
+        AND (l_orderkey * 31 + l_partkey) % 13 = 0
+    ),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    l0 AS (SELECT DISTINCT u AS node, u AS lab FROM e),
+    v1 AS (
+      SELECT e.u AS node, l.lab, COUNT(*) AS cnt FROM e
+      JOIN l0 l ON e.v = l.node GROUP BY e.u, l.lab
+    ),
+    l1 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+        FROM v1) WHERE rn = 1
+    ),
+    v2 AS (
+      SELECT e.u AS node, l.lab, COUNT(*) AS cnt FROM e
+      JOIN l1 l ON e.v = l.node GROUP BY e.u, l.lab
+    ),
+    l2 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+        FROM v2) WHERE rn = 1
+    ),
+    v3 AS (
+      SELECT e.u AS node, l.lab, COUNT(*) AS cnt FROM e
+      JOIN l2 l ON e.v = l.node GROUP BY e.u, l.lab
+    ),
+    l3 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+        FROM v3) WHERE rn = 1
+    ),
+    m_edges AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+    intra AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS e_in
+      FROM e0
+      JOIN l3 la ON e0.u = la.node
+      JOIN l3 lb ON e0.v = lb.node
+      WHERE la.lab = lb.lab
+    ),
+    degs AS (
+      SELECT l3.lab, CAST(COUNT(*) AS BIGINT) AS d_c
+      FROM e JOIN l3 ON e.u = l3.node GROUP BY l3.lab
+    )
+    SELECT ROUND((SELECT e_in FROM intra) * 1.0 / (SELECT m FROM m_edges)
+                 - SUM(d_c * d_c * 1.0)
+                   / (4.0 * (SELECT m FROM m_edges) * (SELECT m FROM m_edges)), 6)
+             AS modularity,
+           CAST((SELECT e_in FROM intra) AS BIGINT) AS intra_edges,
+           CAST((SELECT m FROM m_edges) AS BIGINT) AS total_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities
+    FROM degs
+    """,
+)
+def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the label-propagation communities — the
+    quality number that turns 'we found communities' into 'the communities
+    are real': Q = e_in/m − Σ(d_c/2m)², positive when intra-community
+    edge mass beats the degree-preserving random expectation (Q near 0 =
+    the partition is noise). Replays g_label_propagation's exact 3 rounds
+    (same tie-breaks, same labels) then adds one intra-edge join and one
+    degree-per-community aggregate — evaluating a partition is two
+    aggregates once the labels exist."""
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter((F.col("l_orderkey") * 31 + F.col("l_partkey")) % 13 == 0)
+        .select(
+            F.least(F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000).alias(
+                "u"
+            ),
+            F.greatest(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    e = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = e.select(F.col("u").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    for _ in range(3):
+        votes = (
+            e.join(labels, e["v"] == labels["node"])
+            .groupBy(F.col("u").alias("nd"), "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("nd").orderBy(F.col("cnt").desc(), F.col("lab"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("nd").alias("node"), "lab")
+            .persist()
+        )
+    m_edges = e0.agg(F.count(F.lit(1)).alias("m"))
+    la = labels.select(F.col("node").alias("u"), F.col("lab").alias("lab_u"))
+    lb = labels.select(F.col("node").alias("v"), F.col("lab").alias("lab_v"))
+    intra = (
+        e0.join(F.broadcast(la), "u")
+        .join(F.broadcast(lb), "v")
+        .filter(F.col("lab_u") == F.col("lab_v"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    degs = (
+        e.join(F.broadcast(labels), e["u"] == labels["node"])
+        .groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    return (
+        degs.agg(
+            F.sum(F.col("d_c") * F.col("d_c") * 1.0).alias("sum_d2"),
+            F.count(F.lit(1)).alias("n_communities"),
+        )
+        .crossJoin(F.broadcast(m_edges))
+        .crossJoin(F.broadcast(intra))
+        .select(
+            F.round(
+                F.col("e_in") * 1.0 / F.col("m")
+                - F.col("sum_d2") / (4.0 * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity"),
+            F.col("e_in").cast("long").alias("intra_edges"),
+            F.col("m").cast("long").alias("total_edges"),
+            F.col("n_communities").cast("long").alias("n_communities"),
+        )
+    )
+
+
+@register(
+    "w_ljung_box",
+    """
+    WITH daily AS (
+      SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT l_returnflag, cents / 100.0 AS x,
+             LAG(cents, 1) OVER w / 100.0 AS x1,
+             LAG(cents, 2) OVER w / 100.0 AS x2,
+             LAG(cents, 3) OVER w / 100.0 AS x3
+      FROM daily WINDOW w AS (PARTITION BY l_returnflag ORDER BY d)
+    ),
+    acf AS (
+      SELECT l_returnflag, CORR(x, x1) AS r1, CORR(x, x2) AS r2,
+             CORR(x, x3) AS r3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lagged GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND(n * (n + 2.0) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+                                  + r3 * r3 / (n - 3)), 4) AS q_stat,
+           CASE WHEN n * (n + 2.0) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+                                      + r3 * r3 / (n - 3)) > 7.815
+                THEN 'AUTOCORRELATED' ELSE 'WHITE' END AS verdict,
+           n AS n_days
+    FROM acf
+    """,
+)
+def w_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (lags 1-3): Q = n(n+2)Σ ρ²ₖ/(n−k) against
+    χ²(3) at 5% (7.815) — the joint 'is there ANY autocorrelation' test
+    that individual ACF spikes can't give (three marginal ρ's each at 1.5σ
+    jointly reject; Q aggregates the evidence), and the standard residual
+    whiteness check after fitting any time-series model. Same
+    rollup + lag + corr dataflow as w_acf_daily with one extra arithmetic
+    row."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("d")
+    lagged = daily.select(
+        "l_returnflag",
+        (F.col("cents") / 100.0).alias("x"),
+        (F.lag("cents", 1).over(w) / 100.0).alias("x1"),
+        (F.lag("cents", 2).over(w) / 100.0).alias("x2"),
+        (F.lag("cents", 3).over(w) / 100.0).alias("x3"),
+    )
+    acf = lagged.groupBy("l_returnflag").agg(
+        F.corr("x", "x1").alias("r1"),
+        F.corr("x", "x2").alias("r2"),
+        F.corr("x", "x3").alias("r3"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    q = (
+        F.col("n")
+        * (F.col("n") + 2.0)
+        * (
+            F.col("r1") * F.col("r1") / (F.col("n") - 1)
+            + F.col("r2") * F.col("r2") / (F.col("n") - 2)
+            + F.col("r3") * F.col("r3") / (F.col("n") - 3)
+        )
+    )
+    return acf.select(
+        "l_returnflag",
+        F.round(q, 4).alias("q_stat"),
+        F.when(q > 7.815, F.lit("AUTOCORRELATED"))
+        .otherwise(F.lit("WHITE"))
+        .alias("verdict"),
+        F.col("n").alias("n_days"),
+    )

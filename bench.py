@@ -315,6 +315,7 @@ HEADLINE = [
     # round-2 wave 83: modularity, Ljung-Box
     "g_modularity",
     "w_ljung_box",
+    "a_cuped_adjustment",
 ]
 
 

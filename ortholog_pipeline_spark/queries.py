@@ -19295,3 +19295,97 @@ def w_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("verdict"),
         F.col("n").alias("n_days"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 84 — CUPED variance reduction for experiments.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_cuped_adjustment",
+    """
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                  THEN 0 ELSE 1 END AS treated,
+             SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN value ELSE 0 END) AS pre,
+             SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                      THEN value ELSE 0 END) AS post
+      FROM events GROUP BY user_id
+    ),
+    theta AS (
+      SELECT COVAR_SAMP(pre, post) / VAR_SAMP(pre) AS th,
+             AVG(pre) AS mean_pre
+      FROM users
+    ),
+    adj AS (
+      SELECT treated, post,
+             post - th * (pre - mean_pre) AS post_adj
+      FROM users, theta
+    )
+    SELECT ROUND(AVG(CASE WHEN treated = 1 THEN post END)
+                 - AVG(CASE WHEN treated = 0 THEN post END), 4) AS raw_effect,
+           ROUND(AVG(CASE WHEN treated = 1 THEN post_adj END)
+                 - AVG(CASE WHEN treated = 0 THEN post_adj END), 4)
+             AS cuped_effect,
+           ROUND(VAR_SAMP(post_adj) / VAR_SAMP(post), 6)
+             AS variance_ratio,
+           ROUND(1 - VAR_SAMP(post_adj) / VAR_SAMP(post), 6)
+             AS variance_reduction
+    FROM adj
+    """,
+)
+def a_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data): adjust each
+    user's experiment-period outcome by θ·(pre − mean_pre) with
+    θ = cov(pre, post)/var(pre) — the regression adjustment that removes
+    the variance explained by pre-period behavior, shrinking the
+    estimator's variance by corr² (the variance_reduction column) WITHOUT
+    biasing the effect (pre-period data is independent of assignment by
+    construction). The single highest-leverage trick in modern
+    experimentation — days of runtime saved for one covariance. One user
+    aggregate, one 1-row θ broadcast, one adjusted fold."""
+    ev = _t(spark, sf_dir, "events")
+    treated = F.when(
+        F.pmod(
+            DD.hex_hash64(F.concat(F.lit("ab"), F.col("user_id").cast("string"))),
+            F.lit(2),
+        )
+        == 0,
+        0,
+    ).otherwise(1)
+    cutoff = F.lit("2024-01-16").cast("date")
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts").cast("date") < cutoff, F.col("value")).otherwise(0.0)
+        ).alias("pre"),
+        F.sum(
+            F.when(F.col("ts").cast("date") >= cutoff, F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("post"),
+    ).select("user_id", treated.alias("treated"), "pre", "post").persist()
+    theta = users.agg(
+        (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("th"),
+        F.avg("pre").alias("mean_pre"),
+    )
+    adj = users.crossJoin(F.broadcast(theta)).select(
+        "treated",
+        "post",
+        (
+            F.col("post") - F.col("th") * (F.col("pre") - F.col("mean_pre"))
+        ).alias("post_adj"),
+    )
+    t_avg = lambda c: F.avg(F.when(F.col("treated") == 1, F.col(c)))  # noqa: E731
+    c_avg = lambda c: F.avg(F.when(F.col("treated") == 0, F.col(c)))  # noqa: E731
+    return adj.agg(
+        F.round(t_avg("post") - c_avg("post"), 4).alias("raw_effect"),
+        F.round(t_avg("post_adj") - c_avg("post_adj"), 4).alias("cuped_effect"),
+        F.round(F.var_samp("post_adj") / F.var_samp("post"), 6).alias(
+            "variance_ratio"
+        ),
+        F.round(1 - F.var_samp("post_adj") / F.var_samp("post"), 6).alias(
+            "variance_reduction"
+        ),
+    )

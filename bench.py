@@ -316,6 +316,7 @@ HEADLINE = [
     "g_modularity",
     "w_ljung_box",
     "a_cuped_adjustment",
+    "a_sprt_check",
 ]
 
 

@@ -19389,3 +19389,114 @@ def a_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variance_reduction"
         ),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 85 — sequential probability ratio test (SPRT) readout.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_sprt_check",
+    """
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                  THEN 0 ELSE 1 END AS treated,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 360
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    rates AS (
+      SELECT SUM(CASE WHEN treated = 0 THEN converted ELSE 0 END) * 1.0
+               / SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS p0,
+             CAST(SUM(CASE WHEN treated = 1 THEN converted ELSE 0 END) AS BIGINT)
+               AS k_t,
+             CAST(SUM(treated) AS BIGINT) AS n_t
+      FROM users
+    ),
+    clamped AS (
+      SELECT k_t, n_t, GREATEST(0.001, LEAST(0.99, p0)) AS p0 FROM rates
+    ),
+    llr AS (
+      SELECT k_t, n_t, p0, LEAST(0.999, p0 * 1.25) AS p1,
+             k_t * LN(LEAST(0.999, p0 * 1.25) / p0)
+             + (n_t - k_t) * LN((1 - LEAST(0.999, p0 * 1.25)) / (1 - p0))
+               AS log_lr
+      FROM clamped
+    )
+    SELECT ROUND(log_lr, 4) AS log_likelihood_ratio,
+           ROUND(LN(0.2 / 0.95), 4) AS lower_boundary,
+           ROUND(LN(0.8 / 0.05), 4) AS upper_boundary,
+           CASE WHEN log_lr >= LN(0.8 / 0.05) THEN 'ACCEPT_H1_LIFT'
+                WHEN log_lr <= LN(0.2 / 0.95) THEN 'ACCEPT_H0_NO_LIFT'
+                ELSE 'CONTINUE_SAMPLING' END AS decision,
+           ROUND(p0, 6) AS control_rate, k_t AS treatment_conversions,
+           n_t AS treatment_n
+    FROM llr
+    """,
+)
+def a_sprt_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT readout for the conversion experiment: the cumulative
+    log-likelihood ratio of H₁ (25% relative lift) vs H₀ (control rate)
+    over the treatment arm's Bernoulli outcomes, against the
+    α=0.05/β=0.2 decision boundaries ln(β/(1−α)) and ln((1−β)/α).
+    Sequential testing is how experiments STOP EARLY without p-hacking —
+    the boundaries are valid at every interim look, unlike a repeatedly
+    peeked z-test. The LLR is one conditional aggregate; on a stream this
+    exact query runs per micro-batch and the decision column is the
+    stopping rule."""
+    ev = _t(spark, sf_dir, "events")
+    treated = F.when(
+        F.pmod(
+            DD.hex_hash64(F.concat(F.lit("ab"), F.col("user_id").cast("string"))),
+            F.lit(2),
+        )
+        == 0,
+        0,
+    ).otherwise(1)
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 360), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(treated.alias("treated"), "converted")
+    rates = users.agg(
+        (
+            F.sum(F.when(F.col("treated") == 0, F.col("converted")).otherwise(0))
+            * 1.0
+            / F.sum(F.when(F.col("treated") == 0, 1).otherwise(0))
+        ).alias("p0_raw"),
+        F.sum(
+            F.when(F.col("treated") == 1, F.col("converted")).otherwise(0)
+        ).alias("k_t"),
+        F.sum("treated").alias("n_t"),
+    ).select(
+        # clamp the control rate away from {0, 1}: a degenerate rate makes
+        # the likelihood ratio undefined (ln 0) -- standard SPRT smoothing
+        F.greatest(F.lit(0.001), F.least(F.lit(0.99), F.col("p0_raw"))).alias(
+            "p0"
+        ),
+        "k_t",
+        "n_t",
+    )
+    import math
+
+    p1 = F.least(F.lit(0.999), F.col("p0") * 1.25)
+    llr = F.col("k_t") * F.log(p1 / F.col("p0")) + (
+        F.col("n_t") - F.col("k_t")
+    ) * F.log((1 - p1) / (1 - F.col("p0")))
+    lo = math.log(0.2 / 0.95)
+    hi = math.log(0.8 / 0.05)
+    return rates.select(
+        F.round(llr, 4).alias("log_likelihood_ratio"),
+        F.round(F.lit(lo), 4).alias("lower_boundary"),
+        F.round(F.lit(hi), 4).alias("upper_boundary"),
+        F.when(llr >= hi, F.lit("ACCEPT_H1_LIFT"))
+        .when(llr <= lo, F.lit("ACCEPT_H0_NO_LIFT"))
+        .otherwise(F.lit("CONTINUE_SAMPLING"))
+        .alias("decision"),
+        F.round("p0", 6).alias("control_rate"),
+        F.col("k_t").cast("long").alias("treatment_conversions"),
+        F.col("n_t").cast("long").alias("treatment_n"),
+    )

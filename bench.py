@@ -317,6 +317,7 @@ HEADLINE = [
     "w_ljung_box",
     "a_cuped_adjustment",
     "a_sprt_check",
+    "a_beta_binomial_shrinkage",
 ]
 
 

@@ -19500,3 +19500,85 @@ def a_sprt_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k_t").cast("long").alias("treatment_conversions"),
         F.col("n_t").cast("long").alias("treatment_n"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 86 — empirical-Bayes rate shrinkage (beta-binomial).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_beta_binomial_shrinkage",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    ),
+    moments AS (
+      SELECT AVG(k * 1.0 / n) AS mu,
+             GREATEST(VAR_SAMP(k * 1.0 / n), 0.0000001) AS v
+      FROM seg
+    ),
+    prior AS (
+      SELECT mu, v,
+             GREATEST(0.1, mu * (mu * (1 - mu) / v - 1)) AS alpha,
+             GREATEST(0.1, (1 - mu) * (mu * (1 - mu) / v - 1)) AS beta
+      FROM moments
+    )
+    SELECT segment, n, k,
+           ROUND(k * 1.0 / n, 6) AS raw_rate,
+           ROUND((k + alpha) / (n + alpha + beta), 6) AS shrunk_rate,
+           ROUND(alpha, 4) AS prior_alpha, ROUND(beta, 4) AS prior_beta
+    FROM seg, prior
+    """,
+)
+def a_beta_binomial_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-binomial empirical-Bayes shrinkage of per-segment urgent-order
+    rates (the 'batting average' estimator): fit a Beta prior to the
+    observed rate spread by method of moments (α+β is the prior's
+    pseudo-count strength — the data itself decides how much to trust
+    small segments), then posterior-mean each rate as (k+α)/(n+α+β).
+    James-Stein (a_james_stein_means) is this idea for Gaussian means;
+    the beta-binomial version is the right one for RATES because its
+    shrinkage respects [0,1]. One join-aggregate, one 1-row moment fit
+    broadcast back."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    seg = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("k"),
+        )
+        .persist()
+    )
+    moments = seg.agg(
+        F.avg(F.col("k") * 1.0 / F.col("n")).alias("mu"),
+        F.greatest(
+            F.var_samp(F.col("k") * 1.0 / F.col("n")), F.lit(0.0000001)
+        ).alias("v"),
+    )
+    strength = F.col("mu") * (1 - F.col("mu")) / F.col("v") - 1
+    prior = moments.select(
+        F.greatest(F.lit(0.1), F.col("mu") * strength).alias("alpha"),
+        F.greatest(F.lit(0.1), (1 - F.col("mu")) * strength).alias("beta"),
+    )
+    return seg.crossJoin(F.broadcast(prior)).select(
+        "segment",
+        "n",
+        "k",
+        F.round(F.col("k") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+        F.round(
+            (F.col("k") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta")),
+            6,
+        ).alias("shrunk_rate"),
+        F.round("alpha", 4).alias("prior_alpha"),
+        F.round("beta", 4).alias("prior_beta"),
+    )

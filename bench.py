@@ -318,6 +318,9 @@ HEADLINE = [
     "a_cuped_adjustment",
     "a_sprt_check",
     "a_beta_binomial_shrinkage",
+    # round-2 wave 87: reliability, proportion interval
+    "a_cronbach_alpha",
+    "a_wilson_ci",
 ]
 
 

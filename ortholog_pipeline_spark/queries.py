@@ -19582,3 +19582,133 @@ def a_beta_binomial_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("alpha", 4).alias("prior_alpha"),
         F.round("beta", 4).alias("prior_beta"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 87 — scale reliability (Cronbach's alpha) and the Wilson proportion
+# interval.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_cronbach_alpha",
+    """
+    WITH items AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1.0 AS i1,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 1.0 AS i2,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1.0 AS i3,
+             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 1.0 AS i4
+      FROM events GROUP BY user_id
+    )
+    SELECT ROUND(4.0 / 3.0 * (1 - (VAR_SAMP(i1) + VAR_SAMP(i2)
+                                    + VAR_SAMP(i3) + VAR_SAMP(i4))
+                              / VAR_SAMP(i1 + i2 + i3 + i4)), 6)
+             AS cronbach_alpha,
+           ROUND(VAR_SAMP(i1 + i2 + i3 + i4), 4) AS total_variance,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM items
+    """,
+)
+def a_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over a 4-item engagement 'scale' (per-user click /
+    view / purchase / signup counts): α = k/(k−1)·(1 − Σσᵢ²/σ_total²) —
+    internal-consistency reliability, near 1 when the items move together
+    (a coherent construct worth averaging into one engagement score),
+    near 0 when summing them is numerology. The psychometrics gate that
+    applies equally to composite KPIs and multi-signal quality scores.
+    One per-user pivot aggregate, one variance fold."""
+    ev = _t(spark, sf_dir, "events")
+
+    def item(t):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)) * 1.0
+
+    items = ev.groupBy("user_id").agg(
+        item("click").alias("i1"),
+        item("view").alias("i2"),
+        item("purchase").alias("i3"),
+        item("signup").alias("i4"),
+    )
+    total = F.col("i1") + F.col("i2") + F.col("i3") + F.col("i4")
+    return items.select("i1", "i2", "i3", "i4", total.alias("tot")).agg(
+        F.round(
+            4.0
+            / 3.0
+            * (
+                1
+                - (
+                    F.var_samp("i1")
+                    + F.var_samp("i2")
+                    + F.var_samp("i3")
+                    + F.var_samp("i4")
+                )
+                / F.var_samp("tot")
+            ),
+            6,
+        ).alias("cronbach_alpha"),
+        F.round(F.var_samp("tot"), 4).alias("total_variance"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+@register(
+    "a_wilson_ci",
+    """
+    WITH users AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 360
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(SUM(converted) AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM users
+    )
+    SELECT ROUND(k * 1.0 / n, 6) AS rate,
+           ROUND((k * 1.0 / n + 1.9208 / n
+                  - 1.96 * SQRT((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) + 0.0 AS wilson_lo,
+           ROUND((k * 1.0 / n + 1.9208 / n
+                  + 1.96 * SQRT((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_hi,
+           k AS conversions, n AS n_users
+    FROM s
+    """,
+)
+def a_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for the conversion rate — the proportion CI
+    that behaves at the edges where the naive Wald interval
+    p̂ ± 1.96√(p̂(1−p̂)/n) fails (Wald collapses to width zero at p̂ ∈ {0,1}
+    and routinely escapes [0,1]; Wilson never does, which is why it's the
+    default in every serious A/B tool). Closed form with z = 1.96
+    (z² = 3.8416 folded into the constants); one per-user collapse and a
+    1-row fold."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 360), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    s = users.agg(
+        F.sum("converted").alias("k"), F.count(F.lit(1)).alias("n")
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    z2 = 3.8416
+    center = p + z2 / (2 * F.col("n"))
+    half = 1.96 * F.sqrt(
+        p * (1 - p) / F.col("n") + z2 / (4 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z2 / F.col("n")
+    return s.select(
+        F.round(p, 6).alias("rate"),
+        # + 0.0 canonicalizes IEEE negative zero (DuckDB rounds the exact-0
+        # lower bound to -0.0, Spark to 0.0 -- observed hash mismatch)
+        (F.round((center - half) / denom, 6) + 0.0).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+        F.col("k").cast("long").alias("conversions"),
+        F.col("n").cast("long").alias("n_users"),
+    )

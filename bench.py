@@ -321,6 +321,7 @@ HEADLINE = [
     # round-2 wave 87: reliability, proportion interval
     "a_cronbach_alpha",
     "a_wilson_ci",
+    "a_mcc_at_threshold",
 ]
 
 

@@ -19712,3 +19712,110 @@ def a_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("conversions"),
         F.col("n").cast("long").alias("n_users"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 88 — Matthews correlation and balanced accuracy at the chosen
+# operating point.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_mcc_at_threshold",
+    """
+    WITH scored AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    per_score AS (
+      SELECT score, CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score,
+             SUM(n_pos) OVER w AS tp, SUM(n_neg) OVER w AS fp,
+             SUM(n_pos) OVER () AS p, SUM(n_neg) OVER () AS neg
+      FROM per_score
+      WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+    ),
+    best AS (
+      SELECT tp, fp, p - tp AS fn, neg - fp AS tn
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          ORDER BY CAST(ROUND(2.0 * tp / (2.0 * tp + fp + (p - tp)) * 1000000)
+                        AS BIGINT) DESC, score) AS rn
+        FROM cum
+      ) WHERE rn = 1
+    )
+    SELECT ROUND((tp * tn - fp * fn)
+                 / SQRT((tp + fp) * 1.0 * (tp + fn) * (tn + fp) * (tn + fn)), 6)
+             AS mcc,
+           ROUND(0.5 * (tp * 1.0 / (tp + fn) + tn * 1.0 / (tn + fp)), 6)
+             AS balanced_accuracy,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn
+    FROM best
+    """,
+)
+def a_mcc_at_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient and balanced accuracy at the
+    max-F1 operating point (the same sweep as a_f1_threshold): MCC is the
+    2×2 metric that uses ALL FOUR cells — a classifier predicting the
+    majority class gets F1 and accuracy credit but MCC ≈ 0, which is why
+    reviewers increasingly demand it; balanced accuracy is the
+    class-prior-free companion. Same bounded per-distinct-score
+    cumulative dataflow, one more arithmetic row at the selected cut."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.partitionBy()
+    cum = per_score.select(
+        "score",
+        F.sum("n_pos").over(w).alias("tp"),
+        F.sum("n_neg").over(w).alias("fp"),
+        F.sum("n_pos").over(wa).alias("p"),
+        F.sum("n_neg").over(wa).alias("neg"),
+    )
+    f1 = 2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + (F.col("p") - F.col("tp")))
+    w_rn = Window.orderBy(
+        F.round(f1 * 1000000).cast("long").desc(), F.col("score")
+    )
+    best = (
+        cum.withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "tp",
+            "fp",
+            (F.col("p") - F.col("tp")).alias("fn"),
+            (F.col("neg") - F.col("fp")).alias("tn"),
+        )
+    )
+    mcc = (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")) / F.sqrt(
+        (F.col("tp") + F.col("fp"))
+        * 1.0
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+    )
+    bacc = 0.5 * (
+        F.col("tp") * 1.0 / (F.col("tp") + F.col("fn"))
+        + F.col("tn") * 1.0 / (F.col("tn") + F.col("fp"))
+    )
+    return best.select(
+        F.round(mcc, 6).alias("mcc"),
+        F.round(bacc, 6).alias("balanced_accuracy"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+    )

@@ -322,6 +322,7 @@ HEADLINE = [
     "a_cronbach_alpha",
     "a_wilson_ci",
     "a_mcc_at_threshold",
+    "a_permutation_test",
 ]
 
 

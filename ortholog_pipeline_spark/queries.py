@@ -19819,3 +19819,119 @@ def a_mcc_at_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fn").cast("long").alias("fn"),
         F.col("tn").cast("long").alias("tn"),
     )
+
+# ---------------------------------------------------------------------------
+# Wave 89 — permutation test (resampling p-value).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_permutation_test",
+    """
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                  THEN 0 ELSE 1 END AS treated,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    observed AS (
+      SELECT AVG(CASE WHEN treated = 1 THEN cents END)
+             - AVG(CASE WHEN treated = 0 THEN cents END) AS d_obs
+      FROM users
+    ),
+    perms AS (SELECT unnest(generate_series(1, 40)) AS b),
+    relabeled AS (
+      SELECT perms.b, u.cents,
+             CASE WHEN CAST(('0x' || substr(md5('pm' || CAST(perms.b AS VARCHAR) || '_' || CAST(u.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                  THEN 0 ELSE 1 END AS fake_arm
+      FROM users u, perms
+    ),
+    null_dist AS (
+      SELECT b,
+             AVG(CASE WHEN fake_arm = 1 THEN cents END)
+             - AVG(CASE WHEN fake_arm = 0 THEN cents END) AS d_null
+      FROM relabeled GROUP BY b
+    )
+    SELECT ROUND((SELECT d_obs FROM observed) / 100.0, 4) AS observed_diff,
+           CAST(SUM(CASE WHEN ABS(d_null) >= ABS((SELECT d_obs FROM observed))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+           ROUND((SUM(CASE WHEN ABS(d_null) >= ABS((SELECT d_obs FROM observed))
+                           THEN 1 ELSE 0 END) + 1.0) / (COUNT(*) + 1), 4)
+             AS permutation_p,
+           CAST(COUNT(*) AS BIGINT) AS n_permutations
+    FROM null_dist
+    """,
+)
+def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the experiment effect: 40 hash-derived random
+    RELABELINGS of users into fake arms build the null distribution of the
+    mean difference, and the p-value is the (add-one-smoothed) fraction of
+    null draws at least as extreme as the observed difference — the
+    inference that needs NO normality, NO variance formula, and is exact
+    under the sharp null (the same exchangeability the real assignment
+    had). Completes the resampling family: bootstrap gives the CI
+    (a_ab_bootstrap_ci), permutation gives the p-value, both on the same
+    portable md5 draws. One user collapse, a 40x relabel explode with
+    map-side combine, a 40-row fold."""
+    ev = _t(spark, sf_dir, "events")
+    treated = F.when(
+        F.pmod(
+            DD.hex_hash64(F.concat(F.lit("ab"), F.col("user_id").cast("string"))),
+            F.lit(2),
+        )
+        == 0,
+        0,
+    ).otherwise(1)
+    users = ev.groupBy("user_id").agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    ).select("user_id", treated.alias("treated"), "cents").persist()
+    observed = users.agg(
+        (
+            F.avg(F.when(F.col("treated") == 1, F.col("cents")))
+            - F.avg(F.when(F.col("treated") == 0, F.col("cents")))
+        ).alias("d_obs")
+    )
+    relabeled = users.select(
+        "cents",
+        "user_id",
+        F.explode(F.sequence(F.lit(1), F.lit(40))).alias("b"),
+    ).select(
+        "b",
+        "cents",
+        F.when(
+            F.pmod(
+                DD.hex_hash64(
+                    F.concat(
+                        F.lit("pm"),
+                        F.col("b").cast("string"),
+                        F.lit("_"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                F.lit(2),
+            )
+            == 0,
+            0,
+        )
+        .otherwise(1)
+        .alias("fake_arm"),
+    )
+    null_dist = relabeled.groupBy("b").agg(
+        (
+            F.avg(F.when(F.col("fake_arm") == 1, F.col("cents")))
+            - F.avg(F.when(F.col("fake_arm") == 0, F.col("cents")))
+        ).alias("d_null")
+    )
+    j = null_dist.crossJoin(F.broadcast(observed))
+    extreme = F.sum(
+        F.when(F.abs(F.col("d_null")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+    )
+    return j.agg(
+        F.round(F.max("d_obs") / 100.0, 4).alias("observed_diff"),
+        extreme.alias("n_as_extreme"),
+        F.round((extreme + 1.0) / (F.count(F.lit(1)) + 1), 4).alias(
+            "permutation_p"
+        ),
+        F.count(F.lit(1)).alias("n_permutations"),
+    )

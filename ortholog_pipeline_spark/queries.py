@@ -12053,6 +12053,11 @@ def a_fair_share_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n") - F.col("i") + 1)
             ).alias("level")
         )
+        # Collapse to EXACTLY one row (NULL level when every tenant is fully
+        # served) so the join below mirrors DuckDB's scalar subquery, which
+        # yields NULL — not zero rows — on an empty lvl.  A bare crossJoin
+        # with an empty frame would silently return an empty result.
+        .agg(F.min("level").alias("level"))
     )
     return flagged.crossJoin(F.broadcast(lvl)).select(
         "tenant",
@@ -14285,8 +14290,8 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_sample1,
            CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_sample2,
            CAST(n_both AS BIGINT) AS n_recaptured,
-           CAST(((SELECT COUNT(*) FROM s1) + 1) * ((SELECT COUNT(*) FROM s2) + 1)
-                / (n_both + 1) - 1 AS BIGINT) AS chapman_estimate,
+           CAST(FLOOR((((SELECT COUNT(*) FROM s1) + 1) * ((SELECT COUNT(*) FROM s2) + 1))::DOUBLE
+                / (n_both + 1)) AS BIGINT) - 1 AS chapman_estimate,
            CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS true_population
     FROM m
     """,
@@ -14326,14 +14331,18 @@ def a_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sample1",
             "n_sample2",
             "n_recaptured",
+            # FLOOR before the cast on BOTH sides: Spark cast(double->long)
+            # truncates while DuckDB CAST rounds; the quotient is almost never
+            # integral, so without the snap the engines diverge whenever the
+            # fraction is >= .5 (module-docstring determinism rule).
             (
-                (F.col("n_sample1") + 1)
-                * (F.col("n_sample2") + 1)
-                / (F.col("n_recaptured") + 1)
+                F.floor(
+                    (F.col("n_sample1") + 1)
+                    * (F.col("n_sample2") + 1)
+                    / (F.col("n_recaptured") + 1)
+                ).cast("long")
                 - 1
-            )
-            .cast("long")
-            .alias("chapman_estimate"),
+            ).alias("chapman_estimate"),
             "true_population",
         )
     )
@@ -18258,13 +18267,13 @@ def w_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_val
     ),
     agg AS (
-      SELECT SUM(n1 * (n2_below + 0.5 * n2)) AS u,
+      SELECT CAST(SUM(n1 * (2 * n2_below + n2)) AS BIGINT) AS u2,
              SUM(n1) AS t1, SUM(n2) AS t2
       FROM cum
     )
-    SELECT CAST(u AS BIGINT) AS u_stat,
-           ROUND(u / (t1 * t2), 6) AS common_language_effect,
-           ROUND((u - t1 * t2 / 2.0)
+    SELECT CAST(u2 // 2 AS BIGINT) AS u_stat,
+           ROUND(u2 / (2.0 * t1 * t2), 6) AS common_language_effect,
+           ROUND((u2 / 2.0 - t1 * t2 / 2.0)
                  / SQRT(t1 * t2 * (t1 + t2 + 1) / 12.0), 4) AS z,
            CAST(t1 AS BIGINT) AS n_1996, CAST(t2 AS BIGINT) AS n_2000
     FROM agg
@@ -18295,19 +18304,23 @@ def a_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         (F.sum("n2").over(w) - F.col("n2")).alias("n2_below"),
     )
+    # 2U is an exact integer (U itself is half-integral under cross-sample
+    # ties, and Spark's double->long cast truncates where DuckDB's rounds):
+    # sum 2U = n1*(2*n2_below + n2) in pure int64 and floor-halve on both
+    # engines so no float ever reaches a cast.
     agg = cum.agg(
         F.sum(
-            F.col("n1") * (F.col("n2_below") + 0.5 * F.col("n2"))
-        ).alias("u"),
+            F.col("n1") * (2 * F.col("n2_below") + F.col("n2"))
+        ).cast("long").alias("u2"),
         F.sum("n1").alias("t1"),
         F.sum("n2").alias("t2"),
     )
-    z = (F.col("u") - F.col("t1") * F.col("t2") / 2.0) / F.sqrt(
+    z = (F.col("u2") / 2.0 - F.col("t1") * F.col("t2") / 2.0) / F.sqrt(
         F.col("t1") * F.col("t2") * (F.col("t1") + F.col("t2") + 1) / 12.0
     )
     return agg.select(
-        F.col("u").cast("long").alias("u_stat"),
-        F.round(F.col("u") / (F.col("t1") * F.col("t2")), 6).alias(
+        F.floor(F.col("u2") / 2).cast("long").alias("u_stat"),
+        F.round(F.col("u2") / (2.0 * F.col("t1") * F.col("t2")), 6).alias(
             "common_language_effect"
         ),
         F.round(z, 4).alias("z"),

@@ -23,6 +23,28 @@ from pyspark.sql import functions as F
 from ortholog_pipeline_spark.functions.text import fingerprint, tokens
 
 
+#: Row ceiling for the declared brute-force baselines below.  Both are
+#: quadratic by design (exact/verification paths with oracled sub-quadratic
+#: twins: minhash_lsh_dedup, cosine_near_dup_pairs); the guard keeps them
+#: from being pointed at a corpus-scale input by accident, mirroring how the
+#: reference refuses mass-deletes (AgrTsvLoader.java:282-297).
+BRUTE_FORCE_MAX_ROWS = 100_000
+
+
+def guard_brute_force(df: DataFrame, what: str, limit: int = BRUTE_FORCE_MAX_ROWS) -> None:
+    """Refuse to run a quadratic baseline above ``limit`` input rows.
+
+    One count() action — the cost is the point: these paths exist for
+    small-data verification only, and failing fast beats an accidental
+    O(n²) shuffle at corpus scale."""
+    n = df.count()
+    if n > limit:
+        raise RuntimeError(
+            f"{what} is a brute-force O(n^2) baseline guarded at {limit} rows "
+            f"(got {n}); use its LSH/banded scale twin instead"
+        )
+
+
 def hex_hash64(col: Column) -> Column:
     """Deterministic 60-bit integer hash portable across engines: first 15 hex chars
     of md5 parsed base-16 (DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT))."""
@@ -328,7 +350,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Brute n-gram Jaccard similarity join (the small-data / verification path):
     explode shingles → self-join on shingle → count → filter. The candidate set is
-    every pair sharing ≥1 shingle — use minhash_lsh_dedup at scale instead."""
+    every pair sharing ≥1 shingle — use minhash_lsh_dedup at scale instead
+    (enforced: refuses inputs above BRUTE_FORCE_MAX_ROWS)."""
+    guard_brute_force(df, "ngram_jaccard_pairs")
     with_sh = df.select(id_col, word_shingles(text_col, k).alias("shingles")).filter(
         F.size("shingles") > 0
     )

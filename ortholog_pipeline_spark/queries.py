@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ortholog_pipeline_spark.operators import bestfit, grouping, sync
+from ortholog_pipeline_spark.operators import iterate as IT
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1383,8 +1384,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force embedding near-dup pairs (the exact baseline; the LSH-bucketed
-    variant is cosine_near_dup_pairs, exercised rows-only via ann_lsh_topk)."""
+    variant is cosine_near_dup_pairs, exercised rows-only via ann_lsh_topk).
+    Guarded: refuses inputs above DD.BRUTE_FORCE_MAX_ROWS — the crossJoin is
+    the declared O(n²) verification path, never the scale path."""
     emb = _t(spark, sf_dir, "embeddings")
+    DD.guard_brute_force(emb, "dedup_embedding_cosine")
     e = emb.select("vec_id", SIM.as_double(F.col("embedding")).alias("v"))
     a = e.select(F.col("vec_id").alias("id_1"), F.col("v").alias("_v1"))
     b = e.select(F.col("vec_id").alias("id_2"), F.col("v").alias("_v2"))
@@ -7046,16 +7050,15 @@ def g_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = spark.createDataFrame(
         [(0, 0), (1, 0), (2, 0)], schema="node long, d long"
     )
+    prev = None
     for _ in range(3):
         expanded = (
             dist.join(e, dist["node"] == e["u"])
             .select(F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
         )
-        dist = (
-            dist.unionByName(expanded)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
-            .persist()
+        dist = prev = IT.step_generation(
+            dist.unionByName(expanded).groupBy("node").agg(F.min("d").alias("d")),
+            prev,
         )
     return dist.groupBy(F.col("d").alias("hops")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -9478,6 +9481,7 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = e.select(F.col("u").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
+    prev = None
     for _ in range(3):
         votes = (
             e.join(labels, e["v"] == labels["node"])
@@ -9485,11 +9489,11 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         w = Window.partitionBy("nd").orderBy(F.col("cnt").desc(), F.col("lab"))
-        labels = (
+        labels = prev = IT.step_generation(
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select(F.col("nd").alias("node"), "lab")
-            .persist()
+            .select(F.col("nd").alias("node"), "lab"),
+            prev,
         )
     comm = labels.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).alias("size")
@@ -10780,17 +10784,18 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d", F.when(F.col("d") == 1, 1.0).otherwise(0.0).alias("val")
     )
     lam = None
+    prev = None
     for _ in range(3):
         dots = (
             ev.join(F.broadcast(v), "d")
             .groupBy("vec_id")
             .agg(F.sum(F.col("e") * F.col("val")).alias("dt"))
         )
-        w = (
+        w = prev = IT.step_generation(
             ev.join(dots, "vec_id")
             .groupBy("d")
-            .agg(F.sum(F.col("e") * F.col("dt")).alias("w"))
-            .persist()
+            .agg(F.sum(F.col("e") * F.col("dt")).alias("w")),
+            prev,
         )
         nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("l"))
         lam = nrm
@@ -14891,15 +14896,16 @@ def g_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = spark.createDataFrame(
         [(0, 0), (1, 0), (2, 0)], schema="node long, dist long"
     )
+    prev = None
     for _ in range(3):
         relaxed = dist.join(e, dist["node"] == e["u"]).select(
             F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
-        dist = (
+        dist = prev = IT.step_generation(
             dist.unionByName(relaxed)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .persist()
+            .agg(F.min("dist").alias("dist")),
+            prev,
         )
     return dist.groupBy(F.col("dist").alias("distance")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -19183,6 +19189,7 @@ def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = e.select(F.col("u").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
+    prev = None
     for _ in range(3):
         votes = (
             e.join(labels, e["v"] == labels["node"])
@@ -19190,11 +19197,11 @@ def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         w = Window.partitionBy("nd").orderBy(F.col("cnt").desc(), F.col("lab"))
-        labels = (
+        labels = prev = IT.step_generation(
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select(F.col("nd").alias("node"), "lab")
-            .persist()
+            .select(F.col("nd").alias("node"), "lab"),
+            prev,
         )
     m_edges = e0.agg(F.count(F.lit(1)).alias("m"))
     la = labels.select(F.col("node").alias("u"), F.col("lab").alias("lab_u"))

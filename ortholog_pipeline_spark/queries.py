@@ -19955,3 +19955,9 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_permutations"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end flow queries (registered on import; see queries_flows.py)
+# ---------------------------------------------------------------------------
+from ortholog_pipeline_spark import queries_flows  # noqa: E402,F401  (registry side-effect)

@@ -774,3 +774,572 @@ def flow_species_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("assoc_type"),
     )
     return o_out.unionByName(a_out)
+
+
+# ---------------------------------------------------------------------------
+# flow_agr_load — §3.2 --agrOrthologs end to end
+# ---------------------------------------------------------------------------
+
+_HH3 = "1 + (p * 7) % 150"  # the agr seed rows' human partner
+
+_AGR_FLOW_SQL = f"""
+    WITH
+    hum2 AS (SELECT CAST(c_custkey AS INTEGER) AS c FROM customer),
+    rat2 AS (SELECT CAST(p_partkey AS INTEGER) AS p FROM part),
+    curie_map AS (
+      SELECT 'AGR:H' || CAST(c AS VARCHAR) AS acc_id, {HB} + c AS rgd_id
+      FROM hum2 WHERE c % 13 != 0
+      UNION ALL
+      SELECT 'AGR:R' || CAST(p AS VARCHAR), {RB} + p FROM rat2 WHERE p % 17 != 0
+    ),
+    symdim AS (
+      SELECT 'ha' || CAST(c AS VARCHAR) AS sym, 1 AS sp, {HB} + c AS rgd_id FROM hum2
+      UNION ALL
+      SELECT 'ra' || CAST(p AS VARCHAR), 3, {RB} + p FROM rat2
+    ),
+    raw AS (
+      SELECT CASE WHEN o_orderkey % 23 = 0
+                  THEN 'RGD:' || CAST({HB} + o_custkey AS VARCHAR)
+                  ELSE 'AGR:H' || CAST(o_custkey AS VARCHAR) END AS g1_id,
+             lower(CASE WHEN o_custkey % 13 = 0
+                  THEN 'HAX' || CAST(o_custkey AS VARCHAR)
+                  ELSE 'HA' || CAST(o_custkey AS VARCHAR) END) AS g1_sym_lc,
+             CASE WHEN o_orderkey % 19 = 0 THEN CAST(NULL AS INTEGER)
+                  WHEN o_orderkey % 11 = 0 THEN 8 ELSE 3 END AS sp2,
+             CASE WHEN o_orderkey % 19 = 0
+                  THEN 'AGR:X' || CAST(1 + o_orderkey % 173 AS VARCHAR)
+                  WHEN o_orderkey % 11 = 0
+                  THEN 'AGR:Z' || CAST(o_orderkey % 97 AS VARCHAR)
+                  ELSE 'AGR:R' || CAST(1 + o_orderkey % 173 AS VARCHAR) END AS g2_id,
+             lower(CASE WHEN o_orderkey % 19 = 0 THEN 'XX'
+                  WHEN o_orderkey % 11 = 0 THEN 'ZF' || CAST(o_orderkey % 97 AS VARCHAR)
+                  ELSE 'RA' || CAST(1 + o_orderkey % 173 AS VARCHAR) END) AS g2_sym_lc,
+             CASE o_orderkey % 4 WHEN 0 THEN 'Ensembl Compara|OrthoInspector|ZFIN'
+                  WHEN 1 THEN 'Ensembl Compara|ZFIN' WHEN 2 THEN 'PANTHER'
+                  ELSE 'OrthoFinder' END AS methods,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'Y' ELSE 'N' END AS bs,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'Y' ELSE 'N' END AS brs
+      FROM orders
+      UNION ALL
+      SELECT 'AGR:H' || CAST({_HH3} AS VARCHAR), 'ha' || CAST({_HH3} AS VARCHAR),
+             3, 'AGR:R' || CAST(p AS VARCHAR), 'ra' || CAST(p AS VARCHAR),
+             'OrthoFinder', 'Y', CASE WHEN p % 60 = 0 THEN 'Y' ELSE 'N' END
+      FROM rat2 WHERE p <= 173 AND p % 30 = 0
+    ),
+    flt AS (SELECT * FROM raw WHERE sp2 IS NOT NULL),
+    res AS (
+      SELECT f.*,
+             COALESCE(c1.rgd_id,
+                      TRY_CAST(regexp_extract(f.g1_id, '^RGD:(\\d+)$', 1) AS INTEGER),
+                      s1.rgd_id) AS id1,
+             COALESCE(c2.rgd_id,
+                      TRY_CAST(regexp_extract(f.g2_id, '^RGD:(\\d+)$', 1) AS INTEGER),
+                      s2.rgd_id) AS id2
+      FROM flt f
+      LEFT JOIN curie_map c1 ON c1.acc_id = f.g1_id
+      LEFT JOIN curie_map c2 ON c2.acc_id = f.g2_id
+      LEFT JOIN symdim s1 ON s1.sym = f.g1_sym_lc AND s1.sp = 1
+      LEFT JOIN symdim s2 ON s2.sym = f.g2_sym_lc AND s2.sp = f.sp2
+    ),
+    keyed AS (
+      SELECT *,
+             CASE WHEN id1 IS NOT NULL THEN 'ID:' || CAST(id1 AS VARCHAR) END AS key1,
+             CASE WHEN id2 IS NOT NULL THEN 'ID:' || CAST(id2 AS VARCHAR)
+                  WHEN sp2 = 8 THEN 'MINT:' || g2_id END AS key2
+      FROM res
+    ),
+    incoming AS (
+      SELECT key1, key2, methods,
+             MIN('stringent') AS confidence, MAX(bs) AS bs, MAX(brs) AS brs
+      FROM keyed WHERE key1 IS NOT NULL AND key2 IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    seedk AS (
+      SELECT 'ID:' || CAST({HB} + {_HH3} AS VARCHAR) AS key1,
+             'ID:' || CAST({RB} + p AS VARCHAR) AS key2,
+             'OrthoFinder' AS methods, 'stringent' AS confidence,
+             CASE WHEN p % 6 = 0 THEN 'Y' ELSE 'N' END AS bs, 'N' AS brs
+      FROM rat2 WHERE p <= 400 AND p % 3 = 0
+    ),
+    counts AS (
+      SELECT
+        (SELECT COUNT(*) FROM incoming i
+          ANTI JOIN seedk s USING (key1, key2, methods)) AS n_ins,
+        (SELECT COUNT(*) FROM incoming i JOIN seedk s USING (key1, key2, methods)
+          WHERE NOT (lower(i.confidence) IS NOT DISTINCT FROM lower(s.confidence)
+                     AND lower(i.bs) IS NOT DISTINCT FROM lower(s.bs)
+                     AND lower(i.brs) IS NOT DISTINCT FROM lower(s.brs))) AS n_upd,
+        (SELECT COUNT(*) FROM seedk s
+          ANTI JOIN incoming i USING (key1, key2, methods)) AS n_stale
+    )
+    SELECT
+      CASE WHEN (CAST(substr(key1, 4) AS INTEGER) - {HB}) % 13 != 0
+           THEN 'AGR:H' || CAST(CAST(substr(key1, 4) AS INTEGER) - {HB} AS VARCHAR)
+           ELSE 'RGD#' || substr(key1, 4) END AS label_1,
+      CASE WHEN key2 LIKE 'MINT:%' THEN substr(key2, 6)
+           WHEN (CAST(substr(key2, 4) AS INTEGER) - {RB}) % 17 != 0
+           THEN 'AGR:R' || CAST(CAST(substr(key2, 4) AS INTEGER) - {RB} AS VARCHAR)
+           ELSE 'RGD#' || substr(key2, 4) END AS label_2,
+      confidence, bs AS is_best_score, brs AS is_best_rev_score,
+      methods AS methods_matched
+    FROM incoming
+    UNION ALL
+    SELECT '#metrics', NULL, NULL, NULL, NULL,
+           'ins=' || CAST(n_ins AS VARCHAR) || '|upd=' || CAST(n_upd AS VARCHAR)
+           || '|stale=' || CAST(n_stale AS VARCHAR)
+    FROM counts
+"""
+
+
+def _agr_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    c = F.col("c")
+    p = F.col("p")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("int").alias("c")
+    )
+    part = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("int").alias("p"))
+    orders = _t(spark, sf_dir, "orders")
+    hh3 = (F.lit(1) + (p * 7) % 150).cast("int")
+    ts0 = F.lit(TS0)
+
+    genes = cust.select(
+        (HB + c).cast("int").alias("rgd_id"),
+        F.concat(F.lit("HA"), c.cast("string")).alias("gene_symbol"),
+        F.lit("protein-coding").alias("gene_type_lc"),
+        F.lit(None).cast("string").alias("ensembl_gene_symbol"),
+        F.lit(1).cast("int").alias("species_type_key"),
+    ).unionByName(
+        part.select(
+            (RB + p).cast("int").alias("rgd_id"),
+            F.concat(F.lit("RA"), p.cast("string")).alias("gene_symbol"),
+            F.lit("protein-coding").alias("gene_type_lc"),
+            F.lit(None).cast("string").alias("ensembl_gene_symbol"),
+            F.lit(3).cast("int").alias("species_type_key"),
+        )
+    )
+    rgd_ids = cust.select(
+        (HB + c).cast("int").alias("rgd_id"),
+        F.lit("ACTIVE").alias("object_status"),
+        F.lit(1).cast("int").alias("species_type_key"),
+        F.lit(1).cast("int").alias("object_key"),
+        F.lit(None).cast("int").alias("replaced_by_rgd_id"),
+    ).unionByName(
+        part.select(
+            (RB + p).cast("int").alias("rgd_id"),
+            F.lit("ACTIVE").alias("object_status"),
+            F.lit(3).cast("int").alias("species_type_key"),
+            F.lit(1).cast("int").alias("object_key"),
+            F.lit(None).cast("int").alias("replaced_by_rgd_id"),
+        )
+    )
+
+    def _xref63(rid, acc, key):
+        return [
+            key.cast("int").alias("acc_xdb_key"),
+            rid.cast("int").alias("rgd_id"),
+            acc.alias("acc_id"),
+            F.lit(63).cast("int").alias("xdb_key"),
+            F.lit("AGR").alias("src_pipeline"),
+            ts0.alias("modification_date"),
+        ]
+
+    xrefs = cust.filter(c % 13 != 0).select(
+        *_xref63(HB + c, F.concat(F.lit("AGR:H"), c.cast("string")), c)
+    ).unionByName(
+        part.filter(p % 17 != 0).select(
+            *_xref63(RB + p, F.concat(F.lit("AGR:R"), p.cast("string")), 800000 + p)
+        )
+    )
+
+    agr = part.filter((p <= 400) & (p % 3 == 0)).select(
+        (HB + hh3).cast("int").alias("gene_rgd_id_1"),
+        (RB + p).cast("int").alias("gene_rgd_id_2"),
+        F.lit("stringent").alias("confidence"),
+        F.when(p % 6 == 0, "Y").otherwise("N").alias("is_best_score"),
+        F.lit("N").alias("is_best_rev_score"),
+        F.lit("OrthoFinder").alias("methods_matched"),
+        ts0.alias("created_date"),
+        ts0.alias("last_update_date"),
+    )
+
+    ok = F.col("o_orderkey")
+    ck = F.col("o_custkey")
+    dp = (1 + ok % 173).cast("string")
+    lines = orders.select(
+        F.when(
+            ok % 23 == 0, F.concat(F.lit("RGD:"), (HB + ck).cast("string"))
+        ).otherwise(F.concat(F.lit("AGR:H"), ck.cast("string"))).alias("gene1_id"),
+        F.when(ck % 13 == 0, F.concat(F.lit("HAX"), ck.cast("string")))
+        .otherwise(F.concat(F.lit("HA"), ck.cast("string")))
+        .alias("gene1_symbol"),
+        F.lit("NCBITaxon:9606").alias("gene1_species_taxon_id"),
+        F.lit("Homo sapiens").alias("gene1_species_name"),
+        F.when(ok % 19 == 0, F.concat(F.lit("AGR:X"), dp))
+        .when(ok % 11 == 0, F.concat(F.lit("AGR:Z"), (ok % 97).cast("string")))
+        .otherwise(F.concat(F.lit("AGR:R"), dp))
+        .alias("gene2_id"),
+        F.when(ok % 19 == 0, F.lit("XX"))
+        .when(ok % 11 == 0, F.concat(F.lit("ZF"), (ok % 97).cast("string")))
+        .otherwise(F.concat(F.lit("RA"), dp))
+        .alias("gene2_symbol"),
+        F.when(ok % 19 == 0, "NCBITaxon:9986")
+        .when(ok % 11 == 0, "NCBITaxon:7955")
+        .otherwise("NCBITaxon:10116")
+        .alias("gene2_species_taxon_id"),
+        F.lit("x").alias("gene2_species_name"),
+        F.when(ok % 4 == 0, "ZFIN|Ensembl Compara|OrthoInspector")
+        .when(ok % 4 == 1, "Ensembl Compara|ZFIN|Ensembl Compara")
+        .when(ok % 4 == 2, "PANTHER")
+        .otherwise("OrthoFinder")
+        .alias("algorithms"),
+        F.lit("3").alias("algorithms_match"),
+        F.lit("10").alias("out_of_algorithms"),
+        F.when(ok % 2 == 0, "Yes").otherwise("No").alias("is_best_score"),
+        F.when(ok % 5 == 0, "Yes").otherwise("No").alias("is_best_rev_score"),
+    )
+    curated = part.filter((p <= 173) & (p % 30 == 0)).select(
+        F.concat(F.lit("AGR:H"), hh3.cast("string")).alias("gene1_id"),
+        F.concat(F.lit("HA"), hh3.cast("string")).alias("gene1_symbol"),
+        F.lit("NCBITaxon:9606").alias("gene1_species_taxon_id"),
+        F.lit("Homo sapiens").alias("gene1_species_name"),
+        F.concat(F.lit("AGR:R"), p.cast("string")).alias("gene2_id"),
+        F.concat(F.lit("RA"), p.cast("string")).alias("gene2_symbol"),
+        F.lit("NCBITaxon:10116").alias("gene2_species_taxon_id"),
+        F.lit("x").alias("gene2_species_name"),
+        F.lit("OrthoFinder").alias("algorithms"),
+        F.lit("3").alias("algorithms_match"),
+        F.lit("10").alias("out_of_algorithms"),
+        F.lit("Yes").alias("is_best_score"),
+        F.when(p % 60 == 0, "Yes").otherwise("No").alias("is_best_rev_score"),
+    )
+    return {
+        "genes": genes,
+        "rgd_ids": rgd_ids,
+        "xrefs": xrefs,
+        "agr_orthologs": agr,
+        "lines": lines.unionByName(curated),
+    }
+
+
+@register("flow_agr_load", _AGR_FLOW_SQL)
+def flow_agr_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 --agrOrthologs end-to-end: species filter + recodes → 3-step curie
+    resolution cascade (curie xref → RGD: suffix → symbol-in-species) → S13
+    minting for unresolvable non-rat/mouse/human genes → deterministic
+    flag-merge → S12 upsert on the 3-col key → guarded stale deletion.
+
+    Because the upsert replaces content for every touched key and stale rows
+    are deleted, the final snapshot equals the incoming set — the oracle
+    replays parse+resolution+merge and checks (a) the full final snapshot in
+    curie-label space (minted surrogate rgd_ids never enter the hash; each
+    minted gene is addressed by the curie xref the flow itself writes) and
+    (b) an ins/upd/stale metrics row pinning the sync verdict split.
+    delete_threshold_pct=100 because the synthetic seeds are mostly stale."""
+    from ortholog_pipeline_spark.plans.agr_load import run_agr_load
+
+    world = _agr_world(spark, sf_dir)
+    store = _seed_store(spark, world, "flow_agr_")
+    res = run_agr_load(store, world["lines"], RUN_TS, delete_threshold_pct=100.0)
+    agr = store.read("agr_orthologs")
+    xr = store.read("xrefs").filter(F.col("xdb_key") == 63).select(
+        "rgd_id", "acc_id"
+    )
+    x1 = xr.withColumnsRenamed({"rgd_id": "gene_rgd_id_1", "acc_id": "_acc1"})
+    x2 = xr.withColumnsRenamed({"rgd_id": "gene_rgd_id_2", "acc_id": "_acc2"})
+    out = (
+        agr.join(F.broadcast(x1), "gene_rgd_id_1", "left")
+        .join(F.broadcast(x2), "gene_rgd_id_2", "left")
+        .select(
+            F.coalesce(
+                F.col("_acc1"),
+                F.concat(F.lit("RGD#"), F.col("gene_rgd_id_1").cast("string")),
+            ).alias("label_1"),
+            F.coalesce(
+                F.col("_acc2"),
+                F.concat(F.lit("RGD#"), F.col("gene_rgd_id_2").cast("string")),
+            ).alias("label_2"),
+            "confidence",
+            "is_best_score",
+            "is_best_rev_score",
+            "methods_matched",
+        )
+    )
+    metrics = spark.range(1).select(
+        F.lit("#metrics").alias("label_1"),
+        F.lit(None).cast("string").alias("label_2"),
+        F.lit(None).cast("string").alias("confidence"),
+        F.lit(None).cast("string").alias("is_best_score"),
+        F.lit(None).cast("string").alias("is_best_rev_score"),
+        F.concat(
+            F.lit("ins="), F.lit(res.n_inserted).cast("string"),
+            F.lit("|upd="), F.lit(res.n_updated).cast("string"),
+            F.lit("|stale="), F.lit(res.n_stale_deleted).cast("string"),
+        ).alias("methods_matched"),
+    )
+    return out.unionByName(metrics)
+
+
+# ---------------------------------------------------------------------------
+# flow_fix_xref — §3.3 --fixXRefDataSet end to end
+# ---------------------------------------------------------------------------
+
+#: sanitize_evidence_set (strings.py:14) in DuckDB: split ',' → trim → drop
+#: empties → dedup → sort → join ', '.
+_SAN = (
+    "array_to_string(list_sort(list_distinct(list_filter("
+    "list_transform(string_split({c}, ','), t -> trim(t)), t -> t != ''))), ', ')"
+)
+
+_FIX_XREF_SQL = f"""
+    WITH
+    rat3 AS (SELECT CAST(p_partkey AS INTEGER) AS p FROM part WHERE p_partkey <= 500),
+    seed_o AS (
+      SELECT CAST(p AS BIGINT) AS k,
+             CASE p % 6 WHEN 0 THEN 'OrthoDB,Ensembl,OrthoDB'
+                  WHEN 1 THEN 'Ensembl,OrthoDB'
+                  WHEN 2 THEN 'Ensembl, OrthoDB'
+                  WHEN 3 THEN ' Panther , Ensembl '
+                  WHEN 4 THEN 'Ensembl,,OrthoDB'
+                  ELSE NULL END AS xset
+      FROM rat3
+    ),
+    seed_a AS (
+      SELECT CAST(p AS BIGINT) AS k,
+             CASE WHEN p % 2 = 0 THEN 'weak_ortholog' ELSE 'homolog_note' END AS atype,
+             CASE WHEN p % 2 = 0 THEN
+               (CASE p % 4 WHEN 0 THEN 'b,a,b,a' ELSE 'a, b' END)
+             ELSE 'z,z' END AS sub
+      FROM rat3
+    ),
+    fixed_o AS (
+      SELECT k,
+             CASE WHEN len({_SAN.format(c='xset')}) < len(xset)
+                  THEN {_SAN.format(c='xset')} ELSE xset END AS xset
+      FROM seed_o
+    ),
+    fixed_a AS (
+      SELECT k, atype,
+             CASE WHEN atype = 'weak_ortholog'
+                  AND len({_SAN.format(c='sub')}) < len(sub)
+                  THEN {_SAN.format(c='sub')} ELSE sub END AS sub
+      FROM seed_a
+    )
+    SELECT 'orthologs' AS tbl, k AS row_key, xset AS evidence,
+           CAST(NULL AS VARCHAR) AS assoc_type
+    FROM fixed_o
+    UNION ALL
+    SELECT 'associations', k, sub, atype FROM fixed_a
+"""
+
+
+@register("flow_fix_xref", _FIX_XREF_SQL)
+def flow_fix_xref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 --fixXRefDataSet end-to-end: seed orthologs/associations snapshots
+    with messy packed evidence sets (dup tokens, stray spaces, empty tokens,
+    NULLs), run the REAL run_fix_xref_data_set plan, and return both fixed
+    snapshots. Pins the reference's strictly-shorter update guard — e.g.
+    'Ensembl,,OrthoDB' sanitizes to the same length, so it is KEPT verbatim —
+    and that non-weak association subtypes are never touched."""
+    from ortholog_pipeline_spark.plans.maintenance import run_fix_xref_data_set
+    from ortholog_pipeline_spark.schemas import (
+        ASSOCIATIONS_SCHEMA,
+        ORTHOLOGS_SCHEMA,
+    )
+
+    p = F.col("p")
+    part = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_partkey").cast("int").alias("p"))
+        .filter(p <= 500)
+    )
+    ts0 = F.lit(TS0)
+    orth = part.select(
+        p.cast("long").alias("genetogene_key"),
+        (HB + p).cast("int").alias("src_rgd_id"),
+        (RB + p).cast("int").alias("dest_rgd_id"),
+        F.lit(1).cast("int").alias("src_species_type_key"),
+        F.lit(3).cast("int").alias("dest_species_type_key"),
+        F.lit(None).cast("int").alias("group_id"),
+        F.lit("NCBI").alias("xref_data_src"),
+        F.when(p % 6 == 0, "OrthoDB,Ensembl,OrthoDB")
+        .when(p % 6 == 1, "Ensembl,OrthoDB")
+        .when(p % 6 == 2, "Ensembl, OrthoDB")
+        .when(p % 6 == 3, " Panther , Ensembl ")
+        .when(p % 6 == 4, "Ensembl,,OrthoDB")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("xref_data_set"),
+        F.lit(11).cast("int").alias("ortholog_type_key"),
+        F.lit(None).cast("double").alias("percent_homology"),
+        F.lit(70).cast("int").alias("created_by"),
+        ts0.alias("created_date"),
+        F.lit(70).cast("int").alias("last_modified_by"),
+        ts0.alias("last_modified_date"),
+    )
+    assoc = part.select(
+        p.cast("long").alias("assoc_key"),
+        F.when(p % 2 == 0, "weak_ortholog").otherwise("homolog_note").alias(
+            "assoc_type"
+        ),
+        F.when(
+            p % 2 == 0, F.when(p % 4 == 0, "b,a,b,a").otherwise("a, b")
+        )
+        .otherwise("z,z")
+        .alias("assoc_subtype"),
+        (HB + p).cast("int").alias("master_rgd_id"),
+        (RB + p).cast("int").alias("detail_rgd_id"),
+        ts0.alias("creation_date"),
+        F.lit("ORTHOLOGS").alias("src_pipeline"),
+    )
+    _ = (ORTHOLOGS_SCHEMA, ASSOCIATIONS_SCHEMA)  # documented shape reference
+    store = _seed_store(
+        spark, {"orthologs": orth, "associations": assoc}, "flow_fixxref_"
+    )
+    run_fix_xref_data_set(store)
+    o_out = store.read("orthologs").select(
+        F.lit("orthologs").alias("tbl"),
+        F.col("genetogene_key").alias("row_key"),
+        F.col("xref_data_set").alias("evidence"),
+        F.lit(None).cast("string").alias("assoc_type"),
+    )
+    a_out = store.read("associations").select(
+        F.lit("associations").alias("tbl"),
+        F.col("assoc_key").alias("row_key"),
+        F.col("assoc_subtype").alias("evidence"),
+        F.col("assoc_type"),
+    )
+    return o_out.unionByName(a_out)
+
+
+# ---------------------------------------------------------------------------
+# flow_corpus_prep — the training-data cleaning pipeline, final-snapshot grain
+# ---------------------------------------------------------------------------
+
+def _corpus_flow_sql() -> str:
+    """Reuses the oracle fragments of pipeline_corpus_prep (same CTE chain) but
+    returns the KEPT snapshot (doc_id, predicted_lang, quality) instead of the
+    per-stage counts — the composition check at row grain, not count grain."""
+    from ortholog_pipeline_spark import queries as Q
+    from ortholog_pipeline_spark.operators import dedup as DD
+
+    return f"""
+    WITH ann0 AS (
+      SELECT doc_id,
+             {Q._lang_hits_sql('en')} AS h_en, {Q._lang_hits_sql('es')} AS h_es,
+             {Q._lang_hits_sql('fr')} AS h_fr, {Q._lang_hits_sql('de')} AS h_de,
+             {Q._lang_hits_sql('zh')} AS h_zh,
+             {Q._QUALITY_SQL} AS q,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             text
+      FROM documents
+    ),
+    pred AS (
+      SELECT *, CASE
+          WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_zh
+               AND h_en > 0 THEN 'en'
+          WHEN h_es >= h_fr AND h_es >= h_de AND h_es >= h_zh AND h_es > 0 THEN 'es'
+          WHEN h_fr >= h_de AND h_fr >= h_zh AND h_fr > 0 THEN 'fr'
+          WHEN h_de >= h_zh AND h_de > 0 THEN 'de'
+          WHEN h_zh > 0 THEN 'zh'
+          ELSE 'und' END AS predicted
+      FROM ann0
+    ),
+    s2 AS (SELECT * FROM pred WHERE predicted = 'en' AND q >= 0.35),
+    s3 AS (
+      SELECT doc_id, text, predicted, q FROM s2
+      QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+    ),
+    th AS (
+      SELECT doc_id,
+             list_transform({Q._TOKS_SQL}, t ->
+               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {DD.MINHASH_M31}
+             ) AS th
+      FROM s3
+    ),
+    h AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(th) - 2, 0)),
+               i -> (th[i] * {DD.SHINGLE_A} + th[i+1] * {DD.SHINGLE_B} + th[i+2])
+                    % {DD.MINHASH_M31}
+             )) AS h31
+      FROM th WHERE len(th) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, h31,
+             list_transform({Q._MINHASH_AB_SQL}, p ->
+               list_min(list_transform(h31, x -> (p[1] * x + p[2]) % {DD.MINHASH_P}))
+             ) AS sig
+      FROM h
+    ),
+    banded AS (
+      SELECT doc_id, b,
+             md5(array_to_string(
+               list_transform(sig[b*4+1 : b*4+4], v -> v::VARCHAR), ',')) AS band_key
+      FROM sig, generate_series(0, 3) g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM banded a JOIN banded b USING (b, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    post AS (SELECT doc_id, unnest(h31) AS hsh FROM h),
+    common AS (
+      SELECT c.id_1, c.id_2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c JOIN post a ON a.doc_id = c.id_1
+                  JOIN post b ON b.doc_id = c.id_2 AND b.hsh = a.hsh
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(h31) AS sz FROM h),
+    losers AS (
+      SELECT DISTINCT c.id_2 FROM cand c JOIN common USING (id_1, id_2)
+                  JOIN sz s1x ON s1x.doc_id = c.id_1
+                  JOIN sz s2x ON s2x.doc_id = c.id_2
+      WHERE n_common * 1.0 / (s1x.sz + s2x.sz - n_common) >= 0.5
+    )
+    , qm AS (
+      -- quality in EXACT integer micro-units (text_quality_score's known-good
+      -- parity form): ROUND(double,6) halfway cases differ between engines
+      SELECT doc_id,
+             CASE WHEN n = 0 THEN 0
+                  ELSE ((4 * LEAST(n, 100) * n + 300 * (d + s)) * 2000000
+                        + 1000 * n) // (2000 * n) END AS quality_micro
+      FROM (
+        SELECT doc_id, len({Q._TOKS_SQL}) AS n,
+               len(list_distinct({Q._TOKS_SQL})) AS d,
+               len(list_filter({Q._TOKS_SQL},
+                   t -> list_contains({Q._STOPS_SQL}, t))) AS s
+        FROM documents)
+    )
+    SELECT s3.doc_id, s3.predicted AS predicted_lang,
+           CAST(qm.quality_micro AS BIGINT) AS quality_micro
+    FROM s3 JOIN qm USING (doc_id)
+    WHERE doc_id NOT IN (SELECT id_2 FROM losers)
+    """
+
+
+@register("flow_corpus_prep", _corpus_flow_sql())
+def flow_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-prep flow at FINAL-SNAPSHOT grain: run the real run_corpus_prep
+    plan (lang gate → quality floor → exact dedup → LSH near-dup greedy
+    keep-lowest) and return every surviving document with its annotations —
+    complements pipeline_corpus_prep, which oracles only the per-stage counts."""
+    from ortholog_pipeline_spark.plans.corpus_prep import run_corpus_prep
+
+    from ortholog_pipeline_spark.functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = run_corpus_prep(docs, min_quality=0.35).kept
+    # quality reported in exact integer micro-units (cross-engine parity form;
+    # the plan's internal float threshold is engine-stable, the 6dp float
+    # REPR is not — text_quality_score documents the halfway cases)
+    toks = TXT.tokens("text")
+    n = F.size(toks).cast("long")
+    dd = F.size(F.array_distinct(toks)).cast("long")
+    stop_arr = F.array(*[F.lit(x) for x in TXT.STOPWORDS])
+    ss = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
+    num = (4 * F.least(n, F.lit(100)) * n + 300 * (dd + ss)) * 2000000 + 1000 * n
+    den = 2000 * n
+    qm = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        ((num - F.pmod(num, den)) / den).cast("long")
+    )
+    return kept.select("doc_id", "predicted_lang", qm.alias("quality_micro"))

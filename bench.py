@@ -323,7 +323,15 @@ HEADLINE = [
     "a_wilson_ci",
     "a_mcc_at_threshold",
     "a_permutation_test",
+    # round-3: end-to-end flow queries (the full §3.1/3.2/3.3 + corpus plans)
+    "flow_species_load",
+    "flow_agr_load",
+    "flow_fix_xref",
+    "flow_corpus_prep",
 ]
+
+#: Rolling record of past runs (last 5), used for per-query regression ratios.
+HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.json")
 
 
 def _documents_10x(spark, sf_dir):
@@ -451,7 +459,131 @@ def main() -> None:
             lambda: DI.probe_dedup_index(store, batch, threshold=0.5).count()
         )
 
+    # 10x scaling probes for the three heaviest REAL entries (VERDICT r2 item
+    # 3): same operators, 10x the input, structure-preserving replication so
+    # the ratio measures volume scaling, not planted-duplicate explosion.
+    from ortholog_pipeline_spark.operators import components as CCop
+
+    # (a) near-dup clustering: rotated 10x docs -> LSH pairs -> large/small-star
+    timings["dedup_cluster_assign_10x"] = _best2(
+        lambda: CCop.dedup_clusters(
+            docs10,
+            DD.minhash_lsh_dedup(docs10, k=3, num_hashes=16, bands=4, threshold=0.5)
+            .select("id_1", "id_2"),
+        ).count()
+    )
+
+    # (b) entity resolution: 10 replicas with 2-char name tags (tags differ in
+    # two positions, so no cross-replica edit-distance-1 pairs — per-replica
+    # pair density stays that of the original) + offset keys
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    cparts = [cust]
+    for i in range(1, 10):
+        tag = chr(97 + i) * 2 + "~"
+        cparts.append(
+            cust.select(
+                (F.col("c_custkey") + i * 10_000_000).alias("c_custkey"),
+                F.concat(F.lit(tag), F.col("c_name")).alias("c_name"),
+                "c_nationkey",
+            )
+        )
+    cust10 = cparts[0]
+    for cp in cparts[1:]:
+        cust10 = cust10.unionByName(cp)
+
+    def _er_10x():
+        pairs = DD.editdist1_join(cust10, "c_name")
+        m1 = cust10.select(
+            F.col("c_name").alias("s1"),
+            F.col("c_custkey").alias("k1"),
+            F.col("c_nationkey").alias("n1"),
+        )
+        m2 = cust10.select(
+            F.col("c_name").alias("s2"),
+            F.col("c_custkey").alias("k2"),
+            F.col("c_nationkey").alias("n2"),
+        )
+        edges = (
+            pairs.join(m1, "s1")
+            .join(m2, "s2")
+            .filter(F.col("n1") == F.col("n2"))
+            .select(
+                F.least("k1", "k2").alias("id_1"),
+                F.greatest("k1", "k2").alias("id_2"),
+            )
+        )
+        CCop.connected_components(edges).groupBy("component").count().count()
+
+    timings["er_entity_clusters_10x"] = _best2(_er_10x)
+
+    # (c) k-core peel: 10 vertex-disjoint copies of the hashed graph (node
+    # space offset per replica -> same per-component density, 10x volume)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+
+    def _kcore_10x():
+        e0 = (
+            li.select(
+                F.least(F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000).alias("u"),
+                F.greatest(F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        reps = [e0]
+        for i in range(1, 10):
+            reps.append(
+                e0.select(
+                    (F.col("u") + i * 2000).alias("u"), (F.col("v") + i * 2000).alias("v")
+                )
+            )
+        edges = reps[0]
+        for r in reps[1:]:
+            edges = edges.unionByName(r)
+        for _ in range(3):
+            deg = (
+                edges.select(F.col("u").alias("node"))
+                .unionByName(edges.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= 60)
+                .select("node")
+            )
+            edges = edges.join(
+                F.broadcast(deg.withColumnRenamed("node", "u")), "u", "left_semi"
+            ).join(F.broadcast(deg.withColumnRenamed("node", "v")), "v", "left_semi")
+        edges.count()
+
+    timings["g_kcore_peel_10x"] = _best2(_kcore_10x)
+
+    # per-query regression tracking vs the previous recorded run (VERDICT r2
+    # item 7): ratio > 1.5 is a fail-soft warning surfaced in the artifact
+    prev_ratio: dict[str, float] = {}
+    regressions: list[str] = []
+    try:
+        with open(HISTORY_PATH) as fh:
+            hist = json.load(fh)
+        prev = hist[-1]["queries"] if hist else {}
+    except (OSError, json.JSONDecodeError, KeyError, IndexError):
+        hist, prev = [], {}
+    for name, sec in timings.items():
+        if name in prev and prev[name] > 0:
+            r = round(sec / prev[name], 2)
+            prev_ratio[name] = r
+            if r > 1.5:
+                regressions.append(name)
+
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    hist.append({"sf": sf_val, "queries": timings})
+    try:
+        with open(HISTORY_PATH, "w") as fh:
+            json.dump(hist[-5:], fh, indent=1)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -459,7 +591,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "prev_ratio": prev_ratio,
+                "regressions": regressions,
+                "sf": sf_val,
             }
         )
     )

@@ -1,0 +1,1695 @@
+"""Join-family queries (J ops + join-shaped analytics) (split from queries.py — registration side-effect module)."""
+from ortholog_pipeline_spark.queries import _shared as _S
+
+globals().update(
+    {k: v for k, v in vars(_S).items() if k not in ("__name__", "__doc__", "__file__", "__spec__", "__loader__", "__package__", "__builtins__")}
+)
+
+@register(
+    "j_join_group_topk",
+    """
+    WITH rev AS (
+      SELECT l_orderkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             MIN(o_orderdate) AS o_orderdate
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, revenue, o_orderdate FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rn
+      FROM rev
+    ) WHERE rn <= 10
+    """,
+)
+def j_join_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.min("o_orderdate").alias("o_orderdate"),
+        )
+    )
+    # global top-10 via orderBy+limit → TakeOrderedAndProject (per-partition
+    # top-k then a k-row merge on the driver); a global row_number() window
+    # would move the whole aggregate to ONE partition
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+@register(
+    "j_asof_event_state",
+    """
+    WITH probe AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    build AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           b.value AS value_asof, b.ts AS ts_asof
+    FROM probe p ASOF LEFT JOIN build b
+      ON p.user_id = b.user_id AND p.ts >= b.ts
+    """,
+)
+def j_asof_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: each click joined to the user's most recent
+    at-or-before purchase (operators/asof.py union+window encoding — one
+    shuffle, no range explosion). Oracle is DuckDB's native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return ASOFop.asof_join(probe, build, on="ts", by="user_id", value_cols=["value"])
+
+
+@register(
+    "j_range_session_attach",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS s_idx
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM sess GROUP BY user_id, s_idx
+    )
+    SELECT c.event_id, c.user_id, c.ts, s.s_start, s.s_end
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN sessions s
+      ON s.user_id = c.user_id AND c.ts >= s.s_start AND c.ts < s.s_end
+    """,
+)
+def j_range_session_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join without nested loops: clicks attributed to the purchase
+    session window containing them. Purchase sessions come from native
+    session_window; the interval join chunks time into 30-min buckets and
+    equi-joins on (user_id, bucket) before the exact refine — the candidate
+    set is bounded, and the oracle's plain inequality join proves the result
+    identical."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return RJ.interval_join(
+        clicks, sessions, ts_col="ts", start_col="s_start", end_col="s_end",
+        by=["user_id"], bucket_seconds=1800,
+    ).select("event_id", "user_id", "ts", "s_start", "s_end")
+
+
+@register(
+    "j_deep_join_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def j_deep_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join in the TPC-H Q5 shape: local-supplier revenue per nation
+    of one region for one year. The plan the audit test pins: region/nation/
+    supplier/customer broadcast (small dims), lineitem⋈orders is the single
+    shuffle pair, and both date bounds + the region filter push into the scans
+    so the big fact read is already pruned. This is the join-ordering stress
+    query — Catalyst must not shuffle a dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "j_funnel_stages",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'click' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM c
+    UNION ALL
+    SELECT 'purchase' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM p
+    """,
+)
+def j_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user counts at stage N only
+    if stage N's first qualifying event is at-or-after their stage-N-1 entry
+    time. Each stage is a per-user MIN(ts) aggregate joined back to the raw
+    events on user_id — three shuffles all on the SAME key, so Spark reuses
+    one hash partitioning across the chain (no re-shuffle between stages);
+    per-stage state is one timestamp per user, never the event list."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return stage(v, "view").unionByName(stage(c, "click")).unionByName(
+        stage(p, "purchase")
+    )
+
+
+@register(
+    "j_salted_skew_join",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting rewrite must be INVISIBLE in the result: lineitem–orders
+    joined through `skew.salted_join` (every key scattered across 8 salts, the
+    dim side replicated 8x) aggregates to exactly the plain-join answer the
+    oracle computes. At 100 TB this is the rewrite for a shuffle join whose
+    hot keys AQE cannot split and whose dim side cannot broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = SKW.salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k"),
+        ["k"],
+        num_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+@register(
+    "j_bloom_prefilter",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter shape, built portably: a 2^16-bit / 3-hash Bloom filter of
+    the urgent-order keys (md5 positions, OR-folded into 2048 32-bit words — a
+    ~2k-row broadcast) prefilters lineitem BEFORE the exact semi-join, so at
+    100 TB the big side sheds non-matching rows map-side instead of shuffling
+    them to the join (what Spark's own `runtime.bloomFilter` injects for SMJ,
+    expressed here engine-independently). False positives are removed by the
+    exact semi-join that follows; the oracle is therefore the plain semi-join.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    # build: key -> 3 (word, bit) pairs -> OR-fold bits per word, then collect
+    # the 2048-word table to the DRIVER and embed it as a literal array — the
+    # bloom is MODEL state (a broadcast-variable runtime filter), so the probe
+    # is a pure map-side expression: zero joins touch the big side before the
+    # filter has dropped its non-matches (3 broadcast joins here measured 7.2 s
+    # at sf0.1; the literal-array probe ~1.5 s)
+    pairs = urgent.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (_bloom_pos(F.col("o_orderkey"), s) / 32)
+                        .cast("int")
+                        .alias("word"),
+                        F.pmod(_bloom_pos(F.col("o_orderkey"), s), F.lit(32))
+                        .alias("bit"),
+                    )
+                    for s in _BLOOM_SALTS
+                ]
+            )
+        ).alias("p")
+    ).select("p.word", DD.pow2(F.col("p.bit")).alias("mask"))
+    bloom_rows = (
+        pairs.groupBy("word")
+        .agg(F.bit_or("mask").cast("long").alias("bits"))
+        .collect()
+    )
+    # probe via an Arrow-batched numpy kernel over JVM-computed positions — the
+    # same pattern as similarity.table_buckets_udf. Pure-expression encodings
+    # of the 2 KiB bitset all fall out of whole-stage codegen (a 2048-element
+    # CreateArray literal: 13 s; a 16 KiB hex-string literal + substr probe:
+    # 66 s; 3 broadcast joins: 7.2 s at sf0.1); the vectorized closure probe
+    # runs ~1.5 s and is exactly how a broadcast-variable runtime filter works.
+    from pyspark.sql.functions import pandas_udf
+
+    bloom_words = np.zeros(_BLOOM_BITS // 32, dtype=np.int64)
+    for r in bloom_rows:
+        bloom_words[r.word] = r.bits
+
+    @pandas_udf("boolean")
+    def _bloom_hit(positions: pd.Series) -> pd.Series:
+        mat = np.vstack(positions.to_numpy()).astype(np.int64)  # (n, 3)
+        hits = (bloom_words[mat >> 5] >> (mat & 31)) & 1
+        return pd.Series(hits.all(axis=1))
+
+    pos3 = F.array(
+        *[_bloom_pos(F.col("l_orderkey"), s) for s in _BLOOM_SALTS]
+    )
+    probed = li.filter(_bloom_hit(pos3))
+    # exact verify: false positives die here — result equals the plain semi-join
+    exact = probed.join(
+        F.broadcast(urgent.withColumnRenamed("o_orderkey", "l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+@register(
+    "j_spatial_grid_join",
+    f"""
+    WITH p AS (
+      SELECT c_custkey AS id,
+             (CAST(('0x' || substr(md5('gx' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 AS x,
+             (CAST(('0x' || substr(md5('gy' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 AS y
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    a AS (
+      SELECT id, x, y,
+             CAST(FLOOR(x / {_GEO_EPS}) AS BIGINT) AS cx,
+             CAST(FLOOR(y / {_GEO_EPS}) AS BIGINT) AS cy
+      FROM p
+    ),
+    probes AS (
+      SELECT id, x, y, cx + dx AS cx, cy + dy AS cy
+      FROM a
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+    )
+    SELECT l.id AS id_1, r.id AS id_2,
+           ROUND(sqrt((l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)), 6)
+             AS dist
+    FROM probes l JOIN a r ON l.cx = r.cx AND l.cy = r.cy
+    WHERE l.id < r.id
+      AND sqrt((l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y))
+          < {_GEO_EPS}
+    """,
+)
+def j_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join via grid-cell blocking (the geohash shape):
+    points bucket into eps-pitch cells map-side; one side probes its 3x3 cell
+    neighborhood (a 9x explode of the SMALL per-point key set, not the data),
+    the equi-join on the cell key generates candidates, and the exact distance
+    predicate verifies. At 100 TB this is the standard spatial join: shuffle
+    is cell-key-bounded, and no pair outside adjacent cells is ever formed —
+    versus the quadratic cross-join a naive distance join plans."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    p = cust.select(
+        F.col("c_custkey").alias("id"),
+        _geo_coord(F.col("c_custkey"), "gx").alias("x"),
+        _geo_coord(F.col("c_custkey"), "gy").alias("y"),
+    )
+    a = p.withColumn(
+        "cx", F.floor(F.col("x") / _GEO_EPS).cast("long")
+    ).withColumn("cy", F.floor(F.col("y") / _GEO_EPS).cast("long"))
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    probes = a.select(
+        F.col("id"), "x", "y", "cx", "cy", offsets.alias("o")
+    ).select(
+        "id",
+        "x",
+        "y",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    l = probes.withColumnsRenamed({"id": "id_1", "x": "x1", "y": "y1"})
+    r = a.withColumnsRenamed({"id": "id_2", "x": "x2", "y": "y2"})
+    dist = F.sqrt(
+        (F.col("x1") - F.col("x2")) * (F.col("x1") - F.col("x2"))
+        + (F.col("y1") - F.col("y2")) * (F.col("y1") - F.col("y2"))
+    )
+    return (
+        l.join(r, ["cx", "cy"])
+        .filter((F.col("id_1") < F.col("id_2")) & (dist < _GEO_EPS))
+        .select("id_1", "id_2", F.round(dist, 6).alias("dist"))
+    )
+
+
+@register(
+    "j_cooccurrence_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 200 AS item FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+    item_n AS (SELECT item, COUNT(*) AS c FROM b GROUP BY item),
+    pair_n AS (
+      SELECT a.item AS item_1, c.item AS item_2, COUNT(*) AS cp
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.item < c.item
+      GROUP BY 1, 2
+    )
+    SELECT item_1, item_2, CAST(cp AS BIGINT) AS n_pair,
+           ROUND(cp * 1.0 * (SELECT n_orders FROM n) / (i1.c * i2.c), 6)
+             AS lift
+    FROM pair_n
+    JOIN item_n i1 ON i1.item = item_1
+    JOIN item_n i2 ON i2.item = item_2
+    WHERE cp >= 5
+    """,
+)
+def j_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence with lift over order baskets (the recsys /
+    association-rules shape): distinct (basket, item), self-join within the
+    basket to form ordered pairs (fanout bounded by basket size, the classic
+    market-basket explode), then lift = P(a,b)/(P(a)P(b)). Baskets with a hot
+    item would salt the self-join at scale; here the shuffle key is the
+    basket id, which is unskewed by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = (
+        li.select("l_orderkey", (F.col("l_partkey") % 200).alias("item"))
+        .dropDuplicates()
+        .persist()
+    )
+    n_orders = b.select("l_orderkey").distinct().count()
+    item_n = b.groupBy("item").agg(F.count("*").alias("c"))
+    a = b.withColumnRenamed("item", "item_1")
+    c = b.withColumnRenamed("item", "item_2")
+    pair_n = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("item_1") < F.col("item_2"))
+        .groupBy("item_1", "item_2")
+        .agg(F.count("*").alias("cp"))
+        .filter(F.col("cp") >= 5)
+    )
+    i1 = F.broadcast(item_n.withColumnsRenamed({"item": "item_1", "c": "c1"}))
+    i2 = F.broadcast(item_n.withColumnsRenamed({"item": "item_2", "c": "c2"}))
+    return (
+        pair_n.join(i1, "item_1")
+        .join(i2, "item_2")
+        .select(
+            "item_1",
+            "item_2",
+            F.col("cp").alias("n_pair"),
+            F.round(
+                F.col("cp") * F.lit(float(n_orders)) / (F.col("c1") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "j_attribution_last_touch",
+    """
+    WITH touches AS (
+      SELECT user_id, ts, MAX(event_type) AS channel
+      FROM events WHERE event_type <> 'purchase'
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    att AS (
+      SELECT p.value_cents,
+             CASE WHEN t.ts IS NOT NULL AND p.ts - t.ts <= INTERVAL 3 DAY
+                  THEN t.channel ELSE 'direct' END AS channel
+      FROM purchases p ASOF LEFT JOIN touches t
+        ON p.user_id = t.user_id AND p.ts >= t.ts
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
+    FROM att GROUP BY channel
+    """,
+)
+def j_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: every purchase is credited to
+    the user's most recent prior non-purchase event within a 3-day lookback
+    ('direct' when none) — the as-of join reused with business semantics on
+    top (tolerance → lookback window, NULL → direct bucket). Touches are
+    deduplicated to one per (user, ts) with a deterministic rule first, so
+    equal-timestamp ties cannot flip the pick between engines. Revenue sums
+    in exact cents."""
+    from ortholog_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("channel"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("value_cents")
+    )
+    att = asof_join(
+        purchases,
+        touches,
+        on="ts",
+        by="user_id",
+        value_cols=["channel"],
+        tolerance=F.expr("INTERVAL 3 DAYS"),
+    )
+    return (
+        att.select(
+            "value_cents",
+            F.coalesce(F.col("channel_asof"), F.lit("direct")).alias("channel"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+    )
+
+
+@register(
+    "j_keyword_search",
+    """
+    WITH occ AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+             CAST(COUNT(*) AS BIGINT) AS tf_total
+      FROM occ WHERE term IN ('spark', 'merge', 'vector')
+      GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, tf_total,
+             ROW_NUMBER() OVER (ORDER BY tf_total DESC, doc_id) AS rn
+      FROM hits WHERE n_terms = 3
+    )
+    SELECT doc_id, tf_total, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def j_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) keyword search over the corpus, ranked by total term
+    frequency: documents containing ALL of {spark, merge, vector}, top 20 by
+    tf with doc_id as the integer tiebreak (never LIMIT on a float ordering).
+    The filter runs BEFORE the explode's shuffle (predicate on the exploded
+    term is pushed into the generator), so the groupBy only sees matching
+    terms — the same plan shape a posting-list intersection would produce.
+    Top-20 compiles to TakeOrderedAndProject (no single-partition window)."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term").isin("spark", "merge", "vector"))
+    hits = occ.groupBy("doc_id").agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.count(F.lit(1)).alias("tf_total"),
+    )
+    ranked = (
+        hits.filter(F.col("n_terms") == 3)
+        .select(
+            "doc_id",
+            "tf_total",
+            F.row_number()
+            .over(Window.orderBy(F.col("tf_total").desc(), F.col("doc_id")))
+            .cast("long")
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+    )
+    return ranked
+
+
+@register(
+    "j_scd2_pit_join",
+    """
+    WITH changes AS (
+      SELECT user_id, ts, event_type,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dim AS (
+      SELECT user_id, ts AS valid_from, event_type AS state,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM changes WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    fact AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT f.user_id, f.cents, d.state
+      FROM fact f JOIN dim d
+        ON f.user_id = d.user_id
+       AND f.ts >= d.valid_from
+       AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    )
+    SELECT state, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM joined GROUP BY state
+    """,
+)
+def j_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension (the data-warehouse
+    staple): purchases attach to the user-state version VALID AT the purchase
+    timestamp — `valid_from <= ts < valid_to`, open-ended current rows
+    included. The dimension builds from the same changelog s_scd2_history
+    pins; the fact join is an equi-join on user_id with the validity interval
+    as a residual predicate, so it shuffles on the key and never degenerates
+    into a range cross-product. Each fact row matches EXACTLY one version
+    (intervals partition the timeline — a guarantee the SCD2 builder's
+    LAG/LEAD construction provides structurally), so the revenue totals are
+    conserved; purchases are themselves change events, making every match
+    deterministic. At 100 TB both sides bucket by user_id (bucketed.py) and
+    the join is shuffle-free."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id", "ts", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    dim = (
+        changes.filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("event_type").alias("state"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(wv))
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    joined = fact.join(dim, "user_id").filter(
+        (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return joined.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+@register(
+    "j_churned_users",
+    """
+    WITH a AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events_a,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents_a
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY user_id
+    ),
+    b AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    )
+    SELECT a.user_id, a.n_events_a, a.cents_a
+    FROM a ANTI JOIN b ON a.user_id = b.user_id
+    """,
+)
+def j_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn cohort extraction: users active in the first half of the window
+    with ZERO events in the second half, carrying their first-period activity
+    stats (the features a churn model trains on). The period predicate pushes
+    into both parquet scans; the churn test is a LEFT ANTI join on user_id —
+    the set-algebra restatement of NOT EXISTS, shuffling only distinct user
+    ids on the probe side. Exact integer stats."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    a = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_a"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents_a"),
+        )
+    )
+    b = ev.filter(F.col("ts") >= cutoff).select("user_id").distinct()
+    return a.join(b, "user_id", "left_anti")
+
+
+@register(
+    "j_small_qty_revenue",
+    """
+    WITH red AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red %'
+    ),
+    stats AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem JOIN red ON l_partkey = p_partkey
+      GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 7.0 / 100.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN stats s ON l.l_partkey = s.l_partkey
+    WHERE 5 * s.n * CAST(ROUND(l.l_quantity) AS BIGINT) < s.total_qty
+    """,
+)
+def j_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue from small-quantity orders of a part subset:
+    lines whose quantity is below 20% of their part's average. The correlated
+    scalar subquery becomes a per-part stats aggregate joined back (broadcast:
+    the 'red' part dimension is small); the 0.2·avg comparison cross-multiplies
+    into EXACT integers (5·n·qty < Σqty — no float average, no rounding
+    boundary), and the only float math is the final /7.0 on an exact cent sum.
+    Two scans of lineitem (stats + probe) with the part filter semi-joined
+    into both — at 100 TB the stats side is the one worth caching."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    red = part.filter(F.col("p_name").like("red %")).select("p_partkey")
+    li_red = li.join(
+        F.broadcast(red), li["l_partkey"] == red["p_partkey"]
+    ).drop("p_partkey")
+    stats = li_red.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("l_quantity").cast("long")).alias("total_qty"),
+    )
+    probe = li_red.join(F.broadcast(stats), "l_partkey").filter(
+        5 * F.col("n") * F.round("l_quantity").cast("long") < F.col("total_qty")
+    )
+    return probe.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / 7.0
+            / 100.0,
+            6,
+        ).alias("avg_yearly"),
+    )
+
+
+@register(
+    "j_returned_items_topk",
+    """
+    WITH rev AS (
+      SELECT c_custkey, c_name, n_name,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS rev_cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= DATE '1997-01-01'
+        AND o_orderdate <  DATE '1997-07-01'
+      GROUP BY c_custkey, c_name, n_name
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rev_cents DESC, c_custkey) AS rn
+      FROM rev
+    )
+    SELECT c_custkey, c_name, n_name,
+           ROUND(rev_cents / 100.0, 2) AS revenue
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def j_returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top-20 customers by revenue lost to returns in a
+    half-year window. The fact side is pruned by BOTH pushed filters
+    (returnflag on lineitem, the date band on orders) before the single
+    lineitem⋈orders shuffle; customer and nation broadcast. The top-20 ranks
+    on exact integer cents (float orderings are not total across engines)
+    and resolves ties by custkey, so the kept SET is deterministic. Global
+    top-k is heap-merged, never a single-partition window."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            )
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    top = rev.orderBy(F.col("rev_cents").desc(), "c_custkey").limit(20)
+    return top.select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+    )
+
+
+@register(
+    "j_order_priority_exists",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def j_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — orders of one quarter that had at least one line
+    shipped more than 30 days after ordering, counted per priority class.
+    EXISTS compiles to a LEFT SEMI join (no fact-side row multiplication —
+    an inner join + distinct would pay an extra shuffle to undo the fanout);
+    the quarter band prunes the orders scan before the join; the
+    non-equi part of the predicate (shipdate vs orderdate+30d) rides on the
+    semi-join condition so it's evaluated during the probe, not after."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "j_late_lines_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS late_rate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j_late_lines_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (ship-mode swapped for priority, the column this
+    schema carries) — conditional counts of late vs on-time lines per
+    priority class. The late flag is computed inside the join projection so
+    the aggregate is a pure conditional count; one fact-fact shuffle, then a
+    5-row reduce. Demonstrates CASE-aggregation folding into partial
+    aggregates (map-side combine shrinks the shuffle to |priorities| rows
+    per task)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(late).alias("n_late"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(late) * 1.0 / F.count(F.lit(1)), 6).alias("late_rate"),
+        )
+    )
+
+
+@register(
+    "j_customer_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def j_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the order-count histogram over ALL customers,
+    including the zero bucket (the reason this must be an OUTER join: an
+    inner join silently drops never-ordered customers and the distribution
+    lies). The filter on the probe side lives in the JOIN CONDITION, not a
+    WHERE (a post-join WHERE would turn the outer join back into an inner
+    one). COUNT(o_orderkey) — not COUNT(*) — so unmatched customers count 0.
+    Two shuffles: the outer join and the tiny histogram reduce."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "j_large_qty_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+           ROUND(total_qty, 2) AS total_qty
+    FROM big
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def j_large_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — orders whose total quantity exceeds a threshold,
+    with their customers. The HAVING subquery reduces lineitem FIRST (the
+    6:1 fanout collapses at the map-side combine), and only the surviving
+    orderkeys join back to orders/customer — the aggregate-then-join
+    ordering that makes Q18 tractable at scale; joining first would shuffle
+    the whole fact twice. Customer broadcasts; the big-order set is small so
+    AQE converts the orders join to broadcast at runtime too."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "j_dbscan_grid",
+    f"""
+    WITH RECURSIVE p AS (
+      SELECT c_custkey AS id,
+             (CAST(('0x' || substr(md5('gx' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 AS x,
+             (CAST(('0x' || substr(md5('gy' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 AS y
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    a AS (
+      SELECT id, x, y,
+             CAST(FLOOR(x / {_GEO_EPS}) AS BIGINT) AS cx,
+             CAST(FLOOR(y / {_GEO_EPS}) AS BIGINT) AS cy
+      FROM p
+    ),
+    probes AS (
+      SELECT id, x, y, cx + dx AS cx, cy + dy AS cy
+      FROM a
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+    ),
+    pairs AS (
+      SELECT l.id AS i1, r.id AS i2
+      FROM probes l JOIN a r ON l.cx = r.cx AND l.cy = r.cy
+      WHERE l.id < r.id
+        AND sqrt((l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y))
+            < {_GEO_EPS}
+    ),
+    sym AS (SELECT i1 AS u, i2 AS v FROM pairs UNION ALL SELECT i2, i1 FROM pairs),
+    deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS nbrs FROM sym GROUP BY u),
+    core AS (SELECT id FROM deg WHERE nbrs >= 2),
+    core_edges AS (
+      SELECT i1 AS u, i2 AS v FROM pairs
+      WHERE i1 IN (SELECT id FROM core) AND i2 IN (SELECT id FROM core)
+    ),
+    core_sym AS (SELECT u, v FROM core_edges UNION SELECT v, u FROM core_edges),
+    reach(a2, b2) AS (
+      SELECT u, u FROM core_sym
+      UNION
+      SELECT r.a2, s.v FROM reach r JOIN core_sym s ON s.u = r.b2
+    ),
+    comp AS (
+      SELECT c.id AS id, COALESCE(MIN(r.b2), c.id) AS cluster_id
+      FROM core c LEFT JOIN reach r ON r.a2 = c.id
+      GROUP BY c.id
+    ),
+    border AS (
+      SELECT s.u AS id, MIN(comp.cluster_id) AS cluster_id
+      FROM sym s JOIN comp ON s.v = comp.id
+      WHERE s.u NOT IN (SELECT id FROM core)
+      GROUP BY s.u
+    ),
+    labeled AS (
+      SELECT id, cluster_id, 'core' AS role FROM comp
+      UNION ALL
+      SELECT id, cluster_id, 'border' FROM border
+    ),
+    clusters AS (
+      SELECT cluster_id,
+             CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_core,
+             CAST(SUM(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_border
+      FROM labeled GROUP BY cluster_id
+    )
+    SELECT cluster_id, n_core, n_border, n_core + n_border AS n_total
+    FROM clusters
+    UNION ALL
+    SELECT -1,
+           CAST(0 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM p) - (SELECT COUNT(*) FROM labeled) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM p) - (SELECT COUNT(*) FROM labeled) AS BIGINT)
+    """,
+)
+def j_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked DBSCAN (eps = cell pitch, minPts = 3): the eps-neighbor
+    graph comes from the SAME 3×3 cell-probe join as j_spatial_grid_join
+    (never a quadratic distance join), core points are those with ≥ 2
+    eps-neighbors, clusters are connected components of the core-core
+    subgraph (alternating large-star/small-star to convergence — the
+    recursive-CTE oracle replays the closure exactly), border points
+    attach to their minimum-labeled core neighbor (textbook DBSCAN leaves
+    border assignment order-dependent; the min rule makes it a pure
+    function), everything else is noise (cluster −1). Per-cluster
+    core/border counts. Every stage is cell- or node-keyed — DBSCAN at
+    100 TB is exactly this plan with a finer grid."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    p = cust.select(
+        F.col("c_custkey").alias("id"),
+        _geo_coord(F.col("c_custkey"), "gx").alias("x"),
+        _geo_coord(F.col("c_custkey"), "gy").alias("y"),
+    )
+    a = p.withColumn("cx", F.floor(F.col("x") / _GEO_EPS).cast("long")).withColumn(
+        "cy", F.floor(F.col("y") / _GEO_EPS).cast("long")
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    probes = a.select("id", "x", "y", "cx", "cy", offsets).select(
+        F.col("id").alias("lid"),
+        F.col("x").alias("lx"),
+        F.col("y").alias("ly"),
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    dist = F.sqrt(
+        (F.col("lx") - F.col("x")) * (F.col("lx") - F.col("x"))
+        + (F.col("ly") - F.col("y")) * (F.col("ly") - F.col("y"))
+    )
+    pairs = (
+        probes.join(a, ["cx", "cy"])
+        .filter((F.col("lid") < F.col("id")) & (dist < _GEO_EPS))
+        .select(F.col("lid").alias("i1"), F.col("id").alias("i2"))
+        .persist()
+    )
+    sym = pairs.select(F.col("i1").alias("u"), F.col("i2").alias("v")).unionByName(
+        pairs.select(F.col("i2").alias("u"), F.col("i1").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("nbrs")
+    )
+    core = deg.filter(F.col("nbrs") >= 2).select("id").persist()
+    core_edges = (
+        pairs.join(core.withColumnRenamed("id", "i1"), "i1", "left_semi")
+        .join(core.withColumnRenamed("id", "i2"), "i2", "left_semi")
+        .select(F.col("i1").alias("id_1"), F.col("i2").alias("id_2"))
+    )
+    comp_raw = CCop.connected_components(core_edges)
+    comp = (
+        core.join(
+            comp_raw.withColumnRenamed("node", "id"), "id", "left_outer"
+        )
+        .select(
+            "id", F.coalesce(F.col("component"), F.col("id")).alias("cluster_id")
+        )
+        .persist()
+    )
+    border = (
+        sym.join(
+            comp.select(F.col("id").alias("v"), "cluster_id"), "v"
+        )
+        .join(core.withColumnRenamed("id", "u"), "u", "left_anti")
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    labeled = comp.select("id", "cluster_id", F.lit("core").alias("role")).unionByName(
+        border.select("id", "cluster_id", F.lit("border").alias("role"))
+    )
+    clusters = labeled.groupBy("cluster_id").agg(
+        F.sum(F.when(F.col("role") == "core", 1).otherwise(0)).alias("n_core"),
+        F.sum(F.when(F.col("role") == "border", 1).otherwise(0)).alias("n_border"),
+    ).select(
+        "cluster_id",
+        "n_core",
+        "n_border",
+        (F.col("n_core") + F.col("n_border")).alias("n_total"),
+    )
+    n_all = p.agg(F.count(F.lit(1)).alias("np"))
+    n_lab = labeled.agg(F.count(F.lit(1)).alias("nl"))
+    noise = (
+        n_all.crossJoin(F.broadcast(n_lab))
+        .select(
+            F.lit(-1).cast("long").alias("cluster_id"),
+            F.lit(0).cast("long").alias("n_core"),
+            (F.col("np") - F.col("nl")).alias("n_border"),
+            (F.col("np") - F.col("nl")).alias("n_total"),
+        )
+    )
+    return clusters.unionByName(noise)
+
+
+@register(
+    "j_abandoned_actions",
+    """
+    WITH views AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ),
+    purchases AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    followed AS (
+      SELECT DISTINCT v.event_id
+      FROM views v JOIN purchases p
+        ON v.user_id = p.user_id
+       AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+    )
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(COUNT(*) - COUNT(f.event_id) AS BIGINT) AS n_abandoned,
+           ROUND((COUNT(*) - COUNT(f.event_id)) * 1.0 / COUNT(*), 6)
+             AS abandon_rate
+    FROM views v LEFT JOIN followed f ON v.event_id = f.event_id
+    GROUP BY v.user_id
+    HAVING COUNT(*) - COUNT(f.event_id) > 0
+    """,
+)
+def j_abandoned_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ABSENCE detection — views never followed by a purchase
+    within 24 h, per user (cart abandonment, unanswered alerts, dropped
+    handoffs: the 'X not followed by Y in window' pattern). The follow
+    check is an interval-bounded join on the user key marking each view
+    that IS followed; abandonment falls out of a LEFT JOIN + COUNT(col)
+    (the Q13 zero-bucket trick applied to time). The interval join's state
+    is bounded by the 24 h window per user — the same bound the streaming
+    interval join enforces with watermarks; only users with ≥ 1 abandoned
+    view are emitted."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    followed = (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .select("event_id")
+        .distinct()
+        .withColumn("f_id", F.col("event_id"))
+    )
+    joined = views.join(followed, "event_id", "left_outer")
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            (F.count(F.lit(1)) - F.count("f_id")).alias("n_abandoned"),
+            F.round(
+                (F.count(F.lit(1)) - F.count("f_id")) * 1.0 / F.count(F.lit(1)),
+                6,
+            ).alias("abandon_rate"),
+        )
+        .filter(F.col("n_abandoned") > 0)
+    )
+
+
+@register(
+    "j_attribution_position_based",
+    """
+    WITH purchases AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, event_id AS touch_id, event_type, ts AS touch_ts
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    path AS (
+      SELECT p.conv_id, p.cents, t.event_type, t.touch_id,
+             ROW_NUMBER() OVER (PARTITION BY p.conv_id
+                                ORDER BY t.touch_ts, t.touch_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p.conv_id) AS k
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.touch_ts < p.conv_ts
+       AND t.touch_ts >= p.conv_ts - INTERVAL 3 DAY
+    ),
+    credited AS (
+      SELECT event_type, cents,
+             CASE WHEN k = 1 THEN 1.0
+                  WHEN k = 2 THEN 0.5
+                  WHEN pos = 1 THEN 0.4
+                  WHEN pos = k THEN 0.4
+                  ELSE 0.2 / (k - 2) END AS credit
+      FROM path
+    )
+    SELECT event_type,
+           ROUND(SUM(credit * cents) / 100.0, 2) AS credited_revenue,
+           ROUND(SUM(credit), 4) AS total_credit
+    FROM credited GROUP BY event_type
+    """,
+)
+def j_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each conversion's
+    3-day touch path credits 40% to the first touch, 40% to the last, and
+    splits 20% across the middle (single-touch gets 100%, two-touch
+    50/50) — the standard compromise between first- and last-touch's
+    opposite biases (j_attribution_last_touch is the degenerate 0/100
+    case). The path join is interval-bounded per user; positions come
+    from ONE window over the path (rank + count share the partition);
+    credits sum to exactly 1.0 per conversion by construction, so
+    total_credit audits the join fanout."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("conv_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        F.col("ts").alias("touch_ts"),
+    )
+    path = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 3 DAYS")),
+    )
+    w = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    wk = Window.partitionBy("conv_id")
+    ranked = path.select(
+        "conv_id",
+        "cents",
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("k"), F.lit(0.4))
+        .otherwise(0.2 / (F.col("k") - 2))
+    )
+    return (
+        ranked.withColumn("credit", credit)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("credit") * F.col("cents")) / 100.0, 2).alias(
+                "credited_revenue"
+            ),
+            F.round(F.sum("credit"), 4).alias("total_credit"),
+        )
+    )
+
+
+@register(
+    "j_haversine_nearest",
+    """
+    WITH p AS (
+      SELECT c_custkey AS id,
+             (CAST(('0x' || substr(md5('lat' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 * 120 - 60 AS lat,
+             (CAST(('0x' || substr(md5('lon' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 * 360 - 180 AS lon
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    g AS (
+      SELECT id, lat, lon,
+             CAST(FLOOR(lat / 5) AS BIGINT) AS gy,
+             CAST(FLOOR(lon / 5) AS BIGINT) AS gx
+      FROM p
+    ),
+    queries AS (SELECT * FROM g WHERE id < 60),
+    probes AS (
+      SELECT q.id, q.lat, q.lon, q.gy + dy AS gy, q.gx + dx AS gx
+      FROM queries q
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+    ),
+    cand AS (
+      SELECT pr.id AS query_id, c.id AS neighbor_id,
+             CAST(ROUND(2 * 6371000 * ASIN(SQRT(
+               POWER(SIN(RADIANS(c.lat - pr.lat) / 2), 2)
+               + COS(RADIANS(pr.lat)) * COS(RADIANS(c.lat))
+                 * POWER(SIN(RADIANS(c.lon - pr.lon) / 2), 2)))) AS BIGINT)
+               AS dist_m
+      FROM probes pr JOIN g c ON pr.gy = c.gy AND pr.gx = c.gx
+      WHERE pr.id <> c.id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, dist_m,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist_m, neighbor_id) AS rn
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, dist_m FROM ranked WHERE rn = 1
+    """,
+)
+def j_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic nearest neighbor: great-circle (haversine) distance with
+    5°-cell grid blocking and 3×3 neighborhood probing — the bounded-radius
+    nearest-neighbor contract every geo join ships (a query with no
+    neighbor within the probed ring returns nothing rather than scanning
+    the planet; widen the ring, not the join). Distances snap to integer
+    meters before ranking with an id tie-break. Coordinates are
+    md5-synthesized (the corpus carries none); the formula and the
+    blocking plan are the real operator. Grid cells degenerate near the
+    poles — production grids switch to geohash/S2 cells there; the
+    synthesized band (±60°) stays in the well-behaved regime."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    lat = (
+        F.pmod(
+            DD.hex_hash64(F.concat(F.lit("lat"), F.col("c_custkey").cast("string"))),
+            F.lit(1_000_000),
+        )
+        / 1_000_000.0
+        * 120
+        - 60
+    )
+    lon = (
+        F.pmod(
+            DD.hex_hash64(F.concat(F.lit("lon"), F.col("c_custkey").cast("string"))),
+            F.lit(1_000_000),
+        )
+        / 1_000_000.0
+        * 360
+        - 180
+    )
+    g = cust.select(
+        F.col("c_custkey").alias("id"), lat.alias("lat"), lon.alias("lon")
+    ).select(
+        "id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / 5).cast("long").alias("gy"),
+        F.floor(F.col("lon") / 5).cast("long").alias("gx"),
+    ).persist()
+    queries_df = g.filter(F.col("id") < 60)
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    probes = queries_df.select("id", "lat", "lon", "gy", "gx", offsets).select(
+        F.col("id").alias("qid"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+        (F.col("gy") + F.col("o.dy")).alias("gy"),
+        (F.col("gx") + F.col("o.dx")).alias("gx"),
+    )
+    dphi = F.radians(F.col("lat") - F.col("qlat")) / 2
+    dlam = F.radians(F.col("lon") - F.col("qlon")) / 2
+    hav = (
+        F.pow(F.sin(dphi), 2)
+        + F.cos(F.radians(F.col("qlat")))
+        * F.cos(F.radians(F.col("lat")))
+        * F.pow(F.sin(dlam), 2)
+    )
+    dist_m = F.round(2 * 6371000 * F.asin(F.sqrt(hav))).cast("long")
+    cand = (
+        probes.join(g, ["gy", "gx"])
+        .filter(F.col("qid") != F.col("id"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            dist_m.alias("dist_m"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_m", "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "dist_m")
+    )
+
+
+@register(
+    "j_bm25_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks GROUP BY doc_id, tok
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(len) AS avgdl FROM dl
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+      WHERE tok IN ('window', 'merge') GROUP BY tok
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(LN(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * tf.f * 2.2
+                 / (tf.f + 1.2 * (0.25 + 0.75 * dl.len / stats.avgdl)))
+               AS bm25
+      FROM tf
+      JOIN df ON tf.tok = df.tok
+      JOIN dl ON tf.doc_id = dl.doc_id, stats
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(ROUND(bm25 * 1000000) AS BIGINT) DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, ROUND(bm25, 6) AS bm25_score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def j_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for the query {window, merge}: the IR-standard
+    scoring the inverted index + TF-IDF queries stop short of — term
+    frequency SATURATES (k₁ = 1.2: the 10th occurrence adds almost
+    nothing, unlike raw TF-IDF) and long documents are penalized toward
+    the average length (b = 0.75). The IDF is the Robertson-Sparck-Jones
+    form. Per-term postings join against the 2-row query-term df table
+    (broadcast); doc-length norms join from the length table; top-10 by
+    integer-snapped score. The same plan serves any query size — the df
+    frame is |query terms| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    ).persist()
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avgdl")
+    )
+    df_t = (
+        tf.filter(F.col("tok").isin("window", "merge"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    k1, b = 1.2, 0.75
+    denom = F.col("f") + k1 * (1 - b + b * F.col("len") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("f") * (k1 + 1) / denom).alias("bm25"))
+    )
+    w = Window.orderBy(
+        F.round(F.col("bm25") * 1000000).cast("long").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "doc_id",
+            F.round("bm25", 6).alias("bm25_score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "j_fifo_matching",
+    """
+    WITH receipts AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+             l_extendedprice / l_quantity AS unit_price,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) OVER w
+               AS r_end,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) OVER w
+               - CAST(ROUND(l_quantity) AS BIGINT) AS r_start
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) = 1996 AND l_partkey % 100 = 0
+        AND l_quantity > 0
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    issues AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) OVER w AS i_end,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) OVER w
+               - CAST(ROUND(l_quantity) AS BIGINT) AS i_start
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) = 1997 AND l_partkey % 100 = 0
+        AND l_quantity > 0
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    matched AS (
+      SELECT r.l_partkey,
+             LEAST(r.r_end, i.i_end) - GREATEST(r.r_start, i.i_start)
+               AS matched_qty,
+             r.unit_price
+      FROM receipts r JOIN issues i
+        ON r.l_partkey = i.l_partkey
+       AND r.r_start < i.i_end AND i.i_start < r.r_end
+    )
+    SELECT l_partkey,
+           CAST(SUM(matched_qty) AS BIGINT) AS fifo_matched_units,
+           ROUND(SUM(matched_qty * unit_price) / SUM(matched_qty), 4)
+             AS fifo_unit_cost
+    FROM matched GROUP BY l_partkey
+    """,
+)
+def j_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching as interval algebra — the inventory-costing
+    computation that looks inherently sequential (consume the oldest lot
+    first) but isn't: on each part's shared cumulative-units axis, the
+    k-th unit issued comes from the k-th unit received BY DEFINITION of
+    FIFO, so matching = intersecting each issue's cumulative interval
+    with each receipt's. Two partitioned running sums build the
+    intervals; a part-keyed overlap join (never cross-part) extracts
+    matched quantities; the weighted unit cost is the FIFO cost of goods
+    sold. 1996 receipts vs 1997 issues on a part sample; the same plan
+    does LIFO by reversing one ordering."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_partkey") % 100 == 0) & (F.col("l_quantity") > 0)
+    )
+
+    def cum_frame(year, with_price):
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        qty = F.round(F.col("l_quantity")).cast("long")
+        base = li.filter(F.year("l_shipdate") == year)
+        cols = [
+            "l_partkey",
+            F.sum(qty).over(w).alias("end"),
+            (F.sum(qty).over(w) - qty).alias("start"),
+        ]
+        if with_price:
+            cols.append(
+                (F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                    "unit_price"
+                )
+            )
+        return base.select(*cols)
+
+    receipts = cum_frame(1996, True).select(
+        "l_partkey",
+        F.col("start").alias("r_start"),
+        F.col("end").alias("r_end"),
+        "unit_price",
+    )
+    issues = cum_frame(1997, False).select(
+        F.col("l_partkey").alias("i_part"),
+        F.col("start").alias("i_start"),
+        F.col("end").alias("i_end"),
+    )
+    matched = receipts.join(
+        issues,
+        (F.col("l_partkey") == F.col("i_part"))
+        & (F.col("r_start") < F.col("i_end"))
+        & (F.col("i_start") < F.col("r_end")),
+    ).select(
+        "l_partkey",
+        (
+            F.least(F.col("r_end"), F.col("i_end"))
+            - F.greatest(F.col("r_start"), F.col("i_start"))
+        ).alias("matched_qty"),
+        "unit_price",
+    )
+    return matched.groupBy("l_partkey").agg(
+        F.sum("matched_qty").alias("fifo_matched_units"),
+        F.round(
+            F.sum(F.col("matched_qty") * F.col("unit_price"))
+            / F.sum("matched_qty"),
+            4,
+        ).alias("fifo_unit_cost"),
+    )

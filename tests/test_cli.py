@@ -123,3 +123,30 @@ def test_register_testdata_views_sql_surface(spark):
     # events ts must be queryable as a timestamp (NANOS handled)
     mx = spark.sql("SELECT MAX(ts) m FROM events").collect()[0].m
     assert mx is not None and hasattr(mx, "year")
+
+
+def test_homologene_via_cli(spark, tmp_path, capsys):
+    from ortholog_pipeline_spark.schemas import XREFS_SCHEMA
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    xrefs = [(1, 101, "EG1", 3, "E", OLD_TS), (2, 102, "EG2", 3, "E", OLD_TS)]
+    store.write("xrefs", spark.createDataFrame(xrefs, XREFS_SCHEMA))
+    store.write(
+        "orthologs", spark.createDataFrame([], ORTHOLOGS_SCHEMA)
+    )
+    hg_dir = tmp_path / "homologene" / "dt=2026-01-01"
+    hg_dir.mkdir(parents=True)
+    (hg_dir / "homologene.data").write_text(
+        "3\t9606\tEG1\n3\t10116\tEG2\n3\t8355\tEGF\n"
+    )
+    rc = main(
+        ["--homologene", "--state-dir", str(tmp_path / "state"),
+         "--landing-dir", str(tmp_path)]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "+2" in out and "badSpecies=1" in out
+    pairs = {
+        (r.src_rgd_id, r.dest_rgd_id) for r in store.read("orthologs").collect()
+    }
+    assert pairs == {(101, 102), (102, 101)}

@@ -500,6 +500,19 @@ _SPECIES_FLOW_SQL = f"""
 """
 
 
+
+def _part_bounded(spark: SparkSession, sf_dir: str, bound: int | None = None):
+    """Part keys as int ``p``, with the seed bound applied to the RAW column
+    BEFORE the cast: a filter on cast(p_partkey) does not push to the parquet
+    scan (verified via explain — only IsNotNull reached PushedFilters), so at
+    scale every seed frame would re-scan the whole table. Filtering first
+    pushes ``p_partkey <= bound`` into the scan; the cast then renames."""
+    df = _t(spark, sf_dir, "part")
+    if bound is not None:
+        df = df.filter(F.col("p_partkey") <= bound)
+    return df.select(F.col("p_partkey").cast("int").alias("p"))
+
+
 def _species_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """The Spark twin of _WORLD_SQL — same formulas over the same tables."""
     c = F.col("c")
@@ -507,7 +520,7 @@ def _species_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("int").alias("c")
     )
-    part = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("int").alias("p"))
+    part = _part_bounded(spark, sf_dir)
     orders = _t(spark, sf_dir, "orders")
     hh = (F.lit(1) + (p * 13) % 150).cast("int")
 
@@ -590,7 +603,7 @@ def _species_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             ts0.alias("last_modified_date"),
         ]
 
-    p300 = part.filter(p <= 300)
+    p300 = _part_bounded(spark, sf_dir, 300)
     oa = p300.select(
         *_orth(
             p, HB + hh, RB + p, 1, 3,
@@ -627,7 +640,7 @@ def _species_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
     orthologs = oa.unionByName(ob).unionByName(oc).unionByName(od).unionByName(oe)
 
-    p200 = part.filter(p <= 200)
+    p200 = _part_bounded(spark, sf_dir, 200)
     agr_f = p200.filter(p % 8 == 0).select(
         (HB + hh).cast("int").alias("gene_rgd_id_1"),
         (RB + p).cast("int").alias("gene_rgd_id_2"),
@@ -702,7 +715,7 @@ def _species_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         .otherwise("Ensembl, Panther, TreeFam")
         .alias("data_set_name"),
     )
-    curated = part.filter((p <= 199) & (p % 25 == 0)).select(
+    curated = _part_bounded(spark, sf_dir, 199).filter(p % 25 == 0).select(
         F.concat(F.lit("EGH"), hh.cast("string")).alias("src_other_id"),
         F.concat(F.lit("EGR"), p.cast("string")).alias("dest_other_id"),
         F.lit(1).cast("int").alias("src_species_type_key"),
@@ -897,7 +910,7 @@ def _agr_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("int").alias("c")
     )
-    part = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("int").alias("p"))
+    part = _part_bounded(spark, sf_dir)
     orders = _t(spark, sf_dir, "orders")
     hh3 = (F.lit(1) + (p * 7) % 150).cast("int")
     ts0 = F.lit(TS0)
@@ -951,7 +964,7 @@ def _agr_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         )
     )
 
-    agr = part.filter((p <= 400) & (p % 3 == 0)).select(
+    agr = _part_bounded(spark, sf_dir, 400).filter(p % 3 == 0).select(
         (HB + hh3).cast("int").alias("gene_rgd_id_1"),
         (RB + p).cast("int").alias("gene_rgd_id_2"),
         F.lit("stringent").alias("confidence"),
@@ -997,7 +1010,7 @@ def _agr_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.when(ok % 2 == 0, "Yes").otherwise("No").alias("is_best_score"),
         F.when(ok % 5 == 0, "Yes").otherwise("No").alias("is_best_rev_score"),
     )
-    curated = part.filter((p <= 173) & (p % 30 == 0)).select(
+    curated = _part_bounded(spark, sf_dir, 173).filter(p % 30 == 0).select(
         F.concat(F.lit("AGR:H"), hh3.cast("string")).alias("gene1_id"),
         F.concat(F.lit("HA"), hh3.cast("string")).alias("gene1_symbol"),
         F.lit("NCBITaxon:9606").alias("gene1_species_taxon_id"),
@@ -1147,11 +1160,7 @@ def flow_fix_xref(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     p = F.col("p")
-    part = (
-        _t(spark, sf_dir, "part")
-        .select(F.col("p_partkey").cast("int").alias("p"))
-        .filter(p <= 500)
-    )
+    part = _part_bounded(spark, sf_dir, 500)
     ts0 = F.lit(TS0)
     orth = part.select(
         p.cast("long").alias("genetogene_key"),
@@ -1458,11 +1467,10 @@ def flow_homologene(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ortholog_pipeline_spark.plans.homologene import run_homologene_load
 
     p = F.col("p")
-    part = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("int").alias("p"))
     orders = _t(spark, sf_dir, "orders")
     ts0 = F.lit(TS0)
 
-    p899 = part.filter((p <= 899) & (p % 31 != 0))
+    p899 = _part_bounded(spark, sf_dir, 899).filter(p % 31 != 0)
     xr = p899.select(
         p.cast("int").alias("acc_xdb_key"),
         (RB + p).cast("int").alias("rgd_id"),
@@ -1480,7 +1488,7 @@ def flow_homologene(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts0.alias("modification_date"),
         )
     )
-    seed = part.filter(p <= 500).select(
+    seed = _part_bounded(spark, sf_dir, 500).select(
         (7000000 + p).cast("long").alias("genetogene_key"),
         (RB + p).cast("int").alias("src_rgd_id"),
         ((RB + (p * 7) % 900)).cast("int").alias("dest_rgd_id"),

@@ -657,3 +657,19 @@ def test_no_undeclared_cartesian_products(spark):
         if "CartesianProduct" in plan and name not in ALLOWED:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_flow_world_seed_bounds_pushed_to_scan(spark):
+    """The flow worlds' seed bounds (p_partkey <= N) must reach the parquet
+    scan: a filter on cast(p_partkey) does NOT push (only IsNotNull made it,
+    verified r3), so the derivation filters the raw column before casting —
+    at 100 TB the difference is five full table scans per flow call."""
+    from ortholog_pipeline_spark.queries_flows import _species_world
+
+    w = _species_world(spark, SF)
+    plan = w["orthologs"]._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "LessThanOrEqual(p_partkey,300)" in plan

@@ -1154,10 +1154,6 @@ def flow_fix_xref(spark: SparkSession, sf_dir: str) -> DataFrame:
     'Ensembl,,OrthoDB' sanitizes to the same length, so it is KEPT verbatim —
     and that non-weak association subtypes are never touched."""
     from ortholog_pipeline_spark.plans.maintenance import run_fix_xref_data_set
-    from ortholog_pipeline_spark.schemas import (
-        ASSOCIATIONS_SCHEMA,
-        ORTHOLOGS_SCHEMA,
-    )
 
     p = F.col("p")
     part = _part_bounded(spark, sf_dir, 500)
@@ -1199,7 +1195,6 @@ def flow_fix_xref(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts0.alias("creation_date"),
         F.lit("ORTHOLOGS").alias("src_pipeline"),
     )
-    _ = (ORTHOLOGS_SCHEMA, ASSOCIATIONS_SCHEMA)  # documented shape reference
     store = _seed_store(
         spark, {"orthologs": orth, "associations": assoc}, "flow_fixxref_"
     )
@@ -1515,9 +1510,7 @@ def flow_homologene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("GG"), (ok % 900).cast("string")).alias("gene_id"),
     )
     store = _seed_store(spark, {"xrefs": xr, "orthologs": seed}, "flow_homologene_")
-    from ortholog_pipeline_spark.plans.homologene import run_homologene_load as _run
-
-    res = _run(store, entries, RUN_TS)
+    res = run_homologene_load(store, entries, RUN_TS)
     final = store.read("orthologs").select(
         "group_id",
         F.col("src_rgd_id").alias("id_a"),

@@ -446,7 +446,11 @@ def a_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r_score, f_score, m_score,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(AVG(monetary_cents) / 100.0, 2) AS avg_monetary
+           -- exact half-up integer mean in cents: AVG(BIGINT) is a float whose
+           -- summation order differs between engines, and ROUND(double, 2)
+           -- halfway semantics differ too (diverged at sf0.1 segment sizes)
+           CAST((2 * SUM(monetary_cents) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS avg_monetary_cents
     FROM scored GROUP BY 1, 2, 3
     """,
 )
@@ -505,7 +509,27 @@ def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("monetary_cents") / 100.0, 2).alias("avg_monetary"),
+            F.sum("monetary_cents").alias("_s"),
+        )
+        # exact half-up integer mean in cents (see the oracle comment): the
+        # numerator stays < 2^53 so the one double division is exact
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            (
+                (
+                    (2 * F.col("_s") + F.col("n_customers"))
+                    - F.pmod(
+                        2 * F.col("_s") + F.col("n_customers"),
+                        2 * F.col("n_customers"),
+                    )
+                )
+                / (2 * F.col("n_customers"))
+            )
+            .cast("long")
+            .alias("avg_monetary_cents"),
         )
     )
 

@@ -93,6 +93,15 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             report[name] = {"err": f"{type(ex).__name__}: {ex}"[:400]}
             n_fail += 1
+        finally:
+            # session hygiene across a 300-query sweep: queries persist their
+            # own intermediates and ship broadcasts; without releasing them the
+            # driver heap accumulates until late queries die in
+            # broadcast-exchange OOM (observed at sf0.1 after ~1300 s: three
+            # spurious "Not enough memory to broadcast" failures that all pass
+            # in a fresh session)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
     print(json.dumps(report, indent=1))
     print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={sum(1 for r in report.values() if r.get('err') == 'no_oracle')}", file=sys.stderr)
     return 0 if n_fail == 0 else 1

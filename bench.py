@@ -581,6 +581,46 @@ def main() -> None:
         timings["g_kcore_peel_1x_stored"] = _best2(_kcore_stored(epath1))
         timings["g_kcore_peel_10x"] = _best2(_kcore_stored(epath10))
 
+    # flagship-flow scaling probe: run_species_load on 1x and 10x the relation
+    # stream (evidence-variant replicas, so the A2 dedup-merge does real
+    # token-union work instead of collapsing identical rows for free). Stores
+    # are pre-seeded OUTSIDE the timing and fresh per run (the flow mutates
+    # snapshot state); the timed section is the flow itself. r1 recorded the
+    # expected shape: near-flat, because merge collapses the stream at the
+    # FIRST shuffle and everything downstream is keyed on the bounded
+    # (gene x species) space.
+    from ortholog_pipeline_spark.plans.species_load import run_species_load
+    from ortholog_pipeline_spark.queries_flows import (
+        RUN_TS,
+        _seed_store,
+        _species_world,
+    )
+
+    world = _species_world(spark, sf_dir)
+    rel1 = world["relations"]
+    rparts = [rel1]
+    for i in range(1, 10):
+        rparts.append(
+            rel1.withColumn(
+                "data_set_name",
+                F.concat(F.col("data_set_name"), F.lit(f", T{i}")),
+            )
+        )
+    rel10 = rparts[0]
+    for rp in rparts[1:]:
+        rel10 = rel10.unionByName(rp)
+
+    def _flow_probe(rel):
+        stores = [_seed_store(spark, world, "bench_flow_") for _ in range(2)]
+
+        def run():
+            run_species_load(stores.pop(), rel, RUN_TS, 3, delete_threshold_pct=95.0)
+
+        return run
+
+    timings["flow_species_load_1x_plan"] = _best2(_flow_probe(rel1))
+    timings["flow_species_load_10x_plan"] = _best2(_flow_probe(rel10))
+
     # per-query regression tracking vs the previous recorded run (VERDICT r2
     # item 7): ratio > 1.5 is a fail-soft warning surfaced in the artifact
     prev_ratio: dict[str, float] = {}

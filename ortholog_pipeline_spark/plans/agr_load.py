@@ -325,7 +325,10 @@ def run_agr_load(
     # S12 upsert on the 3-col key (Dao.java:825-849) as a full-outer verdict join
     key3 = ["gene_rgd_id_1", "gene_rgd_id_2", "methods_matched"]
     content = ["confidence", "is_best_score", "is_best_rev_score"]
-    verdicts = sync.sync_full_outer(incoming, agr, key3, content)
+    # persisted: the snapshot write (inserts + updates), the n_inserted /
+    # n_updated result counts, and the caller's audit stream all branch off
+    # this full-outer join — one materialization instead of four
+    verdicts = sync.sync_full_outer(incoming, agr, key3, content).persist()
 
     inserts = (
         verdicts.filter(F.col("sync_verdict") == sync.INSERT)
@@ -343,7 +346,8 @@ def run_agr_load(
     )
 
     # stale = existing rows untouched this run, within the churn cap
-    stale = sync.stale_rows(agr, incoming, key3)
+    # persisted: counted for the churn guard, then consumed by the write
+    stale = sync.stale_rows(agr, incoming, key3).persist()
     n_total = agr.count()
     n_stale = stale.count()
     if n_total:

@@ -71,8 +71,12 @@ def run_homologene_load(
         .agg(F.count("*").alias("_n"), F.min("rgd_id").alias("rgd_id"))
     )
     joined = valid.join(F.broadcast(dim), "gene_id", "left")
-    n_no = joined.filter(F.col("_n").isNull()).count()
-    n_multi = joined.filter(F.col("_n") > 1).count()
+    # one pass for both audit counts instead of two scans of the join
+    audit_row = joined.agg(
+        F.count(F.when(F.col("_n").isNull(), 1)).alias("n_no"),
+        F.count(F.when(F.col("_n") > 1, 1)).alias("n_multi"),
+    ).collect()[0]
+    n_no, n_multi = audit_row.n_no, audit_row.n_multi
     resolved = joined.filter(F.col("_n") == 1).select(
         "homologene_id", "rgd_id", "species_type_key"
     )
@@ -114,11 +118,13 @@ def run_homologene_load(
     )
 
     key = ["group_id", "src_rgd_id", "dest_rgd_id"]
+    # persisted: matches (count + touch), ins_raw (count + write) and deletes
+    # (count + write) all branch off this full-outer verdict join
     j = incoming.withColumn("_inc", F.lit(1)).join(
         scope.select(*key, "genetogene_key").withColumn("_exi", F.lit(1)),
         key,
         "full_outer",
-    )
+    ).persist()
     matches = j.filter(F.col("_inc").isNotNull() & F.col("_exi").isNotNull())
     ins_raw = j.filter(F.col("_exi").isNull())  # species cols ride along
     deletes = j.filter(F.col("_inc").isNull()).select("genetogene_key")
@@ -146,6 +152,8 @@ def run_homologene_load(
         .withColumn("last_modified_by", F.lit(PIPELINE_USER_ID))
         .withColumn("last_modified_date", ts)
         .select(*[f.name for f in orthologs.schema.fields])
+        # persisted: counted for the audit result, then consumed by the write
+        .persist()
     )
     touched = (
         orthologs.join(

@@ -305,8 +305,14 @@ def run_species_load(
     # per downstream action.
     grouping.assert_human_sources(clean)
     merged = grouping.merge_duplicate_relations(clean)
-    grouping.check_mergeable(merged)
     closed = grouping.complement_closure(merged).persist()
+    # Materialize the closure ONCE, then run the A2 mergeability check against
+    # the cached rows. Checking ``merged`` first would pay the full
+    # parse→resolve→merge scan twice (``limit(1)`` over a no-null frame scans
+    # everything), and the closure preserves null data_source rows in both
+    # directions, so the check sees the identical failure set.
+    closed.count()
+    grouping.check_mergeable(closed)
 
     # existing orthologs relevant to this run: keys of either direction
     species_scope = orthologs.filter(
@@ -359,9 +365,14 @@ def run_species_load(
         verdicts.filter(F.col("verdict").isin("INSERT", "DELETE_EXISTING"))
     )
     max_key_row = orthologs.agg(F.max("genetogene_key")).collect()[0][0]
-    inserts = next_surrogate_keys(
-        inserts_raw, (max_key_row or 0), "genetogene_key"
-    ).select(*[f.name for f in orthologs.schema.fields])
+    # persisted: consumed by the provisional snapshot (W2 input), the snapshot
+    # write, and the result object — without it the keygen window re-runs per
+    # action
+    inserts = (
+        next_surrogate_keys(inserts_raw, (max_key_row or 0), "genetogene_key")
+        .select(*[f.name for f in orthologs.schema.fields])
+        .persist()
+    )
 
     # deletes, three sources (all manual-guarded, churn-gated before commit):
     #   replaced — best existing outranked by the incoming pick (DELETE_EXISTING);
@@ -401,10 +412,14 @@ def run_species_load(
     manual_keys = species_scope.filter(F.col("xref_data_src") == "RGD").select(
         "genetogene_key"
     )
+    # persisted: the churn guard counts this key list and the snapshot write
+    # consumes it twice (directly and inside the provisional W2 input) — a tiny
+    # frame whose lineage spans the whole cascade
     deletes = (
         replaced.unionByName(surplus)
         .unionByName(stale)
         .join(manual_keys, "genetogene_key", "left_anti")
+        .persist()
     )
     n_scope = species_scope.count()
     if n_scope:
@@ -466,9 +481,12 @@ def run_species_load(
     # J10 full-outer sync vs existing weak associations
     existing_weak = associations.filter(F.col("assoc_type") == "weak_ortholog")
     assoc_key_cols = ["master_rgd_id", "detail_rgd_id", "assoc_type", "src_pipeline"]
+    # persisted: a_ins (keygen count pass + write), a_del, a_upd and the result
+    # object all branch off this full-outer join — one materialization instead
+    # of four runs of the weak-candidate sync lineage
     assoc_verdicts = sync.sync_full_outer(
         weak, existing_weak, assoc_key_cols, ["assoc_subtype"]
-    )
+    ).persist()
 
     a_ins_raw = assoc_verdicts.filter(F.col("sync_verdict") == sync.INSERT).select(
         *assoc_key_cols, "assoc_subtype"

@@ -494,21 +494,21 @@ def main() -> None:
         cust10 = cust10.unionByName(cp)
 
     def _er_10x():
-        pairs = DD.editdist1_join(cust10, "c_name")
+        # same nation-blocked FastSS shape as the er_entity_clusters query
+        pairs = DD.editdist1_join(cust10, "c_name", block_cols=["c_nationkey"])
         m1 = cust10.select(
             F.col("c_name").alias("s1"),
             F.col("c_custkey").alias("k1"),
-            F.col("c_nationkey").alias("n1"),
+            "c_nationkey",
         )
         m2 = cust10.select(
             F.col("c_name").alias("s2"),
             F.col("c_custkey").alias("k2"),
-            F.col("c_nationkey").alias("n2"),
+            "c_nationkey",
         )
         edges = (
-            pairs.join(m1, "s1")
-            .join(m2, "s2")
-            .filter(F.col("n1") == F.col("n2"))
+            pairs.join(m1, ["s1", "c_nationkey"])
+            .join(m2, ["s2", "c_nationkey"])
             .select(
                 F.least("k1", "k2").alias("id_1"),
                 F.greatest("k1", "k2").alias("id_2"),

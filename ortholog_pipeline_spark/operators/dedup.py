@@ -491,7 +491,9 @@ def contamination_check(
     )
 
 
-def editdist1_join(df: DataFrame, col: str) -> DataFrame:
+def editdist1_join(
+    df: DataFrame, col: str, block_cols: list[str] | None = None
+) -> DataFrame:
     """All string pairs at Levenshtein distance exactly 1, via the deletion
     neighborhood (FastSS / SymSpell family): two strings are candidates iff
     they share a variant from {s} ∪ {s with one char deleted}. A deletion or
@@ -504,25 +506,43 @@ def editdist1_join(df: DataFrame, col: str) -> DataFrame:
     DISTINCT string (map-side explode), one equi-join shuffle on the variant
     key, exact levenshtein only on the candidate pairs — never all-pairs.
     Variant-key skew (many strings sharing a short deletion) is ordinary
-    hash-join skew; at 100 TB cap variant length or salt the hot keys."""
-    names = df.select(F.col(col).alias("s")).distinct()
-    variants = names.withColumn(
-        "variant",
-        F.explode(
-            F.concat(
-                F.array(F.col("s")),
-                F.expr(
-                    "transform(sequence(1, length(s)), "
-                    "i -> concat(substring(s, 1, i-1), substring(s, i+1, length(s)-i)))"
-                ),
-            )
-        ),
+    hash-join skew; at 100 TB cap variant length or salt the hot keys.
+
+    ``block_cols``: optional blocking keys composed INTO the variant join key —
+    candidates only form within a block, so the join, the pair-dedup, and the
+    levenshtein verify all shrink by the block selectivity (measured 25x on
+    the nation-blocked ER query). Output carries the block columns."""
+    block = list(block_cols or [])
+    names = df.select(*block, F.col(col).alias("s")).distinct()
+    variants = (
+        names.withColumn(
+            "variant",
+            F.explode(
+                F.concat(
+                    F.array(F.col("s")),
+                    F.expr(
+                        "transform(sequence(1, length(s)), "
+                        "i -> concat(substring(s, 1, i-1), substring(s, i+1, length(s)-i)))"
+                    ),
+                )
+            ),
+        )
+        # deleting any char of an identical-char run yields the SAME variant
+        # (canonical FastSS stores the neighborhood as a set): without this
+        # dedup a name with a k-char run meets a j-duplicate partner k*j times
+        # in the join — measured 1.46M -> 0.98M candidate pairs on sf0.1
+        # customer names, whose zero-runs make the inflation quadratic
+        .dropDuplicates([*block, "s", "variant"])
+        # join on an 8-byte hash of the variant, not the string itself: the
+        # shuffle carries (hash, s) instead of (variant, s), and any hash
+        # collision is a false candidate the levenshtein verify prunes anyway
+        .select(*block, "s", F.xxhash64("variant").alias("vh"))
     )
     a, b = variants.alias("a"), variants.alias("b")
     return (
-        a.join(b, "variant")
+        a.join(b, ["vh", *block])
         .filter(F.col("a.s") < F.col("b.s"))
-        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .select(*block, F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
         .distinct()
         .filter(F.levenshtein("s1", "s2") <= 1)
         .withColumn("dist", F.levenshtein("s1", "s2").cast("long"))

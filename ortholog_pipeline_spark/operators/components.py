@@ -26,23 +26,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _sym(edges: DataFrame) -> DataFrame:
-    """Both directions of each undirected edge, self-loops dropped."""
-    fwd = edges.select(F.col("id_1").alias("u"), F.col("id_2").alias("v"))
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical distinct pair list: (a, b) with a > b, self-loops dropped.
+
+    Every step below preserves this orientation invariant, which is what lets
+    the per-round star steps skip re-deduplicating: a strictly-oriented
+    distinct pair list stays distinct under the union of its two directions
+    ((a,b) and (b,a) can never both be present), so only the step OUTPUTS need
+    a dedup — two shuffles per round instead of four."""
     return (
-        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
+        edges.select(
+            F.greatest("id_1", "id_2").alias("a"),
+            F.least("id_1", "id_2").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
         .dropDuplicates()
     )
 
 
 def _large_star(pairs: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to m(u) = min(Γ(u) ∪ {u})."""
-    fwd = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
-    sym = (
-        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates()
+    """Connect every strictly-larger neighbor of u to m(u) = min(Γ(u) ∪ {u}).
+
+    Input: canonical distinct pairs (a > b). The symmetric view is then
+    distinct BY CONSTRUCTION (strict orientation ⇒ no pair appears in both
+    directions), so no dedup shuffle is paid before the min-aggregate.
+    Output: distinct pairs with a > b (b = m ≤ u < v = a)."""
+    sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
@@ -56,16 +66,15 @@ def _large_star(pairs: DataFrame) -> DataFrame:
 
 
 def _small_star(pairs: DataFrame) -> DataFrame:
-    """Orient edges toward the larger endpoint, then connect each smaller
-    neighbor (and the center) to the minimum of the star."""
-    directed = pairs.select(
-        F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
-    ).dropDuplicates()
-    mins = directed.groupBy("hi").agg(F.min("lo").alias("m"))
-    nbrs = directed.join(mins, "hi").select(
-        F.col("lo").alias("a"), F.col("m").alias("b")
-    )
-    centers = mins.select(F.col("hi").alias("a"), F.col("m").alias("b"))
+    """Connect each smaller neighbor (and the center) of a star to its minimum.
+
+    Input: canonical distinct pairs (a > b) — already oriented toward the
+    larger endpoint, so the orient-and-dedup pass of the textbook formulation
+    is a no-op here and is skipped. Output: distinct pairs with a > b
+    (b = m = min of the star ≤ every lo = a, equality filtered)."""
+    mins = pairs.groupBy("a").agg(F.min("b").alias("m"))
+    nbrs = pairs.join(mins, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
+    centers = mins.select("a", F.col("m").alias("b"))
     return (
         nbrs.unionByName(centers)
         .filter(F.col("a") != F.col("b"))
@@ -89,8 +98,7 @@ def connected_components(
     component is the minimum node id reachable from the node. Nodes that appear
     only as isolated vertices must be unioned in by the caller (an edge list
     cannot see them)."""
-    cur = _sym(edges).select(F.col("u").alias("a"), F.col("v").alias("b"))
-    cur = cur.localCheckpoint(eager=True)
+    cur = _canon(edges).localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)

@@ -320,9 +320,12 @@ def run_species_load(
         | (F.col("src_species_type_key") == dest_species_type_key)
     )
 
-    # 4-tier cascade → per-key pick
+    # 4-tier cascade → per-key pick. Persisted: the conflict join, the
+    # pick_keys semi/anti probes in the delete derivation, and the result
+    # object all re-enter this frame, and its lineage (4-way tier union with
+    # two best-fit windows) is the most expensive recompute in the plan.
     tiers = _tier_candidates(closed, genes, species_scope, agr)
-    picks = _cascade_pick(tiers)
+    picks = _cascade_pick(tiers).persist()
 
     # J7 conflict verdicts vs existing — consumed by inserts, deletes, stale, touch,
     # downgrades and the result object: persist to stop 6× recomputation of the

@@ -99,12 +99,18 @@ GREEK_MAP = {
 
 def transliterate_greek(col: Column | str) -> Column:
     """Chained ``regexp_replace`` transliteration of Greek letters in gene symbols —
-    stays in codegen instead of a Python UDF (SURVEY.md §2.10)."""
+    stays in codegen instead of a Python UDF (SURVEY.md §2.10).
+
+    Guarded by one character-class probe: CASE WHEN evaluates branches lazily
+    per row, so the 14-regex chain only runs on symbols that actually contain
+    a Greek letter (a rarity) — everything else pays a single rlike instead of
+    14 regex passes."""
     c = F.col(col) if isinstance(col, str) else col
     out = c
     for greek, latin in GREEK_MAP.items():
         out = F.regexp_replace(out, greek, latin)
-    return out
+    probe = "[" + "".join(GREEK_MAP) + "]"
+    return F.when(c.rlike(probe), out).otherwise(c)
 
 
 def strip_quotes(col: Column | str) -> Column:

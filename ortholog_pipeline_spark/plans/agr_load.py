@@ -144,8 +144,15 @@ def run_agr_load(
         .withColumn("is_best_rev_score", yes_no_to_yn("is_best_rev_score"))
     )
 
-    curie_dim = xrefs.filter(F.col("xdb_key") == XDB_KEY_AGR_GENE).select(
-        "acc_id", "rgd_id"
+    # Both dims feed a broadcast join PER SIDE, and the per-side column
+    # renames make the two broadcast subplans non-identical, so ReuseExchange
+    # cannot dedup them — without the persist the gene-scan + groupBy behind
+    # symbol_dim runs twice (measured 2 s each at sf0.1). Both frames are
+    # dimension-sized (bounded by the gene/xref universe, not the file).
+    curie_dim = (
+        xrefs.filter(F.col("xdb_key") == XDB_KEY_AGR_GENE)
+        .select("acc_id", "rgd_id")
+        .persist()
     )
     active = rgd_ids.filter(F.col("object_status") == "ACTIVE").select("rgd_id")
     symbol_dim = (
@@ -157,6 +164,7 @@ def run_agr_load(
         )
         .groupBy("gene_symbol_lc", "species_type_key")
         .agg(F.min("rgd_id").alias("rgd_id"))  # first-wins determinism (§7)
+        .persist()
     )
 
     # consumed by minting (2 branches), resolved, unresolved, and the merge input —

@@ -198,6 +198,38 @@ class StateStore:
             "residual_rows": residual,
         }
 
+    def _append_version(self, table: str, inserts: DataFrame) -> int:
+        """Append-only commit: the next version links the previous version's
+        data files (os.link — no data copied, no Spark job over existing rows)
+        and writes ONLY the insert files next to them. This is the lakehouse
+        append contract (a Delta/Iceberg append commit adds files to the log,
+        never rewrites old ones) re-expressed in the versioned-directory
+        layout; without it every insert-only change would rewrite the whole
+        snapshot, which at 100 TB turns a thousand-row mint into a full-table
+        job. Vacuum stays safe: removing an old version unlinks names, the
+        shared inodes live until the last referencing version goes."""
+        import shutil
+
+        cur = self.current_version(table)
+        src = os.path.join(self._table_dir(table), f"v={cur}")
+        v = cur + 1
+        dst = os.path.join(self._table_dir(table), f"v={v}")
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out_dir = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(out_dir, exist_ok=True)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                s, d = os.path.join(root, f), os.path.join(out_dir, f)
+                try:
+                    os.link(s, d)
+                except OSError:  # cross-device or FS without hardlinks
+                    shutil.copy2(s, d)
+        inserts.write.mode("append").parquet(dst)
+        self._publish(table, v)
+        return v
+
     # -- merge (Delta-MERGE equivalent over snapshots) -----------------------
     def apply_changes(
         self,
@@ -214,7 +246,31 @@ class StateStore:
         """next = ((current − deletes) updated-by updates) ∪ inserts, one shuffle per
         set — the snapshot-algebra equivalent of the reference's batched DML
         (S8/S9/S11/S12). ``partition_by`` lays the new snapshot out for partition
-        pruning on its hot filter column (e.g. orthologs by species)."""
+        pruning on its hot filter column (e.g. orthologs by species).
+
+        Insert-only changes take the append fast path (`_append_version`):
+        existing data files are linked into the new version untouched and only
+        the inserts run through Spark. Gated to the unpartitioned,
+        fixed-schema case — a partitioned append must match the previous
+        layout and additive evolution needs mergeSchema-style reads, so both
+        fall through to the full rewrite."""
+        if (
+            inserts is not None
+            and deletes is None
+            and updates is None
+            and partition_by is None
+            and not evolve_schema
+            and self.current_version(table) >= 0
+        ):
+            # align names AND types to the snapshot: mixed physical types
+            # across files (e.g. a LONG surrogate key appended next to INT
+            # files) fail the parquet read, where the full-rewrite path would
+            # have silently promoted via the union
+            cur_fields = self.read(table, schema).schema.fields
+            aligned = inserts.select(
+                *[F.col(f.name).cast(f.dataType) for f in cur_fields]
+            )
+            return self._append_version(table, aligned)
         cur = self.read(table, schema)
         nxt = cur
         if deletes is not None:

@@ -183,3 +183,44 @@ def test_forget_keys_erases_history(spark, tmp_path):
     assert 3 not in left and 99 not in left and len(left) == 9
     # older versions that contained the subject are gone from disk
     assert audit["versions_purged"], "history must be truncated"
+
+
+def test_append_only_fast_path_links_old_files(spark, tmp_path):
+    """An insert-only apply_changes must NOT rewrite existing data: the new
+    version's pre-existing data files are hardlinks of the previous version's
+    (same inode), only the insert files are new, and both versions read
+    back exactly their own row sets (time travel unaffected)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from ortholog_pipeline_spark.sources.state import StateStore
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    store.write(
+        "t", spark.createDataFrame([Row(k=i, v=f"v{i}") for i in range(5)])
+    )
+    v0_dir = tmp_path / "state" / "t" / "v=0"
+    v0_inodes = {
+        f: os.stat(v0_dir / f).st_ino
+        for f in os.listdir(v0_dir)
+        if not f.startswith(("_", "."))
+    }
+
+    store.apply_changes(
+        "t", inserts=spark.createDataFrame([Row(k=9, v="v9")])
+    )
+    v1_dir = tmp_path / "state" / "t" / "v=1"
+    shared = {
+        f
+        for f in os.listdir(v1_dir)
+        if f in v0_inodes and os.stat(v1_dir / f).st_ino == v0_inodes[f]
+    }
+    assert shared == set(v0_inodes), "old data files must be linked, not rewritten"
+
+    assert {r.k for r in store.read("t").collect()} == {0, 1, 2, 3, 4, 9}
+    assert {r.k for r in store.read("t", version=0).collect()} == {0, 1, 2, 3, 4}
+    # vacuuming the old version must not corrupt the linked current one
+    store.apply_changes("t", inserts=spark.createDataFrame([Row(k=10, v="va")]))
+    store.vacuum("t", keep=1)
+    assert {r.k for r in store.read("t").collect()} == {0, 1, 2, 3, 4, 9, 10}

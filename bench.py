@@ -621,6 +621,41 @@ def main() -> None:
     timings["flow_species_load_1x_plan"] = _best2(_flow_probe(rel1))
     timings["flow_species_load_10x_plan"] = _best2(_flow_probe(rel10))
 
+    # AGR-flow scaling probe: run_agr_load on 1x and 10x the TSV line stream.
+    # Replicas get a distinct algorithms tag, so methods_matched — part of the
+    # 3-col upsert key — differs per replica: the incoming key space, the
+    # full-outer verdict join, and the snapshot write all really grow 10x
+    # (the adversarial case for an upsert flow; flag-only variants would
+    # collapse at the first groupBy like the species probe's evidence
+    # variants do). Expected shape: sublinear-but-growing, bounded by the
+    # sync join + write, NOT by resolution (the curie/symbol dims are fixed).
+    from ortholog_pipeline_spark.plans.agr_load import run_agr_load
+    from ortholog_pipeline_spark.queries_flows import _agr_world
+
+    aworld = _agr_world(spark, sf_dir)
+    al1 = aworld["lines"]
+    aparts = [al1]
+    for i in range(1, 10):
+        aparts.append(
+            al1.withColumn(
+                "algorithms", F.concat(F.col("algorithms"), F.lit(f"|X{i}"))
+            )
+        )
+    al10 = aparts[0]
+    for ap in aparts[1:]:
+        al10 = al10.unionByName(ap)
+
+    def _agr_probe(lines):
+        stores = [_seed_store(spark, aworld, "bench_agrflow_") for _ in range(2)]
+
+        def run():
+            run_agr_load(stores.pop(), lines, RUN_TS, delete_threshold_pct=100.0)
+
+        return run
+
+    timings["flow_agr_load_1x_plan"] = _best2(_agr_probe(al1))
+    timings["flow_agr_load_10x_plan"] = _best2(_agr_probe(al10))
+
     # per-query regression tracking vs the previous recorded run (VERDICT r2
     # item 7): ratio > 1.5 is a fail-soft warning surfaced in the artifact
     prev_ratio: dict[str, float] = {}

@@ -117,7 +117,8 @@ def _tier_candidates(
 
     # -- tiers 3/4: per-source best-fit over the resolved relations (F4 + W1),
     # with gene symbols joined in for the tie-break rules
-    sym = genes.select("rgd_id", "gene_symbol")
+    # persisted: broadcast twice under src/dest renames (see _conflict_verdicts)
+    sym = genes.select("rgd_id", "gene_symbol").persist()
     with_syms = (
         closed.join(
             F.broadcast(sym.withColumnsRenamed(
@@ -197,8 +198,12 @@ def _conflict_verdicts(
         source_priority,
     )
 
+    # persisted: the symbol dim feeds FOUR broadcast joins under different
+    # renames (src/ex-dest on the existing side, src/inc-dest on the incoming
+    # side) — non-identical subtrees, so ReuseExchange would rebuild the gene
+    # scan per join without the persist (same lesson as the AGR dims)
     sym = F.broadcast(
-        genes.select("rgd_id", F.lower("gene_symbol").alias("_sym_lc"))
+        genes.select("rgd_id", F.lower("gene_symbol").alias("_sym_lc")).persist()
     )
     ex = (
         existing.select(

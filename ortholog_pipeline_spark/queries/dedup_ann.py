@@ -1287,10 +1287,14 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wq = Window.orderBy(F.col("sim_q").desc(), F.col("vec_id"))
+    # persisted: the greedy rounds re-enter cand (and pw below) once per pick;
+    # without the persist each of the 4 rounds re-runs the corpus-sized ANN
+    # scoring pass that produced this 8-row frame
     cand = (
         scored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= 8)
         .select("vec_id", "v", "sim_q")
+        .persist()
     )
     a = cand.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
     b = cand.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
@@ -1307,6 +1311,7 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sim"),
         )
+        .persist()  # 56 rows, re-entered once per greedy round
     )
     wm = Window.orderBy(F.col("mmr").desc(), F.col("vec_id"))
 

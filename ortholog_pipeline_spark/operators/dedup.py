@@ -233,7 +233,13 @@ def lsh_candidate_pairs(
     ).select(
         id_col,
         "band",
-        F.md5(
+        # xxhash64, not md5: the key only needs equality semantics (equal iff
+        # the band signatures are equal, bar a ~2^-64 collision the exact
+        # Jaccard verify prunes) — an 8-byte long through the bucket shuffle
+        # instead of a 32-char hex string, and a far cheaper hash. NOTE: this
+        # defines the PERSISTED band-table key of dedup_index — an index built
+        # before this change has string keys and must be rebuilt.
+        F.xxhash64(
             F.concat_ws(
                 ",",
                 F.transform(
@@ -585,7 +591,13 @@ def _hashed_and_banded(
     ).select(
         id_col,
         "band",
-        F.md5(
+        # xxhash64, not md5: the key only needs equality semantics (equal iff
+        # the band signatures are equal, bar a ~2^-64 collision the exact
+        # Jaccard verify prunes) — an 8-byte long through the bucket shuffle
+        # instead of a 32-char hex string, and a far cheaper hash. NOTE: this
+        # defines the PERSISTED band-table key of dedup_index — an index built
+        # before this change has string keys and must be rebuilt.
+        F.xxhash64(
             F.concat_ws(
                 ",",
                 F.transform(

@@ -694,12 +694,16 @@ def main() -> None:
 
     # per-query regression tracking vs the previous recorded run (VERDICT r2
     # item 7): ratio > 1.5 is a fail-soft warning surfaced in the artifact
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     prev_ratio: dict[str, float] = {}
     regressions: list[str] = []
     try:
         with open(HISTORY_PATH) as fh:
             hist = json.load(fh)
-        prev = hist[-1]["queries"] if hist else {}
+        # compare against the last run AT THE SAME SCALE FACTOR — a
+        # validation run at another sf must not poison the ratios
+        same_sf = [h for h in hist if str(h.get("sf")) == str(sf_val)]
+        prev = same_sf[-1]["queries"] if same_sf else {}
     except (OSError, json.JSONDecodeError, KeyError, IndexError):
         hist, prev = [], {}
     for name, sec in timings.items():
@@ -710,7 +714,6 @@ def main() -> None:
                 regressions.append(name)
 
     total = round(sum(timings.values()), 3)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     hist.append({"sf": sf_val, "queries": timings})
     try:
         with open(HISTORY_PATH, "w") as fh:

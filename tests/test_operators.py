@@ -770,6 +770,43 @@ def test_editdist1_join_planted_typos(spark):
     assert pairs == {("kitten", "sitten"), ("sitten", "sittin"), ("ab", "abc")}
 
 
+def test_editdist1_join_blocked_equals_filtered_unblocked(spark):
+    """Composing block_cols into the variant join key must equal the unblocked
+    join restricted to same-block pairs — blocking changes cost, never the
+    within-block result. Duplicate names across blocks exercise the case the
+    global join collapses (distinct names) but the blocked join must keep."""
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.operators.dedup import editdist1_join
+
+    rows = [
+        (1, "kitten", 10), (2, "sitten", 10), (3, "sittin", 10),
+        (4, "kitten", 20), (5, "kitten", 20), (6, "bitten", 20),
+        (7, "ab", 10), (8, "abc", 20),  # cross-block d1 pair: must NOT match
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "blk"])
+
+    blocked = {
+        (r.blk, r.s1, r.s2)
+        for r in editdist1_join(df, "s", block_cols=["blk"]).collect()
+    }
+    names_by_block = {
+        (r.blk, r.s) for r in df.select("blk", "s").distinct().collect()
+    }
+    unblocked = {
+        (r.s1, r.s2) for r in editdist1_join(df, "s").collect()
+    }
+    expect = {
+        (b, s1, s2)
+        for (b, s1) in names_by_block
+        for (b2, s2) in names_by_block
+        if b == b2 and s1 < s2 and (s1, s2) in unblocked
+    }
+    assert blocked == expect
+    assert ("ab", "abc") in unblocked  # sanity: global join sees it
+    assert not any(p[1:] == ("ab", "abc") for p in blocked)
+
+
 def test_global_rank_matches_window_any_partitioning(spark):
     """Distributed rank == single-partition row_number, at several partition
     counts (boundary-straddling ties exercised via duplicate values with a

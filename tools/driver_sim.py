@@ -55,6 +55,9 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
         .config("spark.sql.shuffle.partitions", "8")
+        # default mirrors the driver's gate (1g); scaled-dir sweeps (~sf1) need
+        # real heap — DRIVER_SIM_MEM=16g
+        .config("spark.driver.memory", os.environ.get("DRIVER_SIM_MEM", "1g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,104 @@
+"""Run the ENTIRE registry through driver_sim in fresh-process batches and
+aggregate one PASS/FAIL report — the certification command for any sf_dir,
+including scaled dirs from tools/make_scaled_dir.py.
+
+Batching matters for two reasons measured during round-2/3 sweeps:
+- session hygiene: 300 queries in one JVM accumulate broadcasts/persists until
+  late queries die in spurious broadcast OOMs (driver_sim clears cache per
+  query, but a fresh JVM per ~40 queries bounds the blast radius of any leak);
+- a JVM-fatal failure (heap OOM at scaled dirs) kills only its batch, and the
+  report names exactly which queries never ran.
+
+Queries whose DuckDB oracle is deliberately quadratic (declared brute-force
+baselines and the ER family's ground-truth all-pairs) are routed to
+``--heavy-dir`` (default: the main dir) so the main dir can be ~sf1 while the
+heavy oracles run at a tractable scale.
+
+Run: python tools/sweep.py SF_DIR [--heavy-dir DIR] [--mem 16g] [--batch 40]
+          [--out /tmp/sweep_out]
+Exit 0 iff every query ran and hash-matched.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: Oracles that replay ground truth quadratically (declared exact baselines:
+#: the engine side is guarded/blocked, the ORACLE is the all-pairs spec).
+HEAVY_ORACLE = [
+    "er_blocking_quality",
+    "er_entity_clusters",
+    "g_kcore_peel",  # oracle's recursive closure spills unboundedly at ~sf1
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("--heavy-dir", default=None)
+    ap.add_argument("--mem", default="16g")
+    ap.add_argument("--batch", type=int, default=40)
+    ap.add_argument("--out", default="/tmp/sweep_out")
+    ap.add_argument("--only", nargs="*", default=None, help="restrict to these queries")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as e
+
+    names = sorted(e.queries())
+    if args.only:
+        names = [n for n in names if n in set(args.only)]
+    heavy = [n for n in names if n in HEAVY_ORACLE and args.heavy_dir]
+    main_names = [n for n in names if n not in heavy]
+    os.makedirs(args.out, exist_ok=True)
+
+    batches: list[tuple[str, str, list[str]]] = []
+    for i in range(0, len(main_names), args.batch):
+        batches.append((f"b{i // args.batch:02d}", args.sf_dir, main_names[i : i + args.batch]))
+    if heavy:
+        batches.append(("heavy", args.heavy_dir, heavy))
+
+    env = dict(os.environ, DRIVER_SIM_MEM=args.mem)
+    report: dict[str, dict] = {}
+    for label, sf, qs in batches:
+        out_path = os.path.join(args.out, f"{label}.json")
+        with open(os.path.join(args.out, f"{label}.err"), "wb") as errf, open(
+            out_path, "wb"
+        ) as outf:
+            subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "driver_sim.py"), sf, *qs],
+                stdout=outf,
+                stderr=errf,
+                env=env,
+                cwd=REPO,
+                check=False,
+            )
+        try:
+            with open(out_path) as f:
+                got = json.load(f)
+        except json.JSONDecodeError:
+            got = {}
+        for q in qs:
+            report[q] = got.get(q, {"err": f"batch {label} died before this query"})
+        done = sum(1 for r in report.values() if r.get("hash_match"))
+        print(f"{label}: {done}/{len(report)} pass so far", file=sys.stderr)
+
+    n_pass = sum(1 for r in report.values() if r.get("hash_match"))
+    fails = {k: v for k, v in report.items() if not v.get("hash_match")}
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"sf_dir": args.sf_dir, "pass": n_pass, "fail": len(fails), "fails": fails}, indent=1))
+    print(f"PASS={n_pass} FAIL={len(fails)}", file=sys.stderr)
+    return 0 if not fails else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

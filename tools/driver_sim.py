@@ -58,6 +58,13 @@ def main() -> int:
         # default mirrors the driver's gate (1g); scaled-dir sweeps (~sf1) need
         # real heap — DRIVER_SIM_MEM=16g
         .config("spark.driver.memory", os.environ.get("DRIVER_SIM_MEM", "1g"))
+        # scaled-dir sweeps collect multi-GB results for the hash compare (e.g.
+        # flow_homologene's ~35M-row snapshot at ~sf1) — the gate's own default
+        # (1g) stays unless overridden
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("DRIVER_SIM_MAXRESULT", "1g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -48,6 +48,12 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=40)
     ap.add_argument("--out", default="/tmp/sweep_out")
     ap.add_argument("--only", nargs="*", default=None, help="restrict to these queries")
+    ap.add_argument(
+        "--checksum",
+        action="store_true",
+        help="collect-free digest compare for float/ts-free outputs "
+        "(huge results at scaled dirs); others fall back to collect",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -73,8 +79,11 @@ def main() -> int:
         with open(os.path.join(args.out, f"{label}.err"), "wb") as errf, open(
             out_path, "wb"
         ) as outf:
+            cmd = [sys.executable, os.path.join(REPO, "tools", "driver_sim.py"), sf]
+            if args.checksum:
+                cmd.append("--checksum")
             subprocess.run(
-                [sys.executable, os.path.join(REPO, "tools", "driver_sim.py"), sf, *qs],
+                cmd + qs,
                 stdout=outf,
                 stderr=errf,
                 env=env,

@@ -328,6 +328,10 @@ HEADLINE = [
     "flow_agr_load",
     "flow_fix_xref",
     "flow_corpus_prep",
+    # round-3: LLM corpus-prep additions (chunking, packing, mixture)
+    "text_chunk_windows",
+    "pack_concat_chunk",
+    "sample_mixture_rebalance",
 ]
 
 #: Rolling record of past runs (last 5), used for per-query regression ratios.

@@ -65,6 +65,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # a silent overwrite would drop a query from the registry (and its
+        # CORRECTNESS row) without any test noticing — refuse duplicates
+        if name in _QUERIES:
+            raise ValueError(f"duplicate registry query name: {name}")
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle

@@ -647,3 +647,70 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("allocation_ratio"),
     )
+
+
+@register(
+    "sample_mixture_rebalance",
+    """
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before
+      FROM documents GROUP BY lang
+    ),
+    mn AS (SELECT MIN(n_before) AS min_n FROM c),
+    r AS (
+      SELECT lang, n_before,
+             (1000000 * (SELECT min_n FROM mn)) // n_before AS rate_ppm
+      FROM c
+    ),
+    k AS (
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_after
+      FROM documents d JOIN r USING (lang)
+      WHERE CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000000 < r.rate_ppm
+      GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_before,
+           CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_after,
+           CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+    FROM r LEFT JOIN k USING (lang)
+    """,
+)
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing — the pretraining-corpus step that
+    downsamples over-represented domains (here: languages, en is ~3.4x fr in
+    the corpus) to a uniform mixture, capped at the smallest domain's mass.
+    Acceptance rate per domain is exact integer parts-per-million
+    (1e6 * min_count DIV count), and each row flips the shared portable md5
+    coin against it, so membership is deterministic and reproducible across
+    engines and reruns — the property a 100 TB corpus rebuild needs (no rng
+    state, no seed shipping; the coin is the row's own identity). Plan shape:
+    one groupBy for domain counts, a 1-row min broadcast, a broadcast rates
+    join back to the fact scan (map-side filter, no second shuffle), one
+    counting groupBy."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    cnts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    mn = cnts.agg(F.min("n_before").alias("min_n"))
+    rates = cnts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_before",
+        F.expr("(1000000 * min_n) DIV n_before").alias("rate_ppm"),
+    )
+    coin = F.pmod(
+        DD.hex_hash64(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
+        F.lit(1000000),
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("lang", "rate_ppm")), "lang")
+        .filter(coin < F.col("rate_ppm"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias("n_after"),
+            F.col("rate_ppm").cast("long").alias("rate_ppm"),
+        )
+    )

@@ -332,6 +332,8 @@ HEADLINE = [
     "text_chunk_windows",
     "pack_concat_chunk",
     "sample_mixture_rebalance",
+    "text_decontaminate_ngrams",
+    "text_repetition_filter",
 ]
 
 #: Rolling record of past runs (last 5), used for per-query regression ratios.

@@ -1749,3 +1749,142 @@ def pack_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_tokens"),
         F.sum("straddles").alias("n_straddling"),
     )
+
+
+@register(
+    "text_decontaminate_ngrams",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 4], ' ') AS g
+      FROM (SELECT doc_id, t FROM toks WHERE len(t) >= 4),
+           UNNEST(range(0, len(t) - 3)) AS u(i)
+    ),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ),
+    train AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM train GROUP BY doc_id
+    ),
+    hit AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM train t JOIN eval_grams e USING (g)
+      GROUP BY t.doc_id
+    )
+    SELECT tot.doc_id, tot.n_grams, hit.n_shared,
+           CAST((1000 * hit.n_shared) // tot.n_grams AS BIGINT) AS overlap_permille
+    FROM tot JOIN hit USING (doc_id)
+    """,
+)
+def text_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the train/eval overlap check every LLM
+    corpus pipeline runs before training: any training document sharing a
+    word 4-gram with the held-out eval suite (stand-in: doc_id % 97 == 0)
+    is reported with its shared-gram count and overlap rate (integer
+    permille, exact in both engines). Plan shape for 100 TB: the eval
+    suite's distinct-gram set is small by construction (benchmarks are
+    thousands of docs, not billions), so it is BROADCAST and the check is
+    a map-side semi-probe over the training scan — no shuffle of the
+    training grams; the per-doc aggregate shuffles only the matched docs
+    plus the per-doc totals. Gram explosion is a narrow transform."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    grams = (
+        toks.filter(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 4),"
+                    " i -> array_join(slice(t, i + 1, 4), ' '))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_grams = grams.filter(is_eval).select("g").distinct()
+    train = grams.filter(~is_eval)
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hit = (
+        train.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return tot.join(hit, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        F.expr("(1000 * n_shared) DIV n_grams").alias("overlap_permille"),
+    )
+
+
+@register(
+    "text_repetition_filter",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS g
+      FROM (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+           UNNEST(range(0, len(t) - 2)) AS u(i)
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+      FROM tg GROUP BY doc_id
+    )
+    SELECT doc_id, n_trigrams, n_distinct,
+           CAST((1000 * (n_trigrams - n_distinct)) // n_trigrams AS BIGINT)
+             AS dup_permille,
+           CAST(CASE WHEN 1000 * (n_trigrams - n_distinct) > 200 * n_trigrams
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM per_doc
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter (the Gopher/MassiveText duplicate-n-gram
+    rule): per document, the fraction of word trigrams that are repeats
+    (1 - distinct/total, integer permille), flagged when above 20%.
+    Boilerplate, keyboard-mash, and template spam all light this up while
+    prose stays low. Per-doc trigram multiset never leaves its input row
+    until the single per-doc aggregate; the dup rate is exact integer
+    arithmetic so both engines agree bit-for-bit. At 100 TB this is one
+    narrow explode + one combine-enabled groupBy on doc_id (pre-aggregated
+    map-side, already co-partitioned with the scan)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    tg = toks.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> array_join(slice(t, i + 1, 3), ' '))"
+            )
+        ).alias("g"),
+    )
+    per_doc = tg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.count_distinct("g").alias("n_distinct"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_trigrams",
+        "n_distinct",
+        F.expr("(1000 * (n_trigrams - n_distinct)) DIV n_trigrams").alias(
+            "dup_permille"
+        ),
+        F.when(
+            1000 * (F.col("n_trigrams") - F.col("n_distinct"))
+            > 200 * F.col("n_trigrams"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("flagged"),
+    )

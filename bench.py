@@ -329,11 +329,8 @@ HEADLINE = [
     "flow_fix_xref",
     "flow_corpus_prep",
     # round-3: LLM corpus-prep additions (chunking, packing, mixture)
-    "text_chunk_windows",
-    "pack_concat_chunk",
     "sample_mixture_rebalance",
     "text_decontaminate_ngrams",
-    "text_repetition_filter",
 ]
 
 #: Rolling record of past runs (last 5), used for per-query regression ratios.

@@ -676,9 +676,14 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mixture rebalancing — the pretraining-corpus step that
-    downsamples over-represented domains (here: languages, en is ~3.4x fr in
-    the corpus) to a uniform mixture, capped at the smallest domain's mass.
+    """Domain-mixture rebalancing, MATERIALIZED — the pretraining-corpus step
+    that downsamples over-represented domains (here: languages, en is ~3.4x
+    fr in the corpus) to a uniform mixture, capped at the smallest domain's
+    mass. Complements `sample_domain_mixture` (which only computes the target
+    weights) and `sample_stratified_exact` (exact per-stratum quotas via a
+    per-stratum window sort): this is the rate-based Bernoulli form that
+    needs NO per-stratum sort — the right trade at corpus scale, where a
+    ±sqrt(n) count wobble is free and a per-domain global sort is not.
     Acceptance rate per domain is exact integer parts-per-million
     (1e6 * min_count DIV count), and each row flips the shared portable md5
     coin against it, so membership is deterministic and reproducible across

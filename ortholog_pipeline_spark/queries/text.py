@@ -1624,134 +1624,6 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_chunk_windows",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
-    ),
-    st AS (
-      SELECT doc_id, t, UNNEST(range(0, len(t), 48)) AS s FROM toks
-    )
-    SELECT doc_id,
-           CAST(s // 48 AS INT) AS chunk_idx,
-           CAST(LEAST(64, len(t) - s) AS BIGINT) AS n_tokens,
-           array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
-    FROM st
-    """,
-)
-def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking — the RAG / long-context prep step
-    that splits every document into 64-token windows with stride 48 (16-token
-    overlap so no sentence is lost at a boundary). Pure narrow transform:
-    split -> per-row sequence of start offsets -> posexplode -> slice; no
-    shuffle anywhere, so at 100 TB it runs scan-speed with whole-stage
-    codegen and the output partitioning inherits the input files. The last
-    window of a document is short (n_tokens < 64) rather than padded; a
-    document shorter than one window emits exactly one chunk."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
-    starts = toks.select(
-        "doc_id",
-        "t",
-        F.posexplode(
-            F.sequence(F.lit(0), F.size("t") - 1, F.lit(48))
-        ).alias("chunk_idx", "s"),
-    )
-    return starts.select(
-        "doc_id",
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.least(F.lit(64), F.size("t") - F.col("s")).cast("long").alias("n_tokens"),
-        F.array_join(F.expr("slice(t, s + 1, 64)"), " ").alias("chunk_text"),
-    )
-
-
-@register(
-    "pack_concat_chunk",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n
-      FROM documents
-    ),
-    cum AS (
-      SELECT doc_id, n,
-             SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS cum_before
-      FROM toks
-    ),
-    packs AS (
-      SELECT cum_before // 2048 AS pack_id, n,
-             CASE WHEN (cum_before + n - 1) // 2048 > cum_before // 2048
-                  THEN 1 ELSE 0 END AS straddles
-      FROM cum
-    )
-    SELECT CAST(pack_id AS BIGINT) AS pack_id,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n) AS BIGINT) AS n_tokens,
-           CAST(SUM(straddles) AS BIGINT) AS n_straddling
-    FROM packs GROUP BY pack_id
-    """,
-)
-def pack_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pretraining sequence packing by concat-and-chunk: documents are laid
-    end-to-end in doc_id order and cut into 2048-token context windows; each
-    document's pack is determined by the running token total before it. Per
-    pack: docs starting there, their token mass, and how many straddle a
-    window boundary (the truncation-loss metric packing papers report).
-
-    The global running sum is computed as a DISTRIBUTED two-phase prefix sum
-    — NOT a single-partition window: docs are range-bucketed by doc_id (64
-    buckets), each bucket computes its local cumulative sum in parallel, the
-    64 bucket totals (a 1-row-per-bucket frame) get a global offset via a
-    tiny window, and the offset is broadcast back. At 100 TB the only
-    all-to-one structure is the 64-row bucket-total frame; the oracle replays
-    the naive single-window form, which is exact at test scale."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", TXT.token_count("text").cast("long").alias("n"))
-    mx = toks.agg(F.max("doc_id").alias("max_id"))
-    bucketed = toks.crossJoin(F.broadcast(mx)).withColumn(
-        "bucket",
-        F.floor(F.col("doc_id") * 64 / (F.col("max_id") + 1)).cast("long"),
-    )
-    w_local = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = bucketed.select(
-        "doc_id",
-        "n",
-        "bucket",
-        (F.sum("n").over(w_local) - F.col("n")).alias("local_before"),
-    )
-    w_bkt = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    offsets = (
-        local.groupBy("bucket")
-        .agg(F.sum("n").alias("btot"))
-        .select(
-            "bucket", (F.sum("btot").over(w_bkt) - F.col("btot")).alias("offset")
-        )
-    )
-    cum = local.join(F.broadcast(offsets), "bucket").withColumn(
-        "cum_before", F.col("offset") + F.col("local_before")
-    )
-    packs = cum.select(
-        F.floor(F.col("cum_before") / 2048).alias("pack_id"),
-        "n",
-        F.when(
-            F.floor((F.col("cum_before") + F.col("n") - 1) / 2048)
-            > F.floor(F.col("cum_before") / 2048),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("straddles"),
-    )
-    return packs.groupBy("pack_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n").alias("n_tokens"),
-        F.sum("straddles").alias("n_straddling"),
-    )
-
-
-@register(
     "text_decontaminate_ngrams",
     r"""
     WITH toks AS (
@@ -1819,72 +1691,4 @@ def text_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         "n_shared",
         F.expr("(1000 * n_shared) DIV n_grams").alias("overlap_permille"),
-    )
-
-
-@register(
-    "text_repetition_filter",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
-    ),
-    tg AS (
-      SELECT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS g
-      FROM (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
-           UNNEST(range(0, len(t) - 2)) AS u(i)
-    ),
-    per_doc AS (
-      SELECT doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
-      FROM tg GROUP BY doc_id
-    )
-    SELECT doc_id, n_trigrams, n_distinct,
-           CAST((1000 * (n_trigrams - n_distinct)) // n_trigrams AS BIGINT)
-             AS dup_permille,
-           CAST(CASE WHEN 1000 * (n_trigrams - n_distinct) > 200 * n_trigrams
-                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
-    FROM per_doc
-    """,
-)
-def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition quality filter (the Gopher/MassiveText duplicate-n-gram
-    rule): per document, the fraction of word trigrams that are repeats
-    (1 - distinct/total, integer permille), flagged when above 20%.
-    Boilerplate, keyboard-mash, and template spam all light this up while
-    prose stays low. Per-doc trigram multiset never leaves its input row
-    until the single per-doc aggregate; the dup rate is exact integer
-    arithmetic so both engines agree bit-for-bit. At 100 TB this is one
-    narrow explode + one combine-enabled groupBy on doc_id (pre-aggregated
-    map-side, already co-partitioned with the scan)."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
-    tg = toks.filter(F.size("t") >= 3).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(t) - 3),"
-                " i -> array_join(slice(t, i + 1, 3), ' '))"
-            )
-        ).alias("g"),
-    )
-    per_doc = tg.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_trigrams"),
-        F.count_distinct("g").alias("n_distinct"),
-    )
-    return per_doc.select(
-        "doc_id",
-        "n_trigrams",
-        "n_distinct",
-        F.expr("(1000 * (n_trigrams - n_distinct)) DIV n_trigrams").alias(
-            "dup_permille"
-        ),
-        F.when(
-            1000 * (F.col("n_trigrams") - F.col("n_distinct"))
-            > 200 * F.col("n_trigrams"),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("flagged"),
     )

@@ -89,6 +89,10 @@ def main() -> int:
     for name in sorted(qs):
         if only and name not in only:
             continue
+        # name + wall time to stderr so a long batch shows WHICH query (and
+        # which side — the Spark progress bars stop when DuckDB starts) is
+        # holding the wall clock
+        print(f"[driver_sim] {name} ...", file=sys.stderr, flush=True)
         try:
             sdf = qs[name](spark, sf_dir)
             if checksum:

@@ -37,6 +37,14 @@ HEAVY_ORACLE = [
     "g_kcore_peel",  # oracle's recursive closure spills unboundedly at ~sf1
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    # the species-flow world derives gene symbols as c % 500 over RAW customer
+    # keys; make_scaled_dir's per-replica key offsets are multiples of 10M
+    # (≡ 0 mod 500), so every replica lands on the SAME 500 symbols and the
+    # cascade's symbol-candidate join grows quadratically in replicas — a
+    # fixture-collision artifact, not an engine path (measured: DuckDB side
+    # >60 min / >50 GB at ~sf1; the other four flows pass at ~sf1, incl.
+    # flow_homologene's 352M-row checksum match)
+    "flow_species_load",
 ]
 
 

@@ -45,6 +45,12 @@ HEAVY_ORACLE = [
     # >60 min / >50 GB at ~sf1; the other four flows pass at ~sf1, incl.
     # flow_homologene's 352M-row checksum match)
     "flow_species_load",
+    # replication multiplies point DENSITY in the fixed unit square (new keys
+    # get fresh md5 coordinates), so the eps-neighbor graph percolates into a
+    # giant component at ~sf1 and the oracle's recursive reach closure is
+    # O(|component|^2) — same density-regime artifact, engine side is fine
+    # (the Spark CC path is large-star/small-star, not a closure)
+    "j_dbscan_grid",
 ]
 
 

@@ -1665,7 +1665,7 @@ def text_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
     grams = (
-        toks.filter(F.size("t") >= 8)
+        toks.filter(F.size("t") >= 4)
         .select(
             "doc_id",
             F.explode(

@@ -26,10 +26,27 @@ def test_decontaminate_reports_only_real_overlap(spark):
         assert r["overlap_permille"] == (1000 * r["n_shared"]) // r["n_grams"]
 
 
-def test_decontaminate_matches_bruteforce(spark):
+def test_decontaminate_matches_bruteforce(spark, tmp_path):
     """The broadcast semi-probe reports exactly the docs a brute-force
-    gram-set intersection finds."""
-    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+    gram-set intersection finds. The fixture corpus has no 4-7-token
+    documents (min observed is 10), so we union synthetic short docs —
+    one 4-token eval doc (97*1000), 4/5/7-token training docs sharing its
+    gram, and a 3-token doc that must stay excluded — to exercise the
+    minimum-length boundary of the >= 4 token filter (ADVICE r3)."""
+    base = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    short = spark.createDataFrame(
+        [
+            (97 * 1000, "alpha beta gamma delta"),  # eval doc, exactly 4 tokens
+            (97 * 1000 + 1, "alpha beta gamma delta"),  # 4-token train, full overlap
+            (97 * 1000 + 2, "alpha beta gamma delta epsilon"),  # 5 tokens
+            (97 * 1000 + 4, "x alpha beta gamma delta y z"),  # 7 tokens
+            (97 * 1000 + 5, "alpha beta gamma"),  # 3 tokens: below the bound
+        ],
+        "doc_id LONG, text STRING",
+    )
+    sf_dir = str(tmp_path / "sf_short")
+    base.unionByName(short).write.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
     )
     grams = (
@@ -55,9 +72,13 @@ def test_decontaminate_matches_bruteforce(spark):
     }
     got = {
         r["doc_id"]
-        for r in queries()["text_decontaminate_ngrams"](spark, SF).collect()
+        for r in queries()["text_decontaminate_ngrams"](spark, sf_dir).collect()
     }
     assert got == expected
+    # The boundary rows themselves: 4/5/7-token training docs are reported,
+    # the 3-token doc is not (it cannot form a 4-gram).
+    assert {97_000 + 1, 97_000 + 2, 97_000 + 4} <= got
+    assert 97_000 + 5 not in got
 
 
 def test_domain_mixture_balances_to_smallest(spark):

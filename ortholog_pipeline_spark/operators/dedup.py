@@ -549,9 +549,17 @@ def editdist1_join(
         a.join(b, ["vh", *block])
         .filter(F.col("a.s") < F.col("b.s"))
         .select(*block, F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        # dedup band collisions BEFORE the verify: a pair can meet under
+        # several shared variants, and the edit-distance check is the
+        # dominant per-row cost of the whole ER plan
         .distinct()
-        .filter(F.levenshtein("s1", "s2") <= 1)
-        .withColumn("dist", F.levenshtein("s1", "s2").cast("long"))
+        # threshold-bounded levenshtein (banded DP, early exit at distance
+        # > 1): O(len) per pair instead of the full O(len^2) matrix — the
+        # verify stage visits EVERY candidate, so the bound is the lever
+        .filter(F.levenshtein("s1", "s2", 1) >= 0)
+        # survivors are distinct strings within distance 1 ⇒ exactly 1;
+        # re-running levenshtein to say so was pure waste
+        .withColumn("dist", F.lit(1).cast("long"))
     )
 
 

@@ -3,10 +3,21 @@ pipeline extension tier, demonstrated as oracled queries. Split per family
 (VERDICT r2 item 2); the registry itself lives in _shared and every family
 module registers into it on import."""
 
-from ortholog_pipeline_spark.queries import _shared as _S
-
-globals().update(
-    {k: v for k, v in vars(_S).items() if k not in ("__name__", "__doc__", "__file__", "__spec__", "__loader__", "__package__", "__builtins__")}
+# the package's public surface plus the shared SQL fragments consumed by
+# out-of-package callers (queries_flows, bench, oracle, tests) — explicit so
+# linters and IDEs resolve them (VERDICT r3 item 5; was a globals() copy)
+from ortholog_pipeline_spark.queries._shared import (  # noqa: F401
+    QueryFn,
+    _MINHASH_AB_SQL,
+    _POIS24,
+    _QUALITY_SQL,
+    _STOPS_SQL,
+    _TOKS_SQL,
+    _lang_hits_sql,
+    _t,
+    oracle_sql,
+    queries,
+    register,
 )
 
 # family modules register their queries on import (order = original file order)

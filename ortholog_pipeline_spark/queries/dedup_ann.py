@@ -1,8 +1,37 @@
 """Dedup / ANN / embedding / multimodal queries (split from queries.py — registration side-effect module)."""
-from ortholog_pipeline_spark.queries import _shared as _S
-
-globals().update(
-    {k: v for k, v in vars(_S).items() if k not in ("__name__", "__doc__", "__file__", "__spec__", "__loader__", "__package__", "__builtins__")}
+from ortholog_pipeline_spark.queries._shared import (  # noqa: F401
+    CCop,
+    CLU,
+    DD,
+    DataFrame,
+    F,
+    IT,
+    SIM,
+    SMP,
+    SparkSession,
+    TXT,
+    Window,
+    _ANN_CTAB_SQL,
+    _ANN_PROBES_SQL,
+    _BUCKET_SQL,
+    _CENTROID_SCALE,
+    _DIGEST_BYTE_SQL,
+    _DOT_SQL,
+    _JACCARD_VERIFY_SQL,
+    _KMEANS_CTES,
+    _MINHASH_CTES,
+    _MMR_DOT,
+    _RP_D2_SQL,
+    _RP_DIMS,
+    _RP_REDUCE_SQL,
+    _RP_SIGNS,
+    _SCORECARD_CTES,
+    _SHINGLES_SQL,
+    _STOPS_SQL,
+    _TOKS_SQL,
+    _hyperplane_bucket_sql,
+    _t,
+    register,
 )
 
 @register(

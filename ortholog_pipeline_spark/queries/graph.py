@@ -1,8 +1,17 @@
 """Graph + entity-resolution queries (split from queries.py — registration side-effect module)."""
-from ortholog_pipeline_spark.queries import _shared as _S
-
-globals().update(
-    {k: v for k, v in vars(_S).items() if k not in ("__name__", "__doc__", "__file__", "__spec__", "__loader__", "__package__", "__builtins__")}
+from ortholog_pipeline_spark.queries._shared import (  # noqa: F401
+    CCop,
+    DD,
+    DataFrame,
+    F,
+    G,
+    IT,
+    SparkSession,
+    Window,
+    _PAGERANK_EDGES_SQL,
+    _PAGERANK_ITER_SQL,
+    _t,
+    register,
 )
 
 @register(

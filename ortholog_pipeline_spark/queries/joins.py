@@ -1,8 +1,23 @@
 """Join-family queries (J ops + join-shaped analytics) (split from queries.py — registration side-effect module)."""
-from ortholog_pipeline_spark.queries import _shared as _S
-
-globals().update(
-    {k: v for k, v in vars(_S).items() if k not in ("__name__", "__doc__", "__file__", "__spec__", "__loader__", "__package__", "__builtins__")}
+from ortholog_pipeline_spark.queries._shared import (  # noqa: F401
+    ASOFop,
+    CCop,
+    DD,
+    DataFrame,
+    F,
+    RJ,
+    SKW,
+    SparkSession,
+    Window,
+    _BLOOM_BITS,
+    _BLOOM_SALTS,
+    _GEO_EPS,
+    _bloom_pos,
+    _geo_coord,
+    _t,
+    np,
+    pd,
+    register,
 )
 
 @register(
@@ -1025,7 +1040,8 @@ def j_large_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE p AS (
       SELECT c_custkey AS id,
-             (CAST(('0x' || substr(md5('gx' || CAST(c_custkey AS VARCHAR)), 1, 15))
+             (c_custkey // 10000000)
+             + (CAST(('0x' || substr(md5('gx' || CAST(c_custkey AS VARCHAR)), 1, 15))
                    AS BIGINT) % 1000000) / 1000000.0 AS x,
              (CAST(('0x' || substr(md5('gy' || CAST(c_custkey AS VARCHAR)), 1, 15))
                    AS BIGINT) % 1000000) / 1000000.0 AS y
@@ -1109,9 +1125,15 @@ def j_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     core/border counts. Every stage is cell- or node-keyed — DBSCAN at
     100 TB is exactly this plan with a finer grid."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    # x is offset into a unit strip per 10M-key replica block (identity at the
+    # generated sfs, keys < 10M): tools/make_scaled_dir.py replication then
+    # preserves per-cell point DENSITY instead of stacking every replica into
+    # the same unit square, where the eps-graph percolates into one giant
+    # component and the oracle's recursive closure goes quadratic (VERDICT r3).
+    blk = F.floor(F.col("c_custkey") / F.lit(10_000_000))
     p = cust.select(
         F.col("c_custkey").alias("id"),
-        _geo_coord(F.col("c_custkey"), "gx").alias("x"),
+        (blk + _geo_coord(F.col("c_custkey"), "gx")).alias("x"),
         _geo_coord(F.col("c_custkey"), "gy").alias("y"),
     )
     a = p.withColumn("cx", F.floor(F.col("x") / _GEO_EPS).cast("long")).withColumn(

@@ -1,8 +1,23 @@
 """SURVEY.md numbered operator-id queries (the reference parity tier) (split from queries.py — registration side-effect module)."""
-from ortholog_pipeline_spark.queries import _shared as _S
-
-globals().update(
-    {k: v for k, v in vars(_S).items() if k not in ("__name__", "__doc__", "__file__", "__spec__", "__loader__", "__package__", "__builtins__")}
+from ortholog_pipeline_spark.queries._shared import (  # noqa: F401
+    DD,
+    DataFrame,
+    F,
+    G,
+    IA,
+    LAY,
+    SparkSession,
+    TXT,
+    Window,
+    _MINHASH_AB_SQL,
+    _QUALITY_SQL,
+    _TOKS_SQL,
+    _lang_hits_sql,
+    _t,
+    bestfit,
+    grouping,
+    register,
+    sync,
 )
 
 @register(

@@ -1,8 +1,18 @@
 """Sampling, splits and streaming-variant queries (split from queries.py — registration side-effect module)."""
-from ortholog_pipeline_spark.queries import _shared as _S
-
-globals().update(
-    {k: v for k, v in vars(_S).items() if k not in ("__name__", "__doc__", "__file__", "__spec__", "__loader__", "__package__", "__builtins__")}
+from ortholog_pipeline_spark.queries._shared import (  # noqa: F401
+    DD,
+    DataFrame,
+    F,
+    SMP,
+    SparkSession,
+    TXT,
+    Window,
+    _BUCKET_SQL,
+    _POIS24,
+    _TOKS_SQL,
+    _pois24_sql,
+    _t,
+    register,
 )
 
 @register(

@@ -1,8 +1,24 @@
 """Analytics/statistics queries (part 1/3) (split from queries.py — registration side-effect module)."""
-from ortholog_pipeline_spark.queries import _shared as _S
-
-globals().update(
-    {k: v for k, v in vars(_S).items() if k not in ("__name__", "__doc__", "__file__", "__spec__", "__loader__", "__package__", "__builtins__")}
+from ortholog_pipeline_spark.queries._shared import (  # noqa: F401
+    DD,
+    DataFrame,
+    F,
+    QC,
+    RK,
+    SK,
+    SMP,
+    SparkSession,
+    Window,
+    _BUCKET_SQL,
+    _CM_D,
+    _CM_W,
+    _GRID_Q_SQL,
+    _KMV_K,
+    _KMV_NUM,
+    _PROFILE_COLS,
+    _global_rank,
+    _t,
+    register,
 )
 
 @register(

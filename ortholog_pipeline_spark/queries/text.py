@@ -1,8 +1,21 @@
 """Text-analysis queries (split from queries.py — registration side-effect module)."""
-from ortholog_pipeline_spark.queries import _shared as _S
-
-globals().update(
-    {k: v for k, v in vars(_S).items() if k not in ("__name__", "__doc__", "__file__", "__spec__", "__loader__", "__package__", "__builtins__")}
+from ortholog_pipeline_spark.queries._shared import (  # noqa: F401
+    DD,
+    DataFrame,
+    F,
+    G,
+    PII,
+    SparkSession,
+    TXT,
+    Window,
+    _BPE_PAIRS_SQL,
+    _PAGERANK_ITER_SQL,
+    _STOPS_SQL,
+    _TEXTRANK_EDGES_SQL,
+    _TOKS_SQL,
+    _lang_hits_sql,
+    _t,
+    register,
 )
 
 @register(

@@ -11,14 +11,24 @@ order-of-reconciliation bugs hide (VERDICT r2 "Next round" item 1).
 
 World derivation (both engines, same formulas — the planted-defect pattern the
 operator queries already use):
-  * human genes   = customer keys  (rgd_id 1000000+c), symbol 'H'||c%500;
+  * human genes   = customer keys  (rgd_id 1000000+c), symbol 'H'||sym(c);
   * rat genes     = part keys      (rgd_id 2000000+p), symbol 'R'||p, with
-    every 11th symbol lowercased-human ('h'||p%500) to exercise the W1/W3
-    symbol-match tie-breaks;
+    every 11th symbol lowercased-human ('h'||sym(p)) to exercise the W1/W3
+    symbol-match tie-breaks.  sym(k) = k%500 + 500*(k//10M): the symbol
+    space is PER-REPLICA-DISJOINT under tools/make_scaled_dir.py's
+    10M-multiple key offsets (VERDICT r3 item 1 — a raw k%500 made all
+    replicas collide onto the same 500 symbols, growing symbol groups
+    linearly with replicas and the oracle's symbol-candidate join
+    quadratically; composing the 10M block in keeps collision-group sizes
+    constant at any replica count, and is the identity at the generated
+    sfs where keys < 10M);
   * resolution-dim defects: c%31 unmatched, c%41 splice-excluded, c%53 multiple,
     p%23 withdrawn+replaced(p-22), p%29 withdrawn-unreplaced, p%37 allele;
-  * relation stream = orders (src EGH<o_custkey>, dest EGR<1+(o_orderkey*7)%199>,
-    source HGNC/NCBI by o_orderkey%3, evidence vocab by o_orderkey%5);
+  * relation stream = orders (src EGH<o_custkey>,
+    dest EGR<1+(o_orderkey*7)%199 + 10M*(o_orderkey//10M)> — the dest pool is
+    199 rat keys PER 10M replica block, so per-dest fan-in stays constant
+    under scaled-dir replication, source HGNC/NCBI by o_orderkey%3, evidence
+    vocab by o_orderkey%5);
   * seeded snapshots (orthologs A-E, agr F-G, associations H-K rows) derive
     from parts p<=300 and plant every verdict path: manual / manual-blocked,
     Alliance / alliance-blocked, MATCH / DELETE_EXISTING / DOWNGRADE / STALE,
@@ -41,6 +51,10 @@ from ortholog_pipeline_spark.queries import _t, register
 from ortholog_pipeline_spark.sources.state import StateStore
 
 HB, RB = 1000000, 2000000  # human / rat rgd-id bases
+# tools/make_scaled_dir.py offsets every replica's keys by multiples of this;
+# composing the block index into modular-derived world attributes keeps each
+# replica's collision regime disjoint (identity for generated sfs, keys < 10M).
+BLK = 10_000_000
 TS0 = datetime(2020, 1, 1, 0, 0, 0)  # seed-snapshot stamp
 RUN_TS = datetime(2024, 1, 2, 3, 4, 5)  # deterministic run timestamp (C11)
 
@@ -72,13 +86,13 @@ _WORLD_SQL = f"""
     rat AS (SELECT CAST(p_partkey AS INTEGER) AS p FROM part),
     genes AS (
       SELECT {HB} + c AS rgd_id,
-             'H' || CAST(c % 500 AS VARCHAR) AS gene_symbol,
+             'H' || CAST(c % 500 + 500 * (c // {BLK}) AS VARCHAR) AS gene_symbol,
              CASE WHEN c % 41 = 0 THEN 'splice' ELSE 'protein-coding' END AS gene_type_lc,
              1 AS species_type_key
       FROM hum
       UNION ALL
       SELECT {RB} + p,
-             CASE WHEN p % 11 = 0 THEN 'h' || CAST(p % 500 AS VARCHAR)
+             CASE WHEN p % 11 = 0 THEN 'h' || CAST(p % 500 + 500 * (p // {BLK}) AS VARCHAR)
                   ELSE 'R' || CAST(p AS VARCHAR) END,
              CASE WHEN p % 37 = 0 THEN 'allele' ELSE 'protein-coding' END,
              3
@@ -157,7 +171,8 @@ _WORLD_SQL = f"""
     ),
     rel AS (
       SELECT 'EGH' || CAST(o_custkey AS VARCHAR) AS src_other_id,
-             'EGR' || CAST(1 + (o_orderkey * 7) % 199 AS VARCHAR) AS dest_other_id,
+             'EGR' || CAST(1 + (o_orderkey * 7) % 199
+                           + {BLK} * (o_orderkey // {BLK}) AS VARCHAR) AS dest_other_id,
              CASE WHEN o_orderkey % 3 = 0 THEN 'NCBI' ELSE 'HGNC' END AS data_source,
              CASE o_orderkey % 5 WHEN 0 THEN 'Ensembl' WHEN 1 THEN 'OrthoDB'
                   WHEN 2 THEN 'Ensembl, OrthoDB' WHEN 3 THEN 'Panther'
@@ -526,14 +541,19 @@ def _species_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     hgene = cust.select(
         (HB + c).cast("int").alias("rgd_id"),
-        F.concat(F.lit("H"), (c % 500).cast("string")).alias("gene_symbol"),
+        F.concat(F.lit("H"), (c % 500 + 500 * F.floor(c / BLK)).cast("string")).alias(
+            "gene_symbol"
+        ),
         F.when(c % 41 == 0, "splice").otherwise("protein-coding").alias("gene_type_lc"),
         F.lit(None).cast("string").alias("ensembl_gene_symbol"),
         F.lit(1).cast("int").alias("species_type_key"),
     )
     rgene = part.select(
         (RB + p).cast("int").alias("rgd_id"),
-        F.when(p % 11 == 0, F.concat(F.lit("h"), (p % 500).cast("string")))
+        F.when(
+            p % 11 == 0,
+            F.concat(F.lit("h"), (p % 500 + 500 * F.floor(p / BLK)).cast("string")),
+        )
         .otherwise(F.concat(F.lit("R"), p.cast("string")))
         .alias("gene_symbol"),
         F.when(p % 37 == 0, "allele").otherwise("protein-coding").alias("gene_type_lc"),
@@ -702,9 +722,10 @@ def _species_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     ok = F.col("o_orderkey")
     relations = orders.select(
         F.concat(F.lit("EGH"), F.col("o_custkey").cast("string")).alias("src_other_id"),
-        F.concat(F.lit("EGR"), (1 + (ok * 7) % 199).cast("string")).alias(
-            "dest_other_id"
-        ),
+        F.concat(
+            F.lit("EGR"),
+            (1 + (ok * 7) % 199 + BLK * F.floor(ok / BLK)).cast("long").cast("string"),
+        ).alias("dest_other_id"),
         F.lit(1).cast("int").alias("src_species_type_key"),
         F.lit(3).cast("int").alias("dest_species_type_key"),
         F.when(ok % 3 == 0, "NCBI").otherwise("HGNC").alias("data_source"),

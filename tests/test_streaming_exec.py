@@ -166,3 +166,62 @@ def test_interval_join_matches_and_evicts_state(spark, land):
         assert spark.table("ij").filter(F.col("l_amount") == 5.0).count() == 0
     finally:
         q.stop()
+
+
+def test_foreach_batch_sync_checkpoint_recovery(spark, land):
+    """Kill-and-resume (VERDICT r3 item 6): a foreach_batch_sync query dies
+    mid-stream AFTER committing its first micro-batch; a restart from the same
+    checkpoint must (a) never re-apply the committed batch — its rows do not
+    re-enter foreachBatch — and (b) leave no gap: the uncommitted batch is
+    re-planned and the final snapshot holds every key exactly once."""
+    from ortholog_pipeline_spark.sources.state import StateStore
+    from ortholog_pipeline_spark.streaming.sync import foreach_batch_sync
+
+    schema = "k int, v string"
+    src, ck = str(land / "src"), str(land / "ck")
+    store = StateStore(spark, str(land / "state"))
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    _write(spark, src, [(1, "a1"), (2, "a2")], schema)
+    _write(spark, src, [(3, "b1"), (4, "b2")], schema)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    # phase 1: crash on the SECOND batch (the first is already committed)
+    calls = {"n": 0}
+
+    def crash_on_second(df):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected mid-stream crash")
+        return df
+
+    q1 = foreach_batch_sync(
+        stream(), store, "t", ["k"], ["v"], ck, transform=crash_on_second
+    )
+    with pytest.raises(Exception, match="injected mid-stream crash"):
+        q1.awaitTermination()
+    struct = spark.createDataFrame([], schema).schema
+    mid = {r.k for r in store.read("t", struct).collect()}
+    assert len(mid) == 2, "exactly one micro-batch must have committed"
+
+    # phase 2: restart from the SAME checkpoint, recording what replays
+    replayed: list[set] = []
+
+    def record(df):
+        replayed.append({r.k for r in df.collect()})
+        return df
+
+    q2 = foreach_batch_sync(stream(), store, "t", ["k"], ["v"], ck, transform=record)
+    q2.awaitTermination(300)
+
+    final = {(r.k, r.v) for r in store.read("t", struct).collect()}
+    # (b) no gap, no duplicate: all four keys exactly once, content intact
+    assert final == {(1, "a1"), (2, "a2"), (3, "b1"), (4, "b2")}
+    # (a) the committed batch never re-entered the sink
+    seen_again = set().union(*replayed) if replayed else set()
+    assert seen_again == {1, 2, 3, 4} - mid

@@ -37,20 +37,11 @@ HEAVY_ORACLE = [
     "g_kcore_peel",  # oracle's recursive closure spills unboundedly at ~sf1
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    # the species-flow world derives gene symbols as c % 500 over RAW customer
-    # keys; make_scaled_dir's per-replica key offsets are multiples of 10M
-    # (≡ 0 mod 500), so every replica lands on the SAME 500 symbols and the
-    # cascade's symbol-candidate join grows quadratically in replicas — a
-    # fixture-collision artifact, not an engine path (measured: DuckDB side
-    # >60 min / >50 GB at ~sf1; the other four flows pass at ~sf1, incl.
-    # flow_homologene's 352M-row checksum match)
-    "flow_species_load",
-    # replication multiplies point DENSITY in the fixed unit square (new keys
-    # get fresh md5 coordinates), so the eps-neighbor graph percolates into a
-    # giant component at ~sf1 and the oracle's recursive reach closure is
-    # O(|component|^2) — same density-regime artifact, engine side is fine
-    # (the Spark CC path is large-star/small-star, not a closure)
-    "j_dbscan_grid",
+    # flow_species_load and j_dbscan_grid were routed here in r3 (replication
+    # collided the c%500 symbol space / stacked point density in one unit
+    # square, blowing up the ORACLE); r4 made both worlds replica-invariant —
+    # symbol space and DBSCAN coordinates now compose the 10M replica block —
+    # so they certify at the scaled dir proper.
 ]
 
 

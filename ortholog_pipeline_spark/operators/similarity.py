@@ -169,18 +169,26 @@ def lsh_topk(
     both implemented here:
       * ``num_tables`` independent tables (disjoint slices of the md5 plane
         sequence) OR their candidate sets: p → 1−(1−p)^T;
-      * 1-bit multiprobe (``multiprobe_bits=1``): each query also probes the
-        ``num_planes`` buckets at Hamming distance 1, adding the r·p^(r−1)(1−p)
-        near-miss mass per table.
-    At r=6, T=4, 1-bit probing and θ≈70° that compounds to ~0.7 recall
-    (measured ≥0.6 on the synthetic embeddings — pinned by the recall test).
+      * multiprobe (``multiprobe_bits``∈{0,1,2}): each query also probes the
+        buckets at Hamming distance ≤ bits — r flips at distance 1 (adding the
+        r·p^(r−1)(1−p) near-miss mass per table), plus C(r,2) at distance 2.
+    At r=6, T=4, 1-bit probing and θ≈70° that compounds to ~0.7 recall; 2-bit
+    probing (22 probes/table instead of 7) lifts it to 0.97 (both measured at
+    sf0.01 on the synthetic embeddings — pinned by the recall tests at
+    floors 0.6 / 0.8).
+
+    Multiprobe is the RIGHT recall knob at 100 TB: extra probes multiply only
+    the tiny broadcast query side (bit flips on an already-computed bucket id),
+    while the corpus side — the expensive part: T rows/vector of storage and
+    equi-join input — is unchanged. Raising num_tables instead would grow the
+    corpus-side index linearly for the same recall gain.
 
     Scale shape: corpus buckets are map-side literals exploded to T rows/vector;
     queries (small side) are broadcast, so candidate generation is an equi-join on
     (table, bucket) with NO shuffle of the corpus; candidates dedup on (query,
     vec) before scoring, then two-stage top-k. Cost scales with bucket collision
     counts, not |corpus|×|queries|."""
-    assert multiprobe_bits in (0, 1), "only 0/1-bit multiprobe implemented"
+    assert multiprobe_bits in (0, 1, 2), "only 0/1/2-bit multiprobe implemented"
     bucket_fn = table_buckets_udf(num_planes, num_tables, dim)
 
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_cv"))
@@ -195,14 +203,18 @@ def lsh_topk(
         "query_id", "_qv", F.posexplode("_tbl").alias("t", "bucket")
     )
     if multiprobe_bits:
-        # the exact bucket plus its num_planes Hamming-1 neighbours — bit flips on
+        # the exact bucket plus its Hamming-≤bits neighbours — bit flips on
         # the already-computed id, not recomputed hashes
+        masks = [1 << j for j in range(num_planes)]
+        if multiprobe_bits == 2:
+            masks += [
+                (1 << i) | (1 << j)
+                for i in range(num_planes)
+                for j in range(i + 1, num_planes)
+            ]
         probes = F.array(
             F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
-                for j in range(num_planes)
-            ],
+            *[F.col("bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks],
         )
         q_probes = q_tab.select(
             "query_id", "_qv", "t", F.explode(probes).alias("bucket")

@@ -213,9 +213,17 @@ _ANN_CTAB_SQL = "\n      UNION ALL ".join(
     for t in range(4)
 )
 
-_ANN_PROBES_SQL = "[bucket, " + ", ".join(
-    f"xor(bucket, {1 << j})" for j in range(6)
-) + "]"
+# 2-bit multiprobe: the exact bucket, its 6 Hamming-1 and C(6,2)=15 Hamming-2
+# neighbours — mirrors operators/similarity.lsh_topk(multiprobe_bits=2)
+_ANN_PROBES_SQL = (
+    "[bucket, "
+    + ", ".join(f"xor(bucket, {1 << j})" for j in range(6))
+    + ", "
+    + ", ".join(
+        f"xor(bucket, {(1 << i) | (1 << j)})" for i in range(6) for j in range(i + 1, 6)
+    )
+    + "]"
+)
 
 _DIGEST_BYTE_SQL = "CAST(('0x' || substr(dh, 2*i-1, 2)) AS BIGINT)"
 

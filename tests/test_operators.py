@@ -402,6 +402,17 @@ def test_lsh_topk_recall_floor(spark):
     recall = len(brute & lsh) / len(brute)
     assert recall >= 0.6, f"recall@10 = {recall:.3f}"
 
+    # 2-bit multiprobe (what the registered ann_lsh_topk query runs): the 22
+    # probes/table must buy real recall over 1-bit's 7 — floor 0.8, and it must
+    # dominate the 1-bit set (same tables, strictly more buckets probed)
+    lsh2 = {
+        (r.query_id, r.vec_id)
+        for r in SIM.lsh_topk(emb, q, k=10, multiprobe_bits=2).collect()
+    }
+    recall2 = len(brute & lsh2) / len(brute)
+    assert recall2 >= 0.8, f"2-bit recall@10 = {recall2:.3f}"
+    assert recall2 >= recall, f"2-bit {recall2:.3f} < 1-bit {recall:.3f}"
+
 
 def test_ivf_topk_recall_floor(spark):
     """IVF recall: probing 4 of 32 cells (12% of corpus) must recover most of the

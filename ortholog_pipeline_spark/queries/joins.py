@@ -1040,7 +1040,7 @@ def j_large_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE p AS (
       SELECT c_custkey AS id,
-             (c_custkey // 10000000)
+             (c_custkey // 10000000) * 2
              + (CAST(('0x' || substr(md5('gx' || CAST(c_custkey AS VARCHAR)), 1, 15))
                    AS BIGINT) % 1000000) / 1000000.0 AS x,
              (CAST(('0x' || substr(md5('gy' || CAST(c_custkey AS VARCHAR)), 1, 15))
@@ -1125,15 +1125,21 @@ def j_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     core/border counts. Every stage is cell- or node-keyed — DBSCAN at
     100 TB is exactly this plan with a finer grid."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
-    # x is offset into a unit strip per 10M-key replica block (identity at the
-    # generated sfs, keys < 10M): tools/make_scaled_dir.py replication then
-    # preserves per-cell point DENSITY instead of stacking every replica into
-    # the same unit square, where the eps-graph percolates into one giant
-    # component and the oracle's recursive closure goes quadratic (VERDICT r3).
+    # x is offset into a unit strip per 10M-key replica block, with a FULL
+    # EMPTY STRIP between blocks (x = 2·blk + coord; identity at the generated
+    # sfs, keys < 10M): tools/make_scaled_dir.py replication then preserves
+    # per-cell point DENSITY instead of stacking every replica into the same
+    # unit square, where the eps-graph percolates into one giant component and
+    # the oracle's recursive closure goes quadratic (VERDICT r3). The gap
+    # matters: adjacent strips WITHOUT one still touch at their shared
+    # boundary, eps-edges chain replicas' components together, and the
+    # closure's pair set grows with (replicas·|comp|)² instead of
+    # replicas·|comp|² (measured: the gapless variant pushed the ~sf1 oracle
+    # past 90 GB before completing; the gapped one replays in ~10× sf0.1).
     blk = F.floor(F.col("c_custkey") / F.lit(10_000_000))
     p = cust.select(
         F.col("c_custkey").alias("id"),
-        (blk + _geo_coord(F.col("c_custkey"), "gx")).alias("x"),
+        (blk * 2 + _geo_coord(F.col("c_custkey"), "gx")).alias("x"),
         _geo_coord(F.col("c_custkey"), "gy").alias("y"),
     )
     a = p.withColumn("cx", F.floor(F.col("x") / _GEO_EPS).cast("long")).withColumn(

@@ -41,6 +41,7 @@ minted genetogene/assoc keys never enter the hash.
 
 from __future__ import annotations
 
+import re
 import tempfile
 from datetime import datetime
 
@@ -765,7 +766,35 @@ def _seed_store(spark: SparkSession, world: dict[str, DataFrame], prefix: str) -
     return store
 
 
-@register("flow_species_load", _SPECIES_FLOW_SQL)
+def _materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
+    """Mark the named CTEs ``AS MATERIALIZED`` (DuckDB/Postgres hint, identical
+    results). DuckDB 1.0 INLINES every CTE reference as a subquery, so in a
+    deep DAG the expansion is multiplicative along the fan-outs — the species
+    replay references ``genes`` 9× and ``rat`` 15×, and each ``conf``/``weak``/
+    ``sync0`` reference re-expands the whole parse→resolve→merge chain beneath
+    it. At the generated sfs the waste is tolerable; at the ~sf1 scaled dir the
+    concurrent copies exceeded DuckDB's 100 GiB budget in under 3 minutes
+    (measured twice). Materializing each multi-referenced CTE bounds the replay
+    at the SUM of CTE sizes instead of the product of the reference tree."""
+    for n in names:
+        sql = re.sub(rf"(?<=\W){n} AS \(", f"{n} AS MATERIALIZED (", sql, count=1)
+    return sql
+
+
+#: every multi-referenced CTE in _SPECIES_FLOW_SQL (single-referenced ones
+#: stream better inlined)
+_SPECIES_MULTI_REF_CTES = (
+    "hum", "rat", "genes", "rgdids", "seed_orth", "seed_agr", "seed_assoc",
+    "res_dim", "merged", "closed", "scope", "tiers", "picks", "ex_ranked",
+    "conf", "pick_keys", "nopick", "final_orth", "weak", "sync0", "del0",
+    "ins0", "rev_del",
+)
+
+
+@register(
+    "flow_species_load",
+    _materialize_ctes(_SPECIES_FLOW_SQL, _SPECIES_MULTI_REF_CTES),
+)
 def flow_species_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 --species end-to-end: seed the state store from the synthetic world,
     run the REAL run_species_load plan (J1 resolve → A2 merge → U4 closure →

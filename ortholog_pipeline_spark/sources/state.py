@@ -301,35 +301,35 @@ def next_surrogate_keys(
     Scale shape: a single global ``row_number`` window would move the whole insert
     set to ONE partition (measured on a 1.1M-row association insert). Instead rows
     are hashed into ``buckets`` sub-partitions, numbered with a PARTITIONED window,
-    and offset by driver-collected bucket counts (``buckets`` rows — trivially
-    small). Keys are dense in [start+1, start+n], deterministic for a given input
-    set (hash-bucket + full column order), and run parallel. Correctness hashes
-    exclude surrogate keys anyway (SURVEY.md §7)."""
+    and offset by per-bucket cumulative counts. The offsets are computed IN-PLAN
+    (a ≤``buckets``-row aggregate + one tiny single-partition window, broadcast
+    back) rather than collected to the driver: keygen stays fully lazy — no
+    eager job materializing the insert lineage at plan-construction time — and
+    the bucket-count aggregate shares its `_skb` exchange with the numbering
+    window via ReuseExchange. Keys are dense in [start+1, start+n],
+    deterministic for a given input set (hash-bucket + full column order,
+    offsets by ascending bucket id — identical to the former driver-side
+    fold), and run parallel. Correctness hashes exclude surrogate keys anyway
+    (SURVEY.md §7)."""
     cols = [F.col(c) for c in df.columns]
     bucket = F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
     with_bucket = df.withColumn("_skb", bucket)
 
-    counts = {
-        r._skb: r["count"]
-        for r in with_bucket.groupBy("_skb").count().collect()
-    }
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    offset_expr = F.element_at(
-        F.create_map(
-            *[F.lit(x) for b in sorted(counts) for x in (b, offsets[b])]
-        ),
-        F.col("_skb"),
-    ) if counts else F.lit(0)
+    w_off = Window.orderBy("_skb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        with_bucket.groupBy("_skb")
+        .agg(F.count(F.lit(1)).alias("_skn"))
+        .withColumn("_skoff", F.coalesce(F.sum("_skn").over(w_off), F.lit(0)))
+        .select("_skb", "_skoff")
+    )
 
     w = Window.partitionBy("_skb").orderBy(*cols)
     return (
         with_bucket.withColumn("_skrn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_skb")
         .withColumn(
             key_name,
-            (F.lit(start) + offset_expr + F.col("_skrn")).cast("long"),
+            (F.lit(start) + F.col("_skoff") + F.col("_skrn")).cast("long"),
         )
-        .drop("_skb", "_skrn")
+        .drop("_skb", "_skrn", "_skoff")
     )

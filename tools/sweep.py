@@ -97,8 +97,14 @@ def main() -> int:
             )
         try:
             with open(out_path) as f:
-                got = json.load(f)
-        except json.JSONDecodeError:
+                raw = f.read()
+            # the JVM occasionally writes gc/alloc warnings to STDOUT (e.g.
+            # "[956s][warning][gc,alloc] ... GCLocker ..."), corrupting the
+            # report prefix — parse from the first '{' instead of giving up
+            # on the whole batch (observed: a fully-green 40-query batch
+            # counted as 40 failures)
+            got = json.loads(raw[raw.index("{"):]) if "{" in raw else {}
+        except (json.JSONDecodeError, ValueError):
             got = {}
         for q in qs:
             report[q] = got.get(q, {"err": f"batch {label} died before this query"})

@@ -224,3 +224,20 @@ def test_append_only_fast_path_links_old_files(spark, tmp_path):
     store.apply_changes("t", inserts=spark.createDataFrame([Row(k=10, v="va")]))
     store.vacuum("t", keep=1)
     assert {r.k for r in store.read("t").collect()} == {0, 1, 2, 3, 4, 9, 10}
+
+
+def test_next_surrogate_keys_is_lazy_and_dense(spark):
+    """Keygen must not run Spark jobs at plan-CONSTRUCTION time — it used to
+    collect bucket counts eagerly, which materialized the entire insert
+    lineage once per keygen call before the real action ran (VERDICT r3 plan
+    audit). The in-plan offsets must still mint exactly [start+1, start+n]."""
+    from ortholog_pipeline_spark.sources.state import next_surrogate_keys
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup())
+    df = spark.range(1000).selectExpr("id AS a", "CAST(id % 7 AS INT) AS b")
+    keyed = next_surrogate_keys(df, 100, "k")
+    assert len(tracker.getJobIdsForGroup()) == before, (
+        "next_surrogate_keys ran a Spark job at plan-construction time"
+    )
+    assert sorted(r.k for r in keyed.collect()) == list(range(101, 1101))

@@ -304,9 +304,11 @@ def next_surrogate_keys(
     and offset by per-bucket cumulative counts. The offsets are computed IN-PLAN
     (a ≤``buckets``-row aggregate + one tiny single-partition window, broadcast
     back) rather than collected to the driver: keygen stays fully lazy — no
-    eager job materializing the insert lineage at plan-construction time — and
-    the bucket-count aggregate shares its `_skb` exchange with the numbering
-    window via ReuseExchange. Keys are dense in [start+1, start+n],
+    eager job materializing the insert lineage at plan-construction time. The
+    offsets branch re-reads the input subtree inside the same job (the two
+    `_skb` exchanges differ below — partial-agg vs raw rows — so Catalyst
+    can't reuse one; flow callers feed keygen from persisted frames, making
+    the second read a cache hit). Keys are dense in [start+1, start+n],
     deterministic for a given input set (hash-bucket + full column order,
     offsets by ascending bucket id — identical to the former driver-side
     fold), and run parallel. Correctness hashes exclude surrogate keys anyway

@@ -13,6 +13,7 @@ report is a union of 1-row frames: driver-side plan glue, zero data movement.
 
 from __future__ import annotations
 
+import itertools
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -113,8 +114,16 @@ def observed(df: DataFrame, name: str, *metrics: F.Column):
     Use for flow health counters (rows ingested, nulls seen, guard
     tripwires) alongside the declarative suite above — the suite VALIDATES a
     published snapshot with its own scan; observed() instruments a scan the
-    job was doing anyway."""
+    job was doing anyway.
+
+    The registered name is ``name`` plus a per-call nonce: Observations match
+    listener events BY NAME within the SparkSession, so two flows running
+    concurrently in one session (threaded bench probes, parallel plans) with
+    a fixed name would cross-match each other's observedMetrics."""
     from pyspark.sql import Observation
 
-    obs = Observation(name)
+    obs = Observation(f"{name}_{next(_OBS_SEQ)}")
     return df.observe(obs, *metrics), obs
+
+
+_OBS_SEQ = itertools.count()

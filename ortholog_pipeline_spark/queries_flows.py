@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import tempfile
 from datetime import datetime
 
@@ -773,7 +774,11 @@ def _clone_tree_hardlink(src: str, dst: str) -> None:
         troot = dst if rel == "." else os.path.join(dst, rel)
         os.makedirs(troot, exist_ok=True)
         for f in files:
-            os.link(os.path.join(root, f), os.path.join(troot, f))
+            s, d = os.path.join(root, f), os.path.join(troot, f)
+            try:
+                os.link(s, d)
+            except OSError:  # cross-device TMPDIR / FS without hardlinks
+                shutil.copy2(s, d)
 
 
 def _seed_store(
@@ -811,9 +816,17 @@ def _materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
     it. At the generated sfs the waste is tolerable; at the ~sf1 scaled dir the
     concurrent copies exceeded DuckDB's 100 GiB budget in under 3 minutes
     (measured twice). Materializing each multi-referenced CTE bounds the replay
-    at the SUM of CTE sizes instead of the product of the reference tree."""
+    at the SUM of CTE sizes instead of the product of the reference tree.
+
+    Each substitution is ASSERTED to land exactly once: a silent no-op on a
+    drifted CTE name would quietly drop the hint and reintroduce the >100 GiB
+    inlining blow-up at ~sf1 — fail at import time instead."""
     for n in names:
-        sql = re.sub(rf"(?<=\W){n} AS \(", f"{n} AS MATERIALIZED (", sql, count=1)
+        sql, n_sub = re.subn(rf"(?<=\W){n} AS \(", f"{n} AS MATERIALIZED (", sql, count=1)
+        if n_sub != 1:
+            raise ValueError(
+                f"_materialize_ctes: CTE {n!r} not found in SQL (renamed or removed?)"
+            )
     return sql
 
 

@@ -307,15 +307,21 @@ def next_surrogate_keys(
     eager job materializing the insert lineage at plan-construction time. The
     offsets branch re-reads the input subtree inside the same job (the two
     `_skb` exchanges differ below — partial-agg vs raw rows — so Catalyst
-    can't reuse one; flow callers feed keygen from persisted frames, making
-    the second read a cache hit). Keys are dense in [start+1, start+n],
+    can't reuse one), so the bucketed frame is persist()ed HERE: persist is
+    lazy (no job at construction), and it makes the dense-key guarantee hold
+    for any input — an unpersisted or non-deterministic frame whose two reads
+    disagreed would otherwise yield bucket offsets inconsistent with the row
+    bucketing (duplicate or gapped keys with no detection). The cached blocks
+    are released by the caller's usual clearCache()/unpersist hygiene; they
+    are exactly the insert set, which every caller materializes anyway.
+    Keys are dense in [start+1, start+n],
     deterministic for a given input set (hash-bucket + full column order,
     offsets by ascending bucket id — identical to the former driver-side
     fold), and run parallel. Correctness hashes exclude surrogate keys anyway
     (SURVEY.md §7)."""
     cols = [F.col(c) for c in df.columns]
     bucket = F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
-    with_bucket = df.withColumn("_skb", bucket)
+    with_bucket = df.withColumn("_skb", bucket).persist()
 
     w_off = Window.orderBy("_skb").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (

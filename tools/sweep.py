@@ -45,6 +45,29 @@ HEAVY_ORACLE = [
 ]
 
 
+def parse_report(raw: str) -> dict:
+    """Extract the LAST top-level JSON object from a driver_sim stdout capture.
+
+    The JVM occasionally writes gc/alloc warnings to STDOUT (e.g.
+    "[956s][warning][gc,alloc] ... GCLocker ..."), before OR after the report
+    and possibly containing braces. driver_sim prints its multi-line report
+    (json.dumps indent=1) LAST, so try raw_decode from each line that opens a
+    top-level object, last candidate first — warning lines trailing the object
+    are tolerated by raw_decode, and a brace-bearing warning that isn't valid
+    JSON simply fails its candidate and falls through to the real report."""
+    dec = json.JSONDecoder()
+    lines = raw.splitlines(keepends=True)
+    starts = [i for i, ln in enumerate(lines) if ln.lstrip().startswith("{")]
+    for i in reversed(starts):
+        try:
+            obj, _end = dec.raw_decode("".join(lines[i:]).lstrip())
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(obj, dict):
+            return obj
+    return {}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir")
@@ -98,14 +121,9 @@ def main() -> int:
         try:
             with open(out_path) as f:
                 raw = f.read()
-            # the JVM occasionally writes gc/alloc warnings to STDOUT (e.g.
-            # "[956s][warning][gc,alloc] ... GCLocker ..."), corrupting the
-            # report prefix — parse from the first '{' instead of giving up
-            # on the whole batch (observed: a fully-green 40-query batch
-            # counted as 40 failures)
-            got = json.loads(raw[raw.index("{"):]) if "{" in raw else {}
-        except (json.JSONDecodeError, ValueError):
-            got = {}
+        except OSError:
+            raw = ""
+        got = parse_report(raw)
         for q in qs:
             report[q] = got.get(q, {"err": f"batch {label} died before this query"})
         done = sum(1 for r in report.values() if r.get("hash_match"))

@@ -332,7 +332,11 @@ def run_species_load(
             "n_unmergeable"
         ),
     )
-    closed = closed.persist()
+    # localCheckpoint instead of persist: closed's parse->resolve->merge
+    # lineage re-enters EVERY downstream plan (tiers, weak candidates,
+    # conflict join); truncating it here shrinks each of those plan trees
+    # and the per-action planning cost with them
+    closed = closed.localCheckpoint(eager=False)
     closed.count()
     if human_guard.get["n_nonhuman"]:
         raise ValueError("ortholog group keyed by a non-human source gene")
@@ -344,28 +348,46 @@ def run_species_load(
         F.col("src_species_type_key") == dest_species_type_key
     )
     species_scope = orthologs.filter(in_scope)
-    # ONE pass over the snapshot serves both the surrogate-key high-water mark
-    # and the churn-guard denominator (max() already visits every partition, so
-    # a separate pruned count() bought nothing but a second scan)
-    _key_row = orthologs.agg(
-        F.max("genetogene_key").alias("_mx"),
-        F.sum(F.when(in_scope, 1).otherwise(0)).alias("_n_scope"),
-    ).collect()[0]
-    max_key_row, n_scope = _key_row["_mx"], _key_row["_n_scope"] or 0
+    # ONE job serves all three driver-side scalars: the ortholog surrogate-key
+    # high-water mark, the churn-guard denominator (max() already visits every
+    # partition, so the conditional count rides the same scan), AND the
+    # association high-water mark — previously its own collect between the two
+    # snapshot commits; the union of the two 1-row aggregates runs both table
+    # scans as parallel stages of a single action (flow job-count budget,
+    # VERDICT r4 item 1).
+    _stat_rows = (
+        orthologs.agg(
+            F.max("genetogene_key").alias("_mx"),
+            F.sum(F.when(in_scope, 1).otherwise(0)).alias("_n_scope"),
+        )
+        .select(F.lit("orth").alias("_t"), "_mx", "_n_scope")
+        .unionByName(
+            associations.agg(F.max("assoc_key").alias("_mx")).select(
+                F.lit("assoc").alias("_t"),
+                "_mx",
+                F.lit(None).cast("long").alias("_n_scope"),
+            )
+        )
+        .collect()
+    )
+    _stats = {r["_t"]: r for r in _stat_rows}
+    max_key_row = _stats["orth"]["_mx"]
+    n_scope = _stats["orth"]["_n_scope"] or 0
+    max_ak = _stats["assoc"]["_mx"]
 
     # 4-tier cascade → per-key pick. Persisted: the conflict join, the
     # pick_keys semi/anti probes in the delete derivation, and the result
     # object all re-enter this frame, and its lineage (4-way tier union with
     # two best-fit windows) is the most expensive recompute in the plan.
     tiers = _tier_candidates(closed, genes, species_scope, agr)
-    picks = _cascade_pick(tiers).persist()
+    picks = _cascade_pick(tiers).localCheckpoint(eager=False)
 
     # J7 conflict verdicts vs existing — consumed by inserts, deletes, stale, touch,
     # downgrades and the result object: persist to stop 6× recomputation of the
     # cascade + full-outer join lineage
     verdicts, ex_ranked = _conflict_verdicts(picks, species_scope, genes)
-    verdicts = verdicts.persist()
-    ex_ranked = ex_ranked.persist()
+    verdicts = verdicts.localCheckpoint(eager=False)
+    ex_ranked = ex_ranked.localCheckpoint(eager=False)
 
     ts = F.lit(run_ts)
     species_of = F.broadcast(
@@ -400,13 +422,19 @@ def run_species_load(
     inserts_raw = _mk_orthologs(
         verdicts.filter(F.col("verdict").isin("INSERT", "DELETE_EXISTING"))
     )
-    # persisted: consumed by the provisional snapshot (W2 input), the snapshot
-    # write, and the result object — without it the keygen window re-runs per
-    # action
+    # lazily localCheckpointed (NOT merely persisted): consumed by the
+    # provisional snapshot (W2 input), BOTH concurrent snapshot commits, and
+    # the result object. A persist would keep the full keygen+cascade lineage
+    # in every consumer's logical plan — and with the association commit now
+    # built on the logical next-snapshot frame instead of a parquet re-read,
+    # those plan trees compound until planning itself is the cost (measured:
+    # tree stringification alone OOMed an 8g driver late in a bench run).
+    # localCheckpoint truncates the plan to a LogicalRDD leaf; eager=False
+    # keeps construction job-free (the keygen-laziness pin).
     inserts = (
         next_surrogate_keys(inserts_raw, (max_key_row or 0), "genetogene_key")
         .select(*[f.name for f in orthologs.schema.fields])
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
     # deletes, three sources (all manual-guarded, churn-gated before commit):
@@ -464,7 +492,16 @@ def run_species_load(
         orthologs.join(deletes, "genetogene_key", "left_anti").unionByName(inserts)
     )
     _, dup_deletes = bestfit.duplicate_cleanup(provisional, PIPELINE_USER_ID)
-    all_deletes = deletes.unionByName(dup_deletes.select("genetogene_key"))
+    # lazily localCheckpointed: BOTH concurrent commits consume this key list
+    # (the ortholog anti-join and the assoc thread's next-snapshot pair frame).
+    # The checkpoint (a) computes the W2 duplicate-cleanup window once instead
+    # of once per commit, and (b) truncates the cascade lineage out of both
+    # commit plans — see the `inserts` note above for why plan-tree size is
+    # the real constraint here.
+    all_deletes = (
+        deletes.unionByName(dup_deletes.select("genetogene_key"))
+        .localCheckpoint(eager=False)
+    )
 
     # S10: matched rows get their last-modified stamp refreshed
     matched_keys = verdicts.filter(F.col("verdict") == "MATCH").select(
@@ -473,20 +510,20 @@ def run_species_load(
     touched = sync.touch_last_modified(
         orthologs, matched_keys, ["genetogene_key"], run_ts, PIPELINE_USER_ID
     )
-    orthologs_version = store.apply_changes(
-        "orthologs",
-        inserts=inserts,
-        deletes=all_deletes,
-        delete_key=["genetogene_key"],
-        updates=touched,
-        update_key=["genetogene_key"],
-        # hot filter of every species run (species_scope) → partition pruning
-        partition_by=["dest_species_type_key"],
-    )
-    final_orthologs = store.read("orthologs")
 
     # associations: every closed relation is a weak candidate (Loader.java:116-136),
-    # plus DOWNGRADEd picks; minus pairs covered by strong orthologs (J5)
+    # plus DOWNGRADEd picks; minus pairs covered by strong orthologs (J5).
+    # J5 probes the NEXT ortholog snapshot — expressed here as the logical
+    # frame ((current − all_deletes) ∪ inserts) rather than a re-read of the
+    # just-written parquet: the timestamp-only `touched` updates cannot change
+    # any (src, dest) pair, so pair coverage is identical, and cutting the
+    # disk round-trip is what lets the two snapshot commits below run under
+    # one fused wall-clock window instead of strictly in sequence.
+    next_strong_pairs = (
+        orthologs.join(all_deletes, "genetogene_key", "left_anti")
+        .select("src_rgd_id", "dest_rgd_id")
+        .unionByName(inserts.select("src_rgd_id", "dest_rgd_id"))
+    )
     downgraded = verdicts.filter(F.col("verdict") == "DOWNGRADE")
     weak_candidates = (
         closed.select(
@@ -510,7 +547,7 @@ def run_species_load(
         .withColumn("assoc_type", F.lit("weak_ortholog"))
         .withColumn("src_pipeline", F.lit("ORTHOLOGS"))
     )
-    weak = sync.drop_covered_by_strong(weak_candidates, final_orthologs)
+    weak = sync.drop_covered_by_strong(weak_candidates, next_strong_pairs)
 
     # J10 full-outer sync vs existing weak associations
     existing_weak = associations.filter(F.col("assoc_type") == "weak_ortholog")
@@ -531,7 +568,6 @@ def run_species_load(
     # J9: an insert whose reverse is queued for delete cancels both
     a_ins_raw, a_del = sync.reconcile_reverse_associations(a_ins_raw, a_del)
 
-    max_ak = associations.agg(F.max("assoc_key")).collect()[0][0]
     a_ins = (
         next_surrogate_keys(a_ins_raw, (max_ak or 0), "assoc_key")
         .withColumn("creation_date", ts)
@@ -546,14 +582,46 @@ def run_species_load(
         )
         .select(*[f.name for f in associations.schema.fields])
     )
-    associations_version = store.apply_changes(
-        "associations",
-        inserts=a_ins,
-        deletes=a_del,
-        delete_key=assoc_key_cols,
-        updates=a_upd,
-        update_key=assoc_key_cols,
-    )
+
+    # Fused snapshot commits (VERDICT r4 item 1): the ortholog and association
+    # commits touch DIFFERENT tables and — after the logical next-snapshot
+    # frame above — share no producer/consumer edge, so both apply_changes
+    # run as concurrent actions on two scheduler threads: local[n] (or a real
+    # cluster) overlaps their stages and the flow pays max(commit) instead of
+    # commit₁ + commit₂ of driver-side job scheduling. The churn guard already
+    # ran (deletes.count() above), so a guard abort still precedes ANY commit;
+    # if one commit fails mid-flight the other may have published — the same
+    # partial-exposure window the sequential form had, in the other order
+    # (each table's own publish stays atomic via the _CURRENT marker).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _commit_orthologs() -> int:
+        return store.apply_changes(
+            "orthologs",
+            inserts=inserts,
+            deletes=all_deletes,
+            delete_key=["genetogene_key"],
+            updates=touched,
+            update_key=["genetogene_key"],
+            # hot filter of every species run (species_scope) → partition pruning
+            partition_by=["dest_species_type_key"],
+        )
+
+    def _commit_associations() -> int:
+        return store.apply_changes(
+            "associations",
+            inserts=a_ins,
+            deletes=a_del,
+            delete_key=assoc_key_cols,
+            updates=a_upd,
+            update_key=assoc_key_cols,
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        orth_f = pool.submit(_commit_orthologs)
+        assoc_f = pool.submit(_commit_associations)
+        orthologs_version = orth_f.result()
+        associations_version = assoc_f.result()
 
     return SpeciesLoadResult(
         resolved_dropped=dropped,

@@ -20,6 +20,8 @@ Cross-engine determinism rules used throughout (these bit once each):
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Callable
 
 import numpy as np
@@ -79,8 +81,98 @@ def register(name: str, oracle: str | None = None):
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
+_CTE_DEF_RE = re.compile(r"\b(\w+)\s+AS\s+(MATERIALIZED\s+)?\(", re.I)
+
+def _cte_body_end(sql: str, open_pos: int) -> int:
+    """Index just past the close paren matching the open paren at open_pos."""
+    depth = 0
+    for i in range(open_pos, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return len(sql)
+
+def materialize_multi_ref_ctes(sql: str) -> str:
+    """Rewrite every CTE referenced ≥2 times as ``AS MATERIALIZED`` (DuckDB
+    hint, identical results).
+
+    DuckDB 1.0 INLINES each CTE reference as a subquery, so in a deep oracle
+    DAG the expansion is MULTIPLICATIVE along fan-outs — the ~sf1 species
+    replay exceeded DuckDB's 100 GiB budget in under 3 minutes until its 23
+    multi-referenced CTEs were materialized (measured twice; see
+    queries_flows._materialize_ctes and NOTES.md). Rather than trusting each
+    of 300+ hand-written oracles to remember the hint, this pass applies it
+    mechanically at ``oracle_sql()`` assembly: any CTE whose name occurs ≥2
+    times beyond its definition gets the hint; self-referencing (recursive)
+    CTEs are skipped (recursion is inherently materialized — the hint buys
+    nothing there and is the one corner worth staying out of). Over-counting
+    (a CTE name that also appears in a string literal or as a column alias)
+    at worst materializes a single-reference CTE — harmless; under-counting
+    cannot happen because every true reference is a word match."""
+    out: list[str] = []
+    last = 0
+    for name, start, header_end in unmaterialized_multi_ref_ctes(sql):
+        out.append(sql[last:start])
+        out.append(f"{name} AS MATERIALIZED (")
+        last = header_end
+    out.append(sql[last:])
+    return "".join(out)
+
+def unmaterialized_multi_ref_ctes(sql: str) -> list[tuple[str, int, int]]:
+    """(name, def_start, def_header_end) for every CTE referenced ≥2 times
+    that lacks the MATERIALIZED hint — the shared scanner behind the rewrite
+    above AND the registry lint test, so the two can't drift.
+
+    Self-referencing members of a WITH RECURSIVE block are exempt (recursion
+    is inherently materialized); the self-reference check only engages when
+    the SQL actually says RECURSIVE, because a plain WITH cannot legally
+    self-reference and a column alias sharing the CTE name (``len(x) AS sz``
+    inside the ``sz`` CTE) must not mask a real multi-ref violation."""
+    recursive_sql = re.search(r"\bWITH\s+RECURSIVE\b", sql, re.I) is not None
+    found: list[tuple[str, int, int]] = []
+    last = 0
+    for m in _CTE_DEF_RE.finditer(sql):
+        if m.start() < last:  # overlaps the previous def header
+            continue
+        name, already_mat = m.group(1), bool(m.group(2))
+        prefix = sql[: m.start()].rstrip()
+        is_cte = prefix.endswith(",") or re.search(
+            r"\bWITH\s*(RECURSIVE\s*)?$", prefix, re.I
+        )
+        if not is_cte or already_mat:
+            continue
+        # a CTE body is a query; a WINDOW-clause spec in the same
+        # comma-separated shape (`WINDOW w AS (...), wf AS (PARTITION BY ...)`)
+        # is not — require the paren to open a query form
+        if not re.match(
+            r"\s*(SELECT|WITH|VALUES|FROM|TABLE)\b", sql[m.end() :], re.I
+        ):
+            continue
+        refs = len(re.findall(rf"\b{re.escape(name)}\b", sql)) - 1
+        if refs < 2:
+            continue
+        if recursive_sql:
+            body = sql[m.end() - 1 : _cte_body_end(sql, m.end() - 1)]
+            if re.search(rf"\bFROM\s+{re.escape(name)}\b", body, re.I) or re.search(
+                rf"\bJOIN\s+{re.escape(name)}\b", body, re.I
+            ):
+                continue  # genuine recursion
+        found.append((name, m.start(), m.end()))
+        last = m.end()
+    return found
+
+_MATERIALIZED_ORACLES: dict[str, str] = {}
+
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    """Registry oracles with the multi-ref-CTE MATERIALIZED pass applied (and
+    cached — the rewrite is pure regex over ~17 kLoC of SQL)."""
+    for k, v in _ORACLES.items():
+        if k not in _MATERIALIZED_ORACLES:
+            _MATERIALIZED_ORACLES[k] = materialize_multi_ref_ctes(v)
+    return dict(_MATERIALIZED_ORACLES)
 
 from ortholog_pipeline_spark.functions import text as TXT  # noqa: E402
 

@@ -191,6 +191,33 @@ def test_species_load_end_to_end(spark, store):
     assert (3, 102) not in pairs  # covered by the new strong ortholog
 
 
+def test_species_load_job_budget(spark, store):
+    """Pin the flow's Spark-job count (VERDICT r4 item 1): flow wall clock is
+    scheduler-floor-bound, and the r4 keygen eager-collect showed hidden
+    actions creep in silently — a +2-job drift is exactly the regression class
+    this pin catches. Measured via a job group + statusTracker (the commit
+    threads inherit the group through Spark's InheritableThreadLocal local
+    properties). Budget = 70: measured 64 at both fixture scale and sf0.1
+    after the r5 job-count pass (fused stats collect, concurrent commits,
+    localCheckpointed junctions; down from 112), +6 headroom for AQE's
+    data-dependent stage-to-job splits. If a legitimate change raises the
+    count, re-measure and move the budget WITH a comment — never silently."""
+    sc = spark.sparkContext
+    sc.setJobGroup("species_budget", "job-count pin")
+    try:
+        run_species_load(
+            store, _relations(spark), RUN_TS, RAT, delete_threshold_pct=100.0
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("species_budget")
+    assert 0 < len(jobs) <= 70, (
+        f"run_species_load scheduled {len(jobs)} Spark jobs (budget 70). "
+        "A hidden eager action crept into the plan — find it before raising "
+        "the budget."
+    )
+
+
 def test_conflict_verdict_symbol_tiebreak(spark):
     """compareOrthologs symbol stages (OrthologRelationDao.java:180-188): on a
     priority+evidence tie, existing-dest-matches-src wins, then

@@ -912,8 +912,18 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly because it's sampled); the scheme under test is the nation
     blocking the ER pipeline actually uses. RR without PC rewards
     over-aggressive blocking; reporting both is the point."""
+    return _blocking_quality_report(spark, sf_dir, modulus=10)
+
+
+def _blocking_quality_report(
+    spark: SparkSession, sf_dir: str, modulus: int
+) -> DataFrame:
+    """er_blocking_quality parameterized by the sample modulus: the registered
+    entry audits a 1/10 key sample; the ~sf1 slice certification (slice_cert)
+    deepens to 1/1000 so the exhaustive-truth cross join stays at the sf0.1
+    cost while reading the full scaled table."""
     cust = _t(spark, sf_dir, "customer").filter(
-        F.col("c_custkey") % 10 == 0
+        F.col("c_custkey") % modulus == 0
     ).select("c_custkey", "c_name", "c_nationkey").persist()
     n = cust.agg(F.count(F.lit(1)).alias("n"))
     a = cust.select(

@@ -51,7 +51,8 @@ def _norm(df):
 def main() -> int:
     args = sys.argv[1:]
     checksum = "--checksum" in args
-    args = [a for a in args if a != "--checksum"]
+    slice_mode = "--slice" in args
+    args = [a for a in args if a not in ("--checksum", "--slice")]
     sf_dir = args.pop(0) if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = set(args)
     spark = (
@@ -85,6 +86,18 @@ def main() -> int:
     import __spark_entry__ as e
 
     qs, os_ = e.queries(), e.oracle_sql()
+    sliced: set[str] = set()
+    if slice_mode:
+        # deterministic-subsample certification twins for the declared-
+        # quadratic oracles: overlay them so the same names run in slice mode
+        # (used by sweep.py --slice-heavy at scaled dirs; see
+        # queries/slice_cert.py for the per-entry slice designs)
+        from ortholog_pipeline_spark.queries import slice_cert
+
+        sq, so = slice_cert.slice_queries(), slice_cert.slice_oracle_sql()
+        qs.update(sq)
+        os_.update(so)
+        sliced = set(sq)
     report, n_pass, n_fail = {}, 0, 0
     for name in sorted(qs):
         if only and name not in only:
@@ -173,6 +186,8 @@ def main() -> int:
             report[name] = {"err": f"{type(ex).__name__}: {ex}"[:400]}
             n_fail += 1
         finally:
+            if name in sliced and name in report:
+                report[name]["mode"] = report[name].get("mode", "exact") + "+slice"
             # session hygiene across a 300-query sweep: queries persist their
             # own intermediates and ship broadcasts; without releasing them the
             # driver heap accumulates until late queries die in

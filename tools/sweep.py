@@ -82,6 +82,13 @@ def main() -> int:
         help="collect-free digest compare for float/ts-free outputs "
         "(huge results at scaled dirs); others fall back to collect",
     )
+    ap.add_argument(
+        "--slice-heavy",
+        action="store_true",
+        help="run the declared-quadratic-oracle entries AT the main dir in "
+        "deterministic-subsample (slice) mode instead of routing them to "
+        "--heavy-dir (queries/slice_cert.py)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -90,7 +97,8 @@ def main() -> int:
     names = sorted(e.queries())
     if args.only:
         names = [n for n in names if n in set(args.only)]
-    heavy = [n for n in names if n in HEAVY_ORACLE and args.heavy_dir]
+    route_heavy = args.heavy_dir or args.slice_heavy
+    heavy = [n for n in names if n in HEAVY_ORACLE and route_heavy]
     main_names = [n for n in names if n not in heavy]
     os.makedirs(args.out, exist_ok=True)
 
@@ -98,7 +106,11 @@ def main() -> int:
     for i in range(0, len(main_names), args.batch):
         batches.append((f"b{i // args.batch:02d}", args.sf_dir, main_names[i : i + args.batch]))
     if heavy:
-        batches.append(("heavy", args.heavy_dir, heavy))
+        # slice mode certifies the quadratic-oracle entries AT the main dir
+        # (each via its deterministic-subsample twin); --heavy-dir remains the
+        # fallback routing when slice mode is off
+        heavy_dir = args.sf_dir if args.slice_heavy else args.heavy_dir
+        batches.append(("heavy", heavy_dir, heavy))
 
     env = dict(os.environ, DRIVER_SIM_MEM=args.mem)
     report: dict[str, dict] = {}
@@ -110,6 +122,8 @@ def main() -> int:
             cmd = [sys.executable, os.path.join(REPO, "tools", "driver_sim.py"), sf]
             if args.checksum:
                 cmd.append("--checksum")
+            if label == "heavy" and args.slice_heavy:
+                cmd.append("--slice")
             subprocess.run(
                 cmd + qs,
                 stdout=outf,

@@ -373,6 +373,30 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer reads
     registry["a4_pricing_summary"](spark, sf_dir).count()
 
+    # history loaded UP FRONT for the self-stabilizing pass (VERDICT r4 item
+    # 4): an entry whose best-of-2 still sits >1.3x above its last recorded
+    # time at this sf gets ONE extra measurement before the number is
+    # recorded — that third sample almost always lands back on the envelope
+    # when the deviation was a GC/JIT artifact, and changes nothing when the
+    # regression is structural (min of N can only go down).
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    try:
+        with open(HISTORY_PATH) as fh:
+            _hist0 = json.load(fh)
+        _same_sf0 = [h for h in _hist0 if str(h.get("sf")) == str(sf_val)]
+        hist_prev = _same_sf0[-1]["queries"] if _same_sf0 else {}
+    except (OSError, json.JSONDecodeError, KeyError, IndexError):
+        hist_prev = {}
+    retimed: list[str] = []
+
+    def _needs_retime(name: str, sec: float) -> bool:
+        prev = hist_prev.get(name)
+        if not prev or sec <= 1.3 * prev:
+            return False
+        # same noise floor as the regression rule: sub-3 s entries that moved
+        # under 1 s absolute are jitter, not worth a third run
+        return prev > 3.0 or sec - prev > 1.0
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # best-of-2: a single local-JVM measurement carries 2-4x run-to-run
@@ -382,7 +406,9 @@ def main() -> None:
         # the PLAN cost rather than the JVM's mood; both runs execute the
         # full plan (count() materializes everything).
         best = float("inf")
-        for _ in range(2):
+        runs = 2
+        done = 0
+        while done < runs:
             t0 = time.perf_counter()
             registry[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
@@ -391,19 +417,31 @@ def main() -> None:
             # helped by) another's cached blocks — and the long tail doesn't
             # accumulate executor-memory pressure that skews the late probes
             spark.catalog.clearCache()
+            done += 1
+            if done == runs and runs == 2 and _needs_retime(name, best):
+                runs = 3  # one stabilizing sample, then stop either way
+                retimed.append(name)
         timings[name] = round(best, 3)
         # collect the previous query's garbage OUTSIDE the next measurement
         spark.sparkContext._jvm.System.gc()
 
-    def _best2(fn) -> float:
+    def _best2(fn, name: str | None = None) -> float:
         """min of two full executions (same steady-state estimator as the
-        headline loop), cache-cleared between runs."""
+        headline loop), cache-cleared between runs; with ``name``, one extra
+        stabilizing sample when the result deviates >1.3x from history (the
+        probes are the slowest entries, where a stray GC pause costs the
+        artifact the most signal)."""
         best = float("inf")
-        for _ in range(2):
+        runs, done = 2, 0
+        while done < runs:
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
+            done += 1
+            if done == runs and runs == 2 and name and _needs_retime(name, best):
+                runs = 3
+                retimed.append(name)
         spark.sparkContext._jvm.System.gc()
         return round(best, 3)
 
@@ -415,7 +453,8 @@ def main() -> None:
     timings["dedup_minhash_lsh_10x"] = _best2(
         lambda: DD.minhash_lsh_dedup(
             docs10, k=3, num_hashes=16, bands=4, threshold=0.5
-        ).count()
+        ).count(),
+        "dedup_minhash_lsh_10x",
     )
 
     # ANN scaling probe: 10x the embeddings (component-rotated replicas keep
@@ -443,7 +482,9 @@ def main() -> None:
     for p in parts[1:]:
         emb10 = emb10.unionByName(p)
     q20 = emb.filter(F.col("vec_id") < 20)
-    timings["ann_lsh_topk_10x"] = _best2(lambda: SIM.lsh_topk(emb10, q20, k=10).count())
+    timings["ann_lsh_topk_10x"] = _best2(
+        lambda: SIM.lsh_topk(emb10, q20, k=10).count(), "ann_lsh_topk_10x"
+    )
 
     # stored-index probe: build the dedup band index once (untimed), then time
     # ONLY the batch probe — the number that substantiates "per-ingest cost is
@@ -459,7 +500,8 @@ def main() -> None:
         DI.build_dedup_index(store, docs.filter(F.col("doc_id") % 10 != 7))
         batch = docs.filter(F.col("doc_id") % 10 == 7)
         timings["dedup_index_probe"] = _best2(
-            lambda: DI.probe_dedup_index(store, batch, threshold=0.5).count()
+            lambda: DI.probe_dedup_index(store, batch, threshold=0.5).count(),
+            "dedup_index_probe",
         )
 
     # 10x scaling probes for the three heaviest REAL entries (VERDICT r2 item
@@ -473,7 +515,8 @@ def main() -> None:
             docs10,
             DD.minhash_lsh_dedup(docs10, k=3, num_hashes=16, bands=4, threshold=0.5)
             .select("id_1", "id_2"),
-        ).count()
+        ).count(),
+        "dedup_cluster_assign_10x",
     )
 
     # (b) entity resolution: 10 replicas with 2-char name tags (tags differ in
@@ -519,7 +562,7 @@ def main() -> None:
         )
         CCop.connected_components(edges).groupBy("component").count().count()
 
-    timings["er_entity_clusters_10x"] = _best2(_er_10x)
+    timings["er_entity_clusters_10x"] = _best2(_er_10x, "er_entity_clusters_10x")
 
     # (c) k-core peel: 10 vertex-disjoint copies of the hashed graph (node
     # space offset per replica -> same per-component density, 10x volume).
@@ -581,8 +624,8 @@ def main() -> None:
         # the 1x-stored twin exists so the 10x ratio compares peel-vs-peel:
         # the g_kcore_peel headline entry spends most of its time deriving
         # the edge set from lineitem, which the stored probes exclude
-        timings["g_kcore_peel_1x_stored"] = _best2(_kcore_stored(epath1))
-        timings["g_kcore_peel_10x"] = _best2(_kcore_stored(epath10))
+        timings["g_kcore_peel_1x_stored"] = _best2(_kcore_stored(epath1), "g_kcore_peel_1x_stored")
+        timings["g_kcore_peel_10x"] = _best2(_kcore_stored(epath10), "g_kcore_peel_10x")
 
     # flagship-flow scaling probe: run_species_load on 1x and 10x the relation
     # stream (evidence-variant replicas, so the A2 dedup-merge does real
@@ -613,16 +656,26 @@ def main() -> None:
     for rp in rparts[1:]:
         rel10 = rel10.unionByName(rp)
 
-    def _flow_probe(rel):
-        stores = [_seed_store(spark, world, "bench_flow_") for _ in range(2)]
+    # stores are hardlink-cloned from a prototype seeded ONCE here (outside
+    # all timings): per-run store setup is then file-metadata-only ms, so a
+    # variable run count (the stabilizing third sample) just clones again
+    _seed_store(spark, world, "bench_flow_", cache_key=f"bench_species:{sf_dir}")
 
+    def _flow_probe(rel):
         def run():
-            run_species_load(stores.pop(), rel, RUN_TS, 3, delete_threshold_pct=95.0)
+            store = _seed_store(
+                spark, world, "bench_flow_", cache_key=f"bench_species:{sf_dir}"
+            )
+            run_species_load(store, rel, RUN_TS, 3, delete_threshold_pct=95.0)
 
         return run
 
-    timings["flow_species_load_1x_plan"] = _best2(_flow_probe(rel1))
-    timings["flow_species_load_10x_plan"] = _best2(_flow_probe(rel10))
+    timings["flow_species_load_1x_plan"] = _best2(
+        _flow_probe(rel1), "flow_species_load_1x_plan"
+    )
+    timings["flow_species_load_10x_plan"] = _best2(
+        _flow_probe(rel10), "flow_species_load_10x_plan"
+    )
 
     # AGR-flow scaling probe: run_agr_load on 1x and 10x the TSV line stream.
     # Replicas get a distinct algorithms tag, so methods_matched — part of the
@@ -648,16 +701,21 @@ def main() -> None:
     for ap in aparts[1:]:
         al10 = al10.unionByName(ap)
 
-    def _agr_probe(lines):
-        stores = [_seed_store(spark, aworld, "bench_agrflow_") for _ in range(2)]
+    _seed_store(spark, aworld, "bench_agrflow_", cache_key=f"bench_agr:{sf_dir}")
 
+    def _agr_probe(lines):
         def run():
-            run_agr_load(stores.pop(), lines, RUN_TS, delete_threshold_pct=100.0)
+            store = _seed_store(
+                spark, aworld, "bench_agrflow_", cache_key=f"bench_agr:{sf_dir}"
+            )
+            run_agr_load(store, lines, RUN_TS, delete_threshold_pct=100.0)
 
         return run
 
-    timings["flow_agr_load_1x_plan"] = _best2(_agr_probe(al1))
-    timings["flow_agr_load_10x_plan"] = _best2(_agr_probe(al10))
+    timings["flow_agr_load_1x_plan"] = _best2(_agr_probe(al1), "flow_agr_load_1x_plan")
+    timings["flow_agr_load_10x_plan"] = _best2(
+        _agr_probe(al10), "flow_agr_load_10x_plan"
+    )
 
     # TRUE streaming-execution probe: the events table landed as 16 parquet
     # files, consumed by a real StreamingQuery (file source,
@@ -693,11 +751,88 @@ def main() -> None:
         )
         q.awaitTermination(300)
 
-    timings["stream_microbatch_availablenow"] = _best2(_stream_run)
+    timings["stream_microbatch_availablenow"] = _best2(_stream_run, "stream_microbatch_availablenow")
+
+    # Skewed-world probe (VERDICT r4 item 5): every 10x probe replicates
+    # UNIFORMLY, but real 100 TB keys are Zipfian. This pair routes ~10% of
+    # all rows onto ONE hot key through the three shuffle shapes that carry
+    # the engine's heaviest keys — the conflict-style key join, connected
+    # components, and the MinHash band shuffle — with AQE skew handling left
+    # at its session defaults, and records hot/uniform on identical volumes.
+    # Construction notes per path:
+    #  * join: 10% of lineitem rows remapped to orderkey 1 — the probe join
+    #    keys on (orderkey), so one reducer key carries 60k rows at sf0.1;
+    #  * CC: 10% of edges re-pointed at node 0 (a star) — exactly the shape
+    #    large-star/small-star is there to cut;
+    #  * MinHash: 10% of docs get IDENTICAL text, putting one band bucket at
+    #    10% occupancy — candidate pairs inside the hot bucket are real work
+    #    (a duplicate-heavy corpus costs more than a clean one), so this leg
+    #    measures hot-bucket handling, not pure shuffle skew.
+    def _skew_inputs(hot: bool):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_extendedprice"
+        )
+        if hot:
+            li = li.withColumn(
+                "l_orderkey",
+                F.when(F.col("l_partkey") % 10 == 0, F.lit(1)).otherwise(
+                    F.col("l_orderkey")
+                ),
+            )
+        edges = li.select(
+            (F.col("l_orderkey") % 50021).alias("u"),
+            (F.col("l_partkey") % 50021 + 50021).alias("v"),
+        )
+        if hot:
+            edges = edges.withColumn(
+                "u", F.when(F.col("v") % 10 == 0, F.lit(0)).otherwise(F.col("u"))
+            )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        if hot:
+            hot_text = " ".join(f"hotword{i % 17} filler{i % 5}" for i in range(40))
+            docs = docs.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 10 == 3, F.lit(hot_text)).otherwise(
+                    F.col("text")
+                ),
+            )
+        return li, edges, docs
+
+    def _skew_run(hot: bool):
+        def run():
+            li, edges, docs = _skew_inputs(hot)
+            ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+                "o_orderkey", "o_custkey"
+            )
+            # conflict-shaped key join: full shuffle join on the (hot) key,
+            # then a per-key aggregate — broadcast is disabled for the probe
+            # so the shuffle path (the one AQE skew-split serves) is what runs
+            li.hint("SHUFFLE_MERGE").join(
+                ords, li.l_orderkey == ords.o_orderkey
+            ).groupBy("o_custkey").agg(F.sum("l_extendedprice")).count()
+            CCop.connected_components(
+                edges.filter(F.col("u") != F.col("v"))
+                .distinct()
+                .withColumnsRenamed({"u": "id_1", "v": "id_2"})
+            ).count()
+            DD.minhash_lsh_dedup(
+                docs, k=3, num_hashes=16, bands=4, threshold=0.5
+            ).count()
+
+        return run
+
+    timings["skew_uniform_probe"] = _best2(_skew_run(False), "skew_uniform_probe")
+    timings["skew_hotkey_probe"] = _best2(_skew_run(True), "skew_hotkey_probe")
+    skew_ratio = (
+        round(timings["skew_hotkey_probe"] / timings["skew_uniform_probe"], 2)
+        if timings["skew_uniform_probe"] > 0
+        else None
+    )
 
     # per-query regression tracking vs the previous recorded run (VERDICT r2
     # item 7): ratio > 1.5 is a fail-soft warning surfaced in the artifact
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     prev_ratio: dict[str, float] = {}
     regressions: list[str] = []
     try:
@@ -721,12 +856,54 @@ def main() -> None:
                 regressions.append(name)
 
     total = round(sum(timings.values()), 3)
-    hist.append({"sf": sf_val, "queries": timings})
+    # variance note (VERDICT r4 item 4): which entries needed the stabilizing
+    # third sample, so the artifact itself says how noisy the box was
+    variance_note = (
+        f"{len(retimed)} entries deviated >1.3x from history and got a third "
+        f"sample: {sorted(retimed)[:8]}"
+        if retimed
+        else "all entries within 1.3x of history on best-of-2"
+    )
+    hist.append(
+        {"sf": sf_val, "queries": timings, "skew_ratio": skew_ratio,
+         "retimed": sorted(retimed)}
+    )
     try:
         with open(HISTORY_PATH, "w") as fh:
             json.dump(hist[-5:], fh, indent=1)
     except OSError:
         pass
+    # keep BASELINE.md's generated family table in lockstep with the history
+    # it claims to summarize — ONLY for the canonical envelope sf (0.1): a
+    # validation run at another sf must not overwrite the envelope table.
+    # Best-effort: a read-only checkout must not fail the bench.
+    try:
+        if str(sf_val) != "0.1":
+            raise RuntimeError(f"non-canonical sf {sf_val}; table stays at sf0.1")
+        import importlib.util as _ilu
+
+        _spec = _ilu.spec_from_file_location(
+            "refresh_baseline",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "refresh_baseline.py"),
+        )
+        _rb = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_rb)
+        with open(_rb.BASELINE) as _fh:
+            _doc = _fh.read()
+        import re as _re
+
+        _new = _re.sub(
+            _re.escape(_rb.START) + r".*?" + _re.escape(_rb.END),
+            _rb.build_table(str(sf_val)),
+            _doc,
+            count=1,
+            flags=_re.S,
+        )
+        if _new != _doc:
+            with open(_rb.BASELINE, "w") as _fh:
+                _fh.write(_new)
+    except Exception as _ex:  # noqa: BLE001 — telemetry refresh is best-effort
+        print(f"[bench] BASELINE refresh skipped: {_ex}", file=sys.stderr)
     # full per-query dump first (humans, greppable)...
     print(
         json.dumps(
@@ -737,6 +914,8 @@ def main() -> None:
                 "queries": timings,
                 "prev_ratio": prev_ratio,
                 "regressions": regressions,
+                "skew_ratio": skew_ratio,
+                "variance_note": variance_note,
                 "sf": sf_val,
             }
         )
@@ -760,6 +939,8 @@ def main() -> None:
                 "queries": top10,
                 "queries_note": "top-10 by time; full map in bench_history.json",
                 "regressions": regressions,
+                "skew_ratio": skew_ratio,
+                "variance_note": variance_note,
                 "history_file": "bench_history.json",
             },
             separators=(",", ":"),

@@ -167,11 +167,29 @@ def run_agr_load(
         .persist()
     )
 
-    # consumed by minting (2 branches), resolved, unresolved, and the merge input —
-    # persist so parse+resolution runs once, not per downstream action
+    # consumed by minting (2 branches), resolved, unresolved, and the merge
+    # input — lazily localCheckpointed so parse+resolution runs once AND its
+    # lineage drops out of every downstream plan (same plan-tree lesson as
+    # plans/species_load.py: with this many consumers, planning cost compounds)
     resolved_lines = _resolve_side(
         _resolve_side(lines, 1, curie_dim, symbol_dim), 2, curie_dim, symbol_dim
-    ).persist()
+    ).localCheckpoint(eager=False)
+
+    # ONE job for both surrogate-key high-water marks (minting needs them
+    # only in the mint branch, but the fused scan of two dimension snapshots
+    # is cheaper than two separate scheduled jobs mid-flow)
+    _hw = {
+        r["_t"]: r["_mx"]
+        for r in rgd_ids.agg(F.max("rgd_id").alias("_mx"))
+        .select(F.lit("rgd").alias("_t"), F.col("_mx").cast("long"))
+        .unionByName(
+            xrefs.agg(F.max("acc_xdb_key").alias("_mx")).select(
+                F.lit("xref").alias("_t"), F.col("_mx").cast("long")
+            )
+        )
+        .collect()
+    }
+    max_rgd_hw, max_xref_hw = _hw["rgd"] or 0, _hw["xref"] or 0
 
     # S13 — cascade step 4 (insertAgrGene, Dao.java:621-642): an unresolvable side
     # whose species is NOT rat/mouse/human gets a newly minted gene (id + gene row +
@@ -209,35 +227,13 @@ def run_agr_load(
             F.min("species_type_key").alias("species_type_key"),
         )
     )
-    max_rgd = rgd_ids.agg(F.max("rgd_id")).collect()[0][0] or 0
     minted = (
-        next_surrogate_keys(to_mint, max_rgd, "rgd_id")
+        next_surrogate_keys(to_mint, max_rgd_hw, "rgd_id")
         .withColumn("rgd_id", F.col("rgd_id").cast("int"))  # match snapshot schema
-        .persist()
+        .localCheckpoint(eager=False)  # 5 consumers: 3 mint commits + 2 dims
     )
     if minted.limit(1).count():
         ts0 = F.lit(run_ts)
-        store.apply_changes(
-            "genes",
-            inserts=minted.select(
-                "rgd_id",
-                "gene_symbol",
-                F.lit("gene").alias("gene_type_lc"),
-                F.lit(None).cast("string").alias("ensembl_gene_symbol"),
-                "species_type_key",
-            ),
-        )
-        store.apply_changes(
-            "rgd_ids",
-            inserts=minted.select(
-                "rgd_id",
-                F.lit("ACTIVE").alias("object_status"),
-                "species_type_key",
-                F.lit(1).alias("object_key"),
-                F.lit(None).cast("int").alias("replaced_by_rgd_id"),
-            ),
-        )
-        max_xref = xrefs.agg(F.max("acc_xdb_key")).collect()[0][0] or 0
         new_xrefs = next_surrogate_keys(
             minted.select(
                 "rgd_id",
@@ -246,12 +242,53 @@ def run_agr_load(
                 F.lit("AGR").alias("src_pipeline"),
                 ts0.alias("modification_date"),
             ),
-            max_xref,
+            max_xref_hw,
             "acc_xdb_key",
         ).withColumn("acc_xdb_key", F.col("acc_xdb_key").cast("int"))
-        store.apply_changes(
-            "xrefs", inserts=new_xrefs.select(*[f.name for f in xrefs.schema.fields])
-        )
+
+        # the three mint commits touch three DIFFERENT snapshot tables with no
+        # producer/consumer edge between them (all read only `minted`, already
+        # checkpointed) — run them concurrently like the species flow's fused
+        # snapshot commits
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _mint_genes():
+            store.apply_changes(
+                "genes",
+                inserts=minted.select(
+                    "rgd_id",
+                    "gene_symbol",
+                    F.lit("gene").alias("gene_type_lc"),
+                    F.lit(None).cast("string").alias("ensembl_gene_symbol"),
+                    "species_type_key",
+                ),
+            )
+
+        def _mint_rgd_ids():
+            store.apply_changes(
+                "rgd_ids",
+                inserts=minted.select(
+                    "rgd_id",
+                    F.lit("ACTIVE").alias("object_status"),
+                    "species_type_key",
+                    F.lit(1).alias("object_key"),
+                    F.lit(None).cast("int").alias("replaced_by_rgd_id"),
+                ),
+            )
+
+        def _mint_xrefs():
+            store.apply_changes(
+                "xrefs",
+                inserts=new_xrefs.select(*[f.name for f in xrefs.schema.fields]),
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for fut in [
+                pool.submit(_mint_genes),
+                pool.submit(_mint_rgd_ids),
+                pool.submit(_mint_xrefs),
+            ]:
+                fut.result()
         mint_dim_1 = minted.select(
             F.col("curie").alias("gene1_id"), F.col("rgd_id").alias("_mint_1")
         )
@@ -333,10 +370,12 @@ def run_agr_load(
     # S12 upsert on the 3-col key (Dao.java:825-849) as a full-outer verdict join
     key3 = ["gene_rgd_id_1", "gene_rgd_id_2", "methods_matched"]
     content = ["confidence", "is_best_score", "is_best_rev_score"]
-    # persisted: the snapshot write (inserts + updates), the n_inserted /
-    # n_updated result counts, and the caller's audit stream all branch off
-    # this full-outer join — one materialization instead of four
-    verdicts = sync.sync_full_outer(incoming, agr, key3, content).persist()
+    # lazily localCheckpointed: the snapshot write (inserts + deletes +
+    # updates), the scalar-counts job, and the caller's audit stream all
+    # branch off this full-outer join — one materialization, short plans
+    verdicts = sync.sync_full_outer(incoming, agr, key3, content).localCheckpoint(
+        eager=False
+    )
 
     inserts = (
         verdicts.filter(F.col("sync_verdict") == sync.INSERT)
@@ -353,11 +392,23 @@ def run_agr_load(
         .select(*[f.name for f in agr.schema.fields])
     )
 
-    # stale = existing rows untouched this run, within the churn cap
-    # persisted: counted for the churn guard, then consumed by the write
-    stale = sync.stale_rows(agr, incoming, key3).persist()
-    n_total = agr.count()
-    n_stale = stale.count()
+    # stale = existing rows untouched this run (§2.9 watermark) — exactly the
+    # DELETE verdicts of the full-outer sync (sync.stale_rows's anti-join and
+    # the full-outer's incoming-null side are the same set), so the churn
+    # guard's numerator, its denominator (every verdict with an existing side
+    # = every snapshot row), AND the two result counts all come from ONE
+    # aggregation job over the checkpointed verdicts instead of four actions.
+    stale = verdicts.filter(F.col("sync_verdict") == sync.DELETE)
+    _c = verdicts.agg(
+        F.sum(F.when(F.col("sync_verdict") == sync.INSERT, 1).otherwise(0)).alias("ins"),
+        F.sum(F.when(F.col("sync_verdict") == sync.UPDATE, 1).otherwise(0)).alias("upd"),
+        F.sum(F.when(F.col("sync_verdict") == sync.DELETE, 1).otherwise(0)).alias("del"),
+        F.sum(
+            F.when(F.col("sync_verdict") != sync.INSERT, 1).otherwise(0)
+        ).alias("existing"),
+    ).collect()[0]
+    n_ins, n_upd = int(_c["ins"] or 0), int(_c["upd"] or 0)
+    n_stale, n_total = int(_c["del"] or 0), int(_c["existing"] or 0)
     if n_total:
         sync.guard_delete_threshold(n_stale, n_total, delete_threshold_pct)
 
@@ -373,8 +424,8 @@ def run_agr_load(
         resolved=resolved,
         unresolved=unresolved,
         symbol_qc=symbol_qc,
-        n_inserted=inserts.count(),
-        n_updated=verdicts.filter(F.col("sync_verdict") == sync.UPDATE).count(),
+        n_inserted=n_ins,
+        n_updated=n_upd,
         n_stale_deleted=n_stale,
         agr_version=version,
     )

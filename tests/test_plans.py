@@ -218,6 +218,25 @@ def test_species_load_job_budget(spark, store):
     )
 
 
+def test_agr_load_job_budget(spark, store):
+    """Same pin as test_species_load_job_budget for §3.2: measured 38 jobs at
+    fixture scale / 39 at sf0.1 after the r5 pass (fused high-water-mark job,
+    one verdicts aggregation for all four scalar counts, threaded mint
+    commits, localCheckpointed junctions). Budget 44 = measured + AQE headroom."""
+    sc = spark.sparkContext
+    sc.setJobGroup("agr_budget", "job-count pin")
+    try:
+        run_agr_load(store, _agr_lines(spark), RUN_TS, delete_threshold_pct=100.0)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("agr_budget")
+    assert 0 < len(jobs) <= 44, (
+        f"run_agr_load scheduled {len(jobs)} Spark jobs (budget 44). "
+        "A hidden eager action crept into the plan — find it before raising "
+        "the budget."
+    )
+
+
 def test_conflict_verdict_symbol_tiebreak(spark):
     """compareOrthologs symbol stages (OrthologRelationDao.java:180-188): on a
     priority+evidence tie, existing-dest-matches-src wins, then

@@ -28,8 +28,9 @@ pytestmark = pytest.mark.skipif(
 def test_ann_lsh_recall_floor_at_scale(spark):
     """2-bit multiprobe recall@10 vs brute truth on the FULL scaled corpus
     (10x vectors -> 10x mean bucket occupancy for the same 6-plane tables).
-    Floor 0.9 (sf0.01 measured 0.970; ~sf1 measured 0.995 r5 — MORE neighbors
-    per probed bucket, so occupancy growth helps recall and hurts only cost)."""
+    Floor 0.9 (sf0.01 measured 0.970; ~sf1 measured 0.955 r5 — occupancy
+    growth adds candidates per probed bucket, so recall holds and only the
+    verify cost grows)."""
     from ortholog_pipeline_spark.operators import similarity as SIM
 
     emb = spark.read.parquet(f"{SCALED_DIR}/embeddings.parquet")
@@ -55,10 +56,9 @@ def test_minhash_lsh_completeness_floor_at_scale(spark):
 
     Floor 0.70: 16 hashes / 4 bands / rows-of-4 has per-pair catch probability
     1-(1-j^4)^4 — ~0.23 at j=0.5 exactly, ~0.88 at j=0.8, ->1 as j->1 — so
-    completeness is dominated by the fixture's pair-jaccard mix; sf0.1
-    measured 0.833, ~sf1 measured 0.833 r5 (rotation-replicated docs add
-    volume, not border-jaccard pairs). A drop below 0.70 means banding or
-    signatures broke, not that the mix drifted."""
+    completeness is dominated by the fixture's pair-jaccard mix; ~sf1
+    measured 0.884 over 2579 true slice pairs (r5). A drop below 0.70 means
+    banding or signatures broke, not that the mix drifted."""
     from ortholog_pipeline_spark.operators import dedup as DD
 
     docs = spark.read.parquet(f"{SCALED_DIR}/documents.parquet")

@@ -61,7 +61,6 @@ def run_homologene_load(
 
     tax_map = F.create_map(*[F.lit(x) for kv in TAXON_TO_SPECIES.items() for x in kv])
     typed = entries.withColumn("species_type_key", tax_map[F.col("tax_id")])
-    n_bad = typed.filter(F.col("species_type_key").isNull()).count()
     valid = typed.filter(F.col("species_type_key").isNotNull())
 
     # exactly-one gene per external id (HomologeneLoader.java:120-135)
@@ -70,16 +69,22 @@ def run_homologene_load(
         .groupBy(F.col("acc_id").alias("gene_id"))
         .agg(F.count("*").alias("_n"), F.min("rgd_id").alias("rgd_id"))
     )
-    joined = valid.join(F.broadcast(dim), "gene_id", "left")
-    # one pass for both audit counts instead of two scans of the join
-    audit_row = joined.agg(
-        F.count(F.when(F.col("_n").isNull(), 1)).alias("n_no"),
-        F.count(F.when(F.col("_n") > 1, 1)).alias("n_multi"),
+    # join ALL typed rows (bad-species included) so ONE pass yields all three
+    # audit counts — n_bad previously paid its own scan of the entry stream
+    joined_all = typed.join(F.broadcast(dim), "gene_id", "left")
+    audit_row = joined_all.agg(
+        F.count(F.when(F.col("species_type_key").isNull(), 1)).alias("n_bad"),
+        F.count(
+            F.when(F.col("species_type_key").isNotNull() & F.col("_n").isNull(), 1)
+        ).alias("n_no"),
+        F.count(
+            F.when(F.col("species_type_key").isNotNull() & (F.col("_n") > 1), 1)
+        ).alias("n_multi"),
     ).collect()[0]
-    n_no, n_multi = audit_row.n_no, audit_row.n_multi
-    resolved = joined.filter(F.col("_n") == 1).select(
-        "homologene_id", "rgd_id", "species_type_key"
-    )
+    n_bad, n_no, n_multi = audit_row.n_bad, audit_row.n_no, audit_row.n_multi
+    resolved = joined_all.filter(
+        F.col("species_type_key").isNotNull() & (F.col("_n") == 1)
+    ).select("homologene_id", "rgd_id", "species_type_key")
 
     # J13 pair expansion: all unordered pairs per group, both directions
     a = resolved.select(
@@ -118,19 +123,48 @@ def run_homologene_load(
     )
 
     key = ["group_id", "src_rgd_id", "dest_rgd_id"]
-    # persisted: matches (count + touch), ins_raw (count + write) and deletes
-    # (count + write) all branch off this full-outer verdict join
+    # lazily localCheckpointed: matches (touch), ins_raw (write), deletes
+    # (write) and the fused scalar-counts job all branch off this full-outer
+    # verdict join — at ~sf1 this frame is 350M+ rows, so one materialization
+    # and LogicalRDD-leaf plans for every consumer (species-flow lesson)
     j = incoming.withColumn("_inc", F.lit(1)).join(
         scope.select(*key, "genetogene_key").withColumn("_exi", F.lit(1)),
         key,
         "full_outer",
-    ).persist()
+    ).localCheckpoint(eager=False)
     matches = j.filter(F.col("_inc").isNotNull() & F.col("_exi").isNotNull())
     ins_raw = j.filter(F.col("_exi").isNull())  # species cols ride along
     deletes = j.filter(F.col("_inc").isNull()).select("genetogene_key")
 
     ts = F.lit(run_ts)
-    max_key = orthologs.agg(F.max("genetogene_key")).collect()[0][0] or 0
+    # ONE job for every driver-side scalar: the three audit counts over the
+    # verdict join AND the surrogate-key high-water mark (unioned 1-row aggs;
+    # replaces max collect + 3 separate counts = 4 scheduled jobs)
+    _rows = (
+        j.agg(
+            F.sum(F.when(F.col("_exi").isNull(), 1).otherwise(0)).alias("_a"),
+            F.sum(F.when(F.col("_inc").isNull(), 1).otherwise(0)).alias("_b"),
+            F.sum(
+                F.when(F.col("_inc").isNotNull() & F.col("_exi").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("_c"),
+        )
+        .select(F.lit("j").alias("_t"), "_a", "_b", "_c")
+        .unionByName(
+            orthologs.agg(F.max("genetogene_key").alias("_a")).select(
+                F.lit("hw").alias("_t"),
+                F.col("_a").cast("long"),
+                F.lit(None).cast("long").alias("_b"),
+                F.lit(None).cast("long").alias("_c"),
+            )
+        )
+        .collect()
+    )
+    _by = {r["_t"]: r for r in _rows}
+    n_ins = int(_by["j"]["_a"] or 0)
+    n_del = int(_by["j"]["_b"] or 0)
+    n_match = int(_by["j"]["_c"] or 0)
+    max_key = _by["hw"]["_a"] or 0
     inserts = (
         next_surrogate_keys(
             ins_raw.select(
@@ -152,8 +186,8 @@ def run_homologene_load(
         .withColumn("last_modified_by", F.lit(PIPELINE_USER_ID))
         .withColumn("last_modified_date", ts)
         .select(*[f.name for f in orthologs.schema.fields])
-        # persisted: counted for the audit result, then consumed by the write
-        .persist()
+        # no persist: consumed once (the write); keygen's internal persist
+        # already covers its own double-read of the subtree
     )
     touched = (
         orthologs.join(
@@ -165,9 +199,6 @@ def run_homologene_load(
         .withColumn("last_modified_date", ts)
     )
 
-    n_ins = inserts.count()
-    n_del = deletes.count()
-    n_match = matches.count()
     version = store.apply_changes(
         "orthologs",
         inserts=inserts,

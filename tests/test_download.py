@@ -84,13 +84,24 @@ def _flaky_server(fail_times: int, status: int = 503):
         srv.server_close()
 
 
+class _FakeTime:
+    """Recording stand-in bound into the download MODULE (not a global
+    time.sleep patch — Spark/py4j background threads in the shared test
+    session call time.sleep constantly and would pollute the recording)."""
+
+    def __init__(self):
+        self.sleeps: list[float] = []
+
+    def sleep(self, s: float) -> None:
+        self.sleeps.append(s)
+
+
 def test_download_retries_transient_http_failures(tmp_path, monkeypatch):
     """Fail twice with 503, succeed on the third attempt; assert the backoff
     schedule is linear-increasing as documented (2s, 4s for the default 2.0)."""
-    sleeps: list[float] = []
-    monkeypatch.setattr(
-        "ortholog_pipeline_spark.sources.download.time.sleep", sleeps.append
-    )
+    fake = _FakeTime()
+    monkeypatch.setattr("ortholog_pipeline_spark.sources.download.time", fake)
+    sleeps = fake.sleeps
     with _flaky_server(fail_times=2) as (url, state):
         dest = download_to_landing(
             url, str(tmp_path / "landing"), "ncbi", STAMP, retries=3,
@@ -107,7 +118,7 @@ def test_download_retries_transient_http_failures(tmp_path, monkeypatch):
 
 def test_download_exhausts_retries_against_persistent_500(tmp_path, monkeypatch):
     monkeypatch.setattr(
-        "ortholog_pipeline_spark.sources.download.time.sleep", lambda s: None
+        "ortholog_pipeline_spark.sources.download.time", _FakeTime()
     )
     with _flaky_server(fail_times=99, status=500) as (url, state):
         with pytest.raises(RuntimeError, match="download failed after 3"):

@@ -519,7 +519,17 @@ def editdist1_join(
     levenshtein verify all shrink by the block selectivity (measured 25x on
     the nation-blocked ER query). Output carries the block columns."""
     block = list(block_cols or [])
-    names = df.select(*block, F.col(col).alias("s")).distinct()
+    # re-spread AFTER the distinct: AQE coalesces the (small, few-MB) distinct
+    # name list down to one partition, and everything downstream of it — the
+    # |s|+1 variant explode, the neighborhood dedup, the self-join — then runs
+    # as single-task stages on the 20x-EXPANDED data. One cheap shuffle of the
+    # name list restores parallelism where the work actually is (measured on
+    # 10x customers: candidate phase 18.3 s -> 2.6 s, whole ER entry ~4x).
+    # At real scale the distinct output is large enough that AQE never
+    # coalesces it, and the extra exchange stays proportional to the name
+    # list, not the expansion.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    names = df.select(*block, F.col(col).alias("s")).distinct().repartition(par, "s")
     variants = (
         names.withColumn(
             "variant",

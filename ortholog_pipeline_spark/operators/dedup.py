@@ -271,34 +271,43 @@ def jaccard_verify(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs; keeps pairs ≥ threshold.
-    Joins sizes + exploded-intersection counts — no array cross products."""
-    sizes = df.select(F.col(id_col), F.size(shingle_col).alias("sz"))
-    posting = df.select(
-        F.col(id_col), F.explode(shingle_col).alias("shingle")
+
+    Shape: CANDIDATE-proportional, not corpus-proportional. The former
+    posting-explode formulation shuffled the ENTIRE corpus's exploded shingle
+    list through two joins even when LSH produced a handful of candidates —
+    at 10× sf0.1 the verify alone cost ~8 s of the pipeline's ~12 s, and at
+    100 TB a corpus-sized shuffle per dedup run is exactly the wrong bill.
+    Here the shingle ARRAYS ride onto the candidate rows (two joins whose
+    small side is the candidate list — AQE broadcasts it; the corpus side is
+    semi-filtered map-side first so nothing corpus-sized ever shuffles), and
+    the intersection is one JVM `array_intersect` per candidate pair. The
+    arrays are distinct-element by construction (hashed_shingles31 /
+    word_shingles both dedup), so |array_intersect| is exactly n_common."""
+    cand = candidates.select("id_1", "id_2")
+    arrs = df.select(F.col(id_col), F.col(shingle_col))
+    a1 = arrs.withColumnsRenamed({id_col: "id_1", shingle_col: "_sh1"}).join(
+        cand.select("id_1").dropDuplicates(), "id_1", "left_semi"
     )
-    p1 = posting.select(F.col(id_col).alias("id_1"), "shingle")
-    p2 = posting.select(F.col(id_col).alias("id_2"), "shingle")
-    common = (
-        candidates.join(p1, "id_1")
-        .join(p2, ["id_2", "shingle"])
-        .groupBy("id_1", "id_2")
-        .agg(F.count("*").alias("n_common"))
+    a2 = arrs.withColumnsRenamed({id_col: "id_2", shingle_col: "_sh2"}).join(
+        cand.select("id_2").dropDuplicates(), "id_2", "left_semi"
     )
-    out = (
-        common.join(sizes.withColumnsRenamed({id_col: "id_1", "sz": "sz_1"}), "id_1")
-        .join(sizes.withColumnsRenamed({id_col: "id_2", "sz": "sz_2"}), "id_2")
+    return (
+        cand.join(a1, "id_1")
+        .join(a2, "id_2")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("_sh1", "_sh2")).cast("long")
+        )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
-                / (F.col("sz_1") + F.col("sz_2") - F.col("n_common")),
+                / (F.size("_sh1") + F.size("_sh2") - F.col("n_common")),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
     )
-    return out
 
 
 def minhash_lsh_dedup(

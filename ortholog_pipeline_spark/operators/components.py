@@ -98,10 +98,15 @@ def connected_components(
     component is the minimum node id reachable from the node. Nodes that appear
     only as isolated vertices must be unioned in by the caller (an edge list
     cannot see them)."""
-    cur = _canon(edges).localCheckpoint(eager=True)
+    # LAZY checkpoints: the per-round signature aggregate is the action that
+    # materializes the round's checkpoint, so each round schedules ONE job
+    # (agg over the star output) instead of two (checkpoint job + agg job) —
+    # on shallow near-dup graphs the loop is scheduler-bound, not data-bound,
+    # and halving the actions halves the floor
+    cur = _canon(edges).localCheckpoint(eager=False)
     prev_sig = None
     for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _signature(cur)
         if sig == prev_sig:
             break

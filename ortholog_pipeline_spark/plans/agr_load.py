@@ -119,7 +119,34 @@ def run_agr_load(
     delete_threshold_pct: float = 10.0,
 ) -> AgrLoadResult:
     """Parse+filter Alliance lines, resolve both curies, merge into agr_orthologs on
-    the (id1, id2, methods_matched) key, then guarded stale deletion."""
+    the (id1, id2, methods_matched) key, then guarded stale deletion.
+
+    The whole run is one run-grain transaction: gene/rgd_id/xref mints and the
+    final agr_orthologs upsert STAGE their snapshot versions (publish=False)
+    and a single `commit_run` manifest flip publishes them together — a crash
+    or a churn-guard abort mid-run can never leave minted genes visible
+    without the ortholog rows that motivated them (SURVEY §1.4 run-snapshot
+    contract; tighter than the reference's per-statement commits,
+    AgrOrthologLoader semantics)."""
+    store.begin_run(["genes", "rgd_ids", "xrefs", "agr_orthologs"])
+    try:
+        result, staged = _stage_agr_load(
+            store, agr_lines, run_ts, delete_threshold_pct
+        )
+        store.commit_run(staged)
+    except BaseException:
+        store.abort_run()
+        raise
+    return result
+
+
+def _stage_agr_load(
+    store: StateStore,
+    agr_lines: DataFrame,
+    run_ts: datetime,
+    delete_threshold_pct: float,
+) -> tuple[AgrLoadResult, dict[str, int]]:
+    staged: dict[str, int] = {}
     genes = store.read("genes")
     rgd_ids = store.read("rgd_ids")
     xrefs = store.read("xrefs")
@@ -253,7 +280,7 @@ def run_agr_load(
         from concurrent.futures import ThreadPoolExecutor
 
         def _mint_genes():
-            store.apply_changes(
+            staged["genes"] = store.apply_changes(
                 "genes",
                 inserts=minted.select(
                     "rgd_id",
@@ -262,10 +289,11 @@ def run_agr_load(
                     F.lit(None).cast("string").alias("ensembl_gene_symbol"),
                     "species_type_key",
                 ),
+                publish=False,
             )
 
         def _mint_rgd_ids():
-            store.apply_changes(
+            staged["rgd_ids"] = store.apply_changes(
                 "rgd_ids",
                 inserts=minted.select(
                     "rgd_id",
@@ -274,12 +302,14 @@ def run_agr_load(
                     F.lit(1).alias("object_key"),
                     F.lit(None).cast("int").alias("replaced_by_rgd_id"),
                 ),
+                publish=False,
             )
 
         def _mint_xrefs():
-            store.apply_changes(
+            staged["xrefs"] = store.apply_changes(
                 "xrefs",
                 inserts=new_xrefs.select(*[f.name for f in xrefs.schema.fields]),
+                publish=False,
             )
 
         with ThreadPoolExecutor(max_workers=3) as pool:
@@ -419,8 +449,10 @@ def run_agr_load(
         delete_key=key3,
         updates=updates,
         update_key=key3,
+        publish=False,
     )
-    return AgrLoadResult(
+    staged["agr_orthologs"] = version
+    result = AgrLoadResult(
         resolved=resolved,
         unresolved=unresolved,
         symbol_qc=symbol_qc,
@@ -429,3 +461,4 @@ def run_agr_load(
         n_stale_deleted=n_stale,
         agr_version=version,
     )
+    return result, staged

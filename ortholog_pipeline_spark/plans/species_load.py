@@ -583,19 +583,21 @@ def run_species_load(
         .select(*[f.name for f in associations.schema.fields])
     )
 
-    # Fused snapshot commits (VERDICT r4 item 1): the ortholog and association
-    # commits touch DIFFERENT tables and — after the logical next-snapshot
-    # frame above — share no producer/consumer edge, so both apply_changes
-    # run as concurrent actions on two scheduler threads: local[n] (or a real
-    # cluster) overlaps their stages and the flow pays max(commit) instead of
-    # commit₁ + commit₂ of driver-side job scheduling. The churn guard already
-    # ran (deletes.count() above), so a guard abort still precedes ANY commit;
-    # if one commit fails mid-flight the other may have published — the same
-    # partial-exposure window the sequential form had, in the other order
-    # (each table's own publish stays atomic via the _CURRENT marker).
+    # Fused snapshot commits (VERDICT r4 item 1) under a run-grain two-phase
+    # publish (VERDICT r5 item 1): the ortholog and association commits touch
+    # DIFFERENT tables and — after the logical next-snapshot frame above —
+    # share no producer/consumer edge, so both STAGE concurrently on two
+    # scheduler threads (local[n] or a real cluster overlaps their stages; the
+    # flow pays max(commit) instead of commit₁ + commit₂). Neither _CURRENT
+    # marker moves during staging; `commit_run` flips ONE atomic run manifest
+    # and only then advances both markers — a crash anywhere in this window
+    # rolls back (before the manifest flip) or forward (after) as a unit, so
+    # readers can never observe orthologs advanced without associations or
+    # vice versa. The churn guard already ran (deletes.count() above), so a
+    # guard abort still precedes ANY staging.
     from concurrent.futures import ThreadPoolExecutor
 
-    def _commit_orthologs() -> int:
+    def _stage_orthologs() -> int:
         return store.apply_changes(
             "orthologs",
             inserts=inserts,
@@ -605,9 +607,10 @@ def run_species_load(
             update_key=["genetogene_key"],
             # hot filter of every species run (species_scope) → partition pruning
             partition_by=["dest_species_type_key"],
+            publish=False,
         )
 
-    def _commit_associations() -> int:
+    def _stage_associations() -> int:
         return store.apply_changes(
             "associations",
             inserts=a_ins,
@@ -615,13 +618,22 @@ def run_species_load(
             delete_key=assoc_key_cols,
             updates=a_upd,
             update_key=assoc_key_cols,
+            publish=False,
         )
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        orth_f = pool.submit(_commit_orthologs)
-        assoc_f = pool.submit(_commit_associations)
-        orthologs_version = orth_f.result()
-        associations_version = assoc_f.result()
+    store.begin_run(["orthologs", "associations"])
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            orth_f = pool.submit(_stage_orthologs)
+            assoc_f = pool.submit(_stage_associations)
+            orthologs_version = orth_f.result()
+            associations_version = assoc_f.result()
+        store.commit_run(
+            {"orthologs": orthologs_version, "associations": associations_version}
+        )
+    except BaseException:
+        store.abort_run()
+        raise
 
     return SpeciesLoadResult(
         resolved_dropped=dropped,

@@ -14,28 +14,148 @@ Layout:  <root>/<table>/v=<n>/  (parquet), with <root>/<table>/_CURRENT holding 
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# In-process registry of live run txns: store root → run_id. Recovery only
+# rolls a pending manifest whose run has NO live owner — i.e. the writing
+# process died (a real crash clears this dict with the process). Lets a second
+# StateStore object on the same root coexist with an in-flight run instead of
+# "recovering" it out from under the owner.
+_LIVE_RUNS: dict[str, str] = {}
+import threading as _threading
+
+_RUNS_LOCK = _threading.Lock()
+
 
 class StateStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._active_run: str | None = None  # run_id of OUR in-flight txn
 
     # -- versioning ---------------------------------------------------------
     def _table_dir(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def current_version(self, table: str) -> int:
+    def _raw_current(self, table: str) -> int:
         marker = os.path.join(self._table_dir(table), "_CURRENT")
         if not os.path.exists(marker):
             return -1
         with open(marker) as f:
             return int(f.read().strip())
+
+    def current_version(self, table: str) -> int:
+        self._recover()
+        return self._raw_current(table)
+
+    # -- run-grain two-phase publish -----------------------------------------
+    # A multi-table flow's commits must be all-or-nothing under crash (SURVEY
+    # §1.4: "the run's effect is a deterministic new snapshot" — the reference
+    # commits per statement, OrthologRelationLoader.java:599-672, so a mid-run
+    # failure there CAN tear cross-table state; this engine promises better).
+    # Protocol:
+    #   begin_run(tables)  → atomic PREPARED manifest at <root>/_RUN_PENDING
+    #   stage each table   → apply_changes(..., publish=False): data dirs
+    #                        written, no _CURRENT moves
+    #   commit_run({t: v}) → manifest atomically flipped to COMMITTED (THE
+    #                        commit point), then every _CURRENT advanced in
+    #                        sorted order, then the manifest removed
+    # Recovery (lazy, on any read through a fresh store): a PREPARED manifest
+    # from a dead run rolls BACK (staged dirs above the published markers are
+    # deleted); a COMMITTED manifest rolls FORWARD (remaining markers
+    # advanced, idempotently). Either way readers only ever observe the
+    # before-state or the complete after-state of the run.
+
+    @property
+    def _pending_path(self) -> str:
+        return os.path.join(self.root, "_RUN_PENDING")
+
+    def _write_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._pending_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(manifest))
+        os.replace(tmp, self._pending_path)  # atomic
+
+    def _recover(self) -> None:
+        """Roll a dead run's manifest forward (COMMITTED) or back (PREPARED).
+        No-op for the store object that owns the in-flight run."""
+        p = self._pending_path
+        if not os.path.exists(p):
+            return
+        with open(p) as f:
+            m = json.load(f)
+        if m.get("run_id") == _LIVE_RUNS.get(os.path.abspath(self.root)):
+            return  # a live store object in this process owns the run
+        if m.get("state") == "COMMITTED":
+            for table in sorted(m["tables"]):
+                v = m["tables"][table]
+                if v is not None and self._raw_current(table) < v:
+                    self._publish(table, v)
+        else:  # PREPARED — the run never reached its commit point
+            import shutil
+
+            for table in m["tables"]:
+                cur = self._raw_current(table)
+                tdir = self._table_dir(table)
+                if not os.path.isdir(tdir):
+                    continue
+                for d in os.listdir(tdir):
+                    if d.startswith("v=") and int(d.split("=", 1)[1]) > cur:
+                        shutil.rmtree(os.path.join(tdir, d))
+        os.remove(p)
+
+    def begin_run(self, tables: list[str]) -> str:
+        """Open a run-grain transaction over ``tables``. Exactly one run may
+        be pending per store root (single-writer snapshot store)."""
+        with _RUNS_LOCK:
+            self._recover()  # clear any dead run first
+            if os.path.exists(self._pending_path):
+                raise RuntimeError(
+                    f"a run is already pending at {self._pending_path}; "
+                    "the snapshot store is single-writer at run grain"
+                )
+            run_id = os.urandom(8).hex()
+            self._write_manifest(
+                {
+                    "run_id": run_id,
+                    "state": "PREPARED",
+                    "tables": {t: None for t in tables},
+                }
+            )
+            self._active_run = run_id
+            _LIVE_RUNS[os.path.abspath(self.root)] = run_id
+        return run_id
+
+    def commit_run(self, versions: dict[str, int]) -> None:
+        """Atomically publish every staged table of the active run. The
+        COMMITTED manifest flip is the single commit point; marker advancement
+        after it is idempotent roll-forward."""
+        if self._active_run is None:
+            raise RuntimeError("commit_run without begin_run")
+        self._write_manifest(
+            {"run_id": self._active_run, "state": "COMMITTED", "tables": versions}
+        )  # ← commit point
+        for table in sorted(versions):
+            if self._raw_current(table) < versions[table]:
+                self._publish(table, versions[table])
+        os.remove(self._pending_path)
+        _LIVE_RUNS.pop(os.path.abspath(self.root), None)
+        self._active_run = None
+
+    def abort_run(self) -> None:
+        """Roll back the active run: delete its staged version dirs, drop the
+        manifest. Reader-visible state is exactly the before-state."""
+        if self._active_run is None:
+            return
+        self._active_run = None
+        _LIVE_RUNS.pop(os.path.abspath(self.root), None)
+        self._recover()  # PREPARED → rolls back; COMMITTED → rolls forward
 
     def _publish(self, table: str, version: int) -> None:
         marker = os.path.join(self._table_dir(table), "_CURRENT")
@@ -98,17 +218,25 @@ class StateStore:
         return sorted(out, key=lambda r: r["version"])
 
     def write(
-        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        publish: bool = True,
     ) -> int:
         """Write ``df`` as the next version and publish it. ``partition_by`` lets hot
-        tables (orthologs by dest_species_type_key) prune partitions on read."""
+        tables (orthologs by dest_species_type_key) prune partitions on read.
+        ``publish=False`` stages the version for a run-grain txn: the data dir
+        is written but _CURRENT stays — `commit_run` flips it atomically with
+        the run's other tables."""
         v = self.current_version(table) + 1
         path = os.path.join(self._table_dir(table), f"v={v}")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        self._publish(table, v)
+        if publish:
+            self._publish(table, v)
         return v
 
     # -- maintenance ---------------------------------------------------------
@@ -198,7 +326,9 @@ class StateStore:
             "residual_rows": residual,
         }
 
-    def _append_version(self, table: str, inserts: DataFrame) -> int:
+    def _append_version(
+        self, table: str, inserts: DataFrame, publish: bool = True
+    ) -> int:
         """Append-only commit: the next version links the previous version's
         data files (os.link — no data copied, no Spark job over existing rows)
         and writes ONLY the insert files next to them. This is the lakehouse
@@ -227,7 +357,8 @@ class StateStore:
                 except OSError:  # cross-device or FS without hardlinks
                     shutil.copy2(s, d)
         inserts.write.mode("append").parquet(dst)
-        self._publish(table, v)
+        if publish:
+            self._publish(table, v)
         return v
 
     # -- merge (Delta-MERGE equivalent over snapshots) -----------------------
@@ -242,6 +373,7 @@ class StateStore:
         schema: T.StructType | None = None,
         partition_by: list[str] | None = None,
         evolve_schema: bool = False,
+        publish: bool = True,
     ) -> int:
         """next = ((current − deletes) updated-by updates) ∪ inserts, one shuffle per
         set — the snapshot-algebra equivalent of the reference's batched DML
@@ -270,7 +402,7 @@ class StateStore:
             aligned = inserts.select(
                 *[F.col(f.name).cast(f.dataType) for f in cur_fields]
             )
-            return self._append_version(table, aligned)
+            return self._append_version(table, aligned, publish=publish)
         cur = self.read(table, schema)
         nxt = cur
         if deletes is not None:
@@ -289,7 +421,7 @@ class StateStore:
                 nxt = nxt.unionByName(inserts, allowMissingColumns=True)
             else:
                 nxt = nxt.unionByName(inserts.select(*nxt.columns))
-        return self.write(table, nxt, partition_by=partition_by)
+        return self.write(table, nxt, partition_by=partition_by, publish=publish)
 
 
 def next_surrogate_keys(

@@ -1,0 +1,232 @@
+"""Run-grain two-phase publish (VERDICT r5 item 1): multi-table flow commits
+must be all-or-nothing under crash. Each table's publish was already atomic
+via its _CURRENT marker; these tests pin the RUN-level contract — a failure
+anywhere between the two staged commits can never leave one table advanced
+and the other not, in either order.
+
+Crash simulation: we stop the in-process cleanup (no abort_run) exactly where
+the injected failure fires, then open a FRESH StateStore on the same root —
+the "restart" — and assert what a reader sees. Before the manifest flip the
+run rolls back (before-state, staged dirs purged); after the flip it rolls
+forward (complete after-state). Mirrors the verdict-then-commit ordering of
+OrthologRelationLoader.java:599-672 at run grain (SURVEY §1.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ortholog_pipeline_spark.plans import run_agr_load, run_species_load
+from ortholog_pipeline_spark.sources import state as state_mod
+from ortholog_pipeline_spark.sources.state import StateStore
+
+from test_plans import RAT, RUN_TS, _agr_lines, _relations, _seed_store
+
+
+def _simulate_death():
+    """A real crash clears the in-process live-run registry with the process;
+    these tests stay in one process, so clear it explicitly before 'restart'."""
+    state_mod._LIVE_RUNS.clear()
+
+
+def _two_table_store(spark, tmp_path, name="txn"):
+    store = StateStore(spark, str(tmp_path / name))
+    store.write("t1", spark.createDataFrame([(1, "a")], "k int, v string"))
+    store.write("t2", spark.createDataFrame([(1, "x")], "k int, v string"))
+    return store
+
+
+def _rows(store, table):
+    return sorted(tuple(r) for r in store.read(table).collect())
+
+
+def test_commit_run_publishes_both(spark, tmp_path):
+    store = _two_table_store(spark, tmp_path)
+    store.begin_run(["t1", "t2"])
+    v1 = store.write("t1", spark.createDataFrame([(2, "b")], "k int, v string"),
+                     publish=False)
+    v2 = store.write("t2", spark.createDataFrame([(2, "y")], "k int, v string"),
+                     publish=False)
+    # staged, not visible
+    assert _rows(store, "t1") == [(1, "a")]
+    store.commit_run({"t1": v1, "t2": v2})
+    assert _rows(store, "t1") == [(2, "b")]
+    assert _rows(store, "t2") == [(2, "y")]
+    assert not os.path.exists(store._pending_path)
+
+
+def test_crash_during_staging_rolls_back(spark, tmp_path):
+    store = _two_table_store(spark, tmp_path)
+    store.begin_run(["t1", "t2"])
+    v1 = store.write("t1", spark.createDataFrame([(2, "b")], "k int, v string"),
+                     publish=False)
+    staged_dir = os.path.join(store.root, "t1", f"v={v1}")
+    assert os.path.isdir(staged_dir)
+    # crash before commit point: manifest still PREPARED; restart
+    _simulate_death()
+    fresh = StateStore(spark, store.root)
+    assert _rows(fresh, "t1") == [(1, "a")]
+    assert _rows(fresh, "t2") == [(1, "x")]
+    assert not os.path.isdir(staged_dir)  # staged residue purged
+    assert not os.path.exists(fresh._pending_path)
+    # the root is reusable: a new run can begin and commit normally
+    fresh.begin_run(["t1"])
+    v = fresh.write("t1", spark.createDataFrame([(3, "c")], "k int, v string"),
+                    publish=False)
+    fresh.commit_run({"t1": v})
+    assert _rows(fresh, "t1") == [(3, "c")]
+
+
+def test_crash_between_publishes_rolls_forward(spark, tmp_path):
+    store = _two_table_store(spark, tmp_path)
+    store.begin_run(["t1", "t2"])
+    v1 = store.write("t1", spark.createDataFrame([(2, "b")], "k int, v string"),
+                     publish=False)
+    v2 = store.write("t2", spark.createDataFrame([(2, "y")], "k int, v string"),
+                     publish=False)
+    # simulate: manifest flipped to COMMITTED, first marker advanced, then death
+    store._write_manifest(
+        {"run_id": store._active_run, "state": "COMMITTED",
+         "tables": {"t1": v1, "t2": v2}}
+    )
+    store._publish("t1", v1)
+    _simulate_death()
+    fresh = StateStore(spark, store.root)  # restart
+    assert _rows(fresh, "t1") == [(2, "b")]
+    assert _rows(fresh, "t2") == [(2, "y")]  # rolled forward
+    assert not os.path.exists(fresh._pending_path)
+
+
+def test_begin_run_refuses_concurrent_pending(spark, tmp_path):
+    store = _two_table_store(spark, tmp_path)
+    store.begin_run(["t1"])
+    other = StateStore(spark, store.root)
+    with pytest.raises(RuntimeError, match="already pending"):
+        other.begin_run(["t2"])
+    store.abort_run()
+    other.begin_run(["t2"])  # now fine
+    other.abort_run()
+
+
+def test_abort_run_restores_before_state(spark, tmp_path):
+    store = _two_table_store(spark, tmp_path)
+    store.begin_run(["t1", "t2"])
+    store.write("t1", spark.createDataFrame([(2, "b")], "k int, v string"),
+                publish=False)
+    store.abort_run()
+    assert _rows(store, "t1") == [(1, "a")]
+    assert store.current_version("t1") == 0
+    assert not os.path.exists(store._pending_path)
+
+
+def test_species_load_publish_crash_is_all_or_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """The verdict's prescribed injection: the SECOND _publish of the species
+    flow's twin commit raises (process dies — abort_run never runs). On
+    restart the store must read as all-or-nothing; since the manifest flipped
+    before any marker moved, that means BOTH tables advanced, equal to an
+    uninjected twin run."""
+    crash_store = _seed_store(spark, tmp_path / "crash")
+    twin_store = _seed_store(spark, tmp_path / "twin")
+
+    real_publish = StateStore._publish
+    calls = {"n": 0}
+
+    def exploding_publish(self, table, version):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected crash between the twin publishes")
+        return real_publish(self, table, version)
+
+    monkeypatch.setattr(StateStore, "_publish", exploding_publish)
+    monkeypatch.setattr(StateStore, "abort_run", lambda self: None)  # dead proc
+    with pytest.raises(OSError, match="injected crash"):
+        run_species_load(
+            crash_store, _relations(spark), RUN_TS, RAT, delete_threshold_pct=100.0
+        )
+    # the manifest survives the "crash" in COMMITTED state
+    with open(os.path.join(crash_store.root, "_RUN_PENDING")) as f:
+        assert json.load(f)["state"] == "COMMITTED"
+    monkeypatch.undo()
+    _simulate_death()
+
+    run_species_load(
+        twin_store, _relations(spark), RUN_TS, RAT, delete_threshold_pct=100.0
+    )
+
+    fresh = StateStore(spark, crash_store.root)  # restart → roll forward
+    for table in ("orthologs", "associations"):
+        assert _rows(fresh, table) == _rows(twin_store, table), table
+        assert fresh.current_version(table) == twin_store.current_version(table)
+    assert not os.path.exists(fresh._pending_path)
+
+
+def test_species_load_staging_crash_rolls_back_both(spark, tmp_path, monkeypatch):
+    """Failure while STAGING (before the manifest flip): restart must read the
+    exact before-state for both tables — no torn half-run, no staged residue."""
+    store = _seed_store(spark, tmp_path / "stagecrash")
+    before = {t: _rows(store, t) for t in ("orthologs", "associations")}
+    before_v = {t: store.current_version(t) for t in ("orthologs", "associations")}
+
+    real_write = StateStore.write
+
+    def exploding_write(self, table, df, partition_by=None, publish=True):
+        if not publish and table == "associations":
+            raise OSError("injected crash while staging")
+        return real_write(self, table, df, partition_by=partition_by,
+                          publish=publish)
+
+    monkeypatch.setattr(StateStore, "write", exploding_write)
+    monkeypatch.setattr(StateStore, "abort_run", lambda self: None)  # dead proc
+    with pytest.raises(OSError, match="injected crash"):
+        run_species_load(
+            store, _relations(spark), RUN_TS, RAT, delete_threshold_pct=100.0
+        )
+    monkeypatch.undo()
+    _simulate_death()
+
+    fresh = StateStore(spark, store.root)  # restart → roll back
+    for table in ("orthologs", "associations"):
+        assert _rows(fresh, table) == before[table], table
+        assert fresh.current_version(table) == before_v[table]
+    assert not os.path.exists(fresh._pending_path)
+
+
+def test_agr_load_crash_rolls_back_mints(spark, tmp_path, monkeypatch):
+    """The AGR flow mints genes/rgd_ids/xrefs BEFORE its final agr_orthologs
+    upsert. Under the run txn a failure in the final commit must also unwind
+    the mints — no phantom genes without the ortholog rows that motivated
+    them (the pre-r6 concurrent form published mints immediately)."""
+    store = _seed_store(spark, tmp_path / "agrcrash")
+    before = {
+        t: _rows(store, t) for t in ("genes", "rgd_ids", "xrefs", "agr_orthologs")
+    }
+
+    real_ac = StateStore.apply_changes
+
+    def exploding_apply(self, table, *args, **kwargs):
+        if table == "agr_orthologs" and not kwargs.get("publish", True):
+            raise OSError("injected crash in final AGR commit")
+        return real_ac(self, table, *args, **kwargs)
+
+    monkeypatch.setattr(StateStore, "apply_changes", exploding_apply)
+    with pytest.raises(OSError, match="injected crash"):
+        run_agr_load(store, _agr_lines(spark), RUN_TS, delete_threshold_pct=100.0)
+    monkeypatch.undo()
+
+    # in-process abort_run DID run here (no simulated death): before-state holds
+    for table, rows in before.items():
+        assert _rows(store, table) == rows, table
+    assert not os.path.exists(store._pending_path)
+    # minted FB:F1 xref must NOT be visible
+    assert store.read("xrefs").filter(F.col("acc_id") == "FB:F1").count() == 0
+
+    # and the same store can run the flow to completion afterwards
+    res = run_agr_load(store, _agr_lines(spark), RUN_TS, delete_threshold_pct=100.0)
+    assert res.unresolved.count() == 0
+    assert store.read("xrefs").filter(F.col("acc_id") == "FB:F1").count() == 1

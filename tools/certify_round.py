@@ -1,0 +1,101 @@
+"""Seeded-rotating per-round certification (VERDICT r5 item 6).
+
+The driver's own gate has sampled the SAME 50 registry names since r3
+(70/303 ever gated across five rounds). This tool widens the committed
+correctness exposure builder-side: each round runs driver_sim over a
+50-query sample drawn with seed = round number from the names the frozen
+driver gate does NOT cover, so every round's committed artifact hash-covers
+a fresh slice of the registry without relying on judge sampling.
+
+Determinism: the sample is random.Random(seed) over the sorted complement of
+the frozen-gate names — anyone can re-derive the name list from (seed,
+CORRECTNESS gate file, registry) and re-run the identical batch.
+
+Run: python tools/certify_round.py ROUND [--sf-dir /root/testdata/sf0.01]
+         [--gate CORRECTNESS_r05.json] [--n 50]
+Writes CERTIFICATION_r{ROUND}.json at the repo root; exit 0 iff PASS=n FAIL=0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def pick_names(round_no: int, gate_path: str, n: int) -> list[str]:
+    import __spark_entry__ as e
+
+    all_names = sorted(e.queries())
+    try:
+        with open(gate_path) as f:
+            gated = set(json.load(f))
+    except (OSError, json.JSONDecodeError):
+        gated = set()
+    pool = [q for q in all_names if q not in gated]
+    rng = random.Random(round_no)
+    return sorted(rng.sample(pool, min(n, len(pool))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("round", type=int)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--gate", default=os.path.join(REPO, "CORRECTNESS_r05.json"))
+    ap.add_argument("--n", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=25)
+    args = ap.parse_args()
+
+    names = pick_names(args.round, args.gate, args.n)
+    t0 = time.monotonic()
+    report: dict[str, dict] = {}
+    # fresh JVM per batch (same session-hygiene rationale as tools/sweep.py)
+    for i in range(0, len(names), args.batch):
+        batch = names[i : i + args.batch]
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "driver_sim.py"),
+             args.sf_dir] + batch,
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        from tools.sweep import parse_report
+
+        got = parse_report(proc.stdout)
+        for q in batch:
+            report[q] = got.get(q, {"err": "batch died before this query"})
+        done = sum(1 for r in report.values() if r.get("hash_match"))
+        print(f"[certify_round] {done}/{len(report)} pass", file=sys.stderr)
+
+    n_pass = sum(1 for r in report.values() if r.get("hash_match"))
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=REPO
+    ).stdout.strip()
+    artifact = {
+        "round": args.round,
+        "seed": args.round,
+        "gate_excluded": os.path.basename(args.gate),
+        "sf_dir": args.sf_dir,
+        "git_head": head,
+        "elapsed_sec": round(time.monotonic() - t0, 1),
+        "pass": n_pass,
+        "fail": len(names) - n_pass,
+        "names": names,
+        "report": report,
+    }
+    out = os.path.join(REPO, f"CERTIFICATION_r{args.round}.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"PASS={n_pass} FAIL={len(names) - n_pass} -> {out}", file=sys.stderr)
+    return 0 if n_pass == len(names) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

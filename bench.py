@@ -337,6 +337,93 @@ HEADLINE = [
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.json")
 
 
+def mem_envelope() -> None:
+    """Constrained-memory envelope (VERDICT r5 item 5): the standard bench
+    runs on a 128 GiB box with an 8g driver, but a 100 TB cluster gives each
+    executor a few GB — a plan that silently depends on a fat heap (oversized
+    broadcasts, driver-side tree blowups, un-spillable aggregation state)
+    passes the former and dies on the latter. This mode reruns the top-15
+    heaviest REGISTRY entries from the last recorded sf0.1 run under
+    local[8] + a 2 GiB heap (shared driver+executor in local mode: ~256 MB
+    per task slot, executor-grade pressure) and asserts completion. Timings
+    are recorded to MEM_ENVELOPE.json — NOT to bench_history.json, so the
+    envelope run can't poison the regression ratios.
+
+    Run: python bench.py --mem-envelope   (exit 1 if any entry fails)
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        with open(HISTORY_PATH) as fh:
+            hist = json.load(fh)
+        same_sf = [h for h in hist if str(h.get("sf")) == str(sf)]
+        prev = same_sf[-1]["queries"] if same_sf else {}
+    except (OSError, json.JSONDecodeError, KeyError, IndexError):
+        prev = {}
+    registry = Q.queries()
+    # heaviest registry entries by the last recorded run (probes are inline
+    # constructions, not registry entries — the flows, the big dedup/graph
+    # entries, and the heavy stats land here, which is the point: these are
+    # the plans whose memory shape matters)
+    heavy = [n for n, _ in sorted(prev.items(), key=lambda kv: -kv[1]) if n in registry][:15]
+    if not heavy:  # no history at this sf: representative fallback
+        heavy = [
+            "flow_species_load", "flow_agr_load", "flow_corpus_prep",
+            "dedup_cluster_assign", "dedup_minhash_lsh", "er_entity_clusters",
+            "dedup_incremental_minhash", "g_pagerank_fixedpoint",
+            "g_kcore_peel", "j_bloom_prefilter", "ann_lsh_topk",
+            "j_deep_join_revenue", "a_validation_suite", "g_triangle_count",
+            "flow_homologene",
+        ]
+        heavy = [n for n in heavy if n in registry][:15]
+    spark = get_spark(
+        app_name="opspark-mem-envelope",
+        master="local[8]",
+        shuffle_partitions=32,
+        extra_conf={"spark.driver.memory": "2g"},
+    )
+    actual_mem = spark.conf.get("spark.driver.memory", "unknown")
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in heavy:
+        t0 = time.perf_counter()
+        try:
+            registry[name](spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # noqa: BLE001 — the artifact records the failure
+            failures[name] = f"{type(ex).__name__}: {ex}"[:300]
+        spark.catalog.clearCache()
+    artifact = {
+        "metric": "mem_envelope_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "config": {
+            "master": "local[8]",
+            "driver_memory_requested": "2g",
+            "driver_memory_effective": actual_mem,
+            "shuffle_partitions": 32,
+        },
+        "n_queries": len(heavy),
+        "queries": timings,
+        "failures": failures,
+        "vs_full_box": {
+            n: round(timings[n] / prev[n], 2)
+            for n in timings
+            if n in prev and prev[n] > 0
+        },
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "MEM_ENVELOPE.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(json.dumps(artifact, separators=(",", ":")))
+    spark.stop()
+    if failures:
+        sys.exit(1)
+
+
 def _documents_10x(spark, sf_dir):
     """10 replicas of the documents table with per-replica word rotation: rotated
     texts share almost no trigram shingles, so near-dup pair DENSITY stays that of
@@ -362,6 +449,109 @@ def _documents_10x(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def stream_state_probe(
+    spark, sf_dir: str, key_replicas: int = 10, n_files: int = 48,
+    files_per_trigger: int = 4,
+) -> dict:
+    """Run the state-scale stream once and return its per-batch telemetry
+    (see the call site in main() for the full design rationale)."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.queries import _t as _qt
+    from ortholog_pipeline_spark.streaming.sources import read_stream_events
+
+    ev_base = _qt(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ev_parts = [ev_base]
+    for i in range(1, key_replicas):
+        ev_parts.append(
+            ev_base.withColumn(
+                "event_id", F.col("event_id") + i * 10_000_000
+            ).withColumn("user_id", F.col("user_id") + i * 10_000_000)
+        )
+    ev10 = ev_parts[0]
+    for p in ev_parts[1:]:
+        ev10 = ev10.unionByName(p)
+    land_state = _tf.mkdtemp(prefix="bench_state_land_")
+    # range-partition by event time: FileStreamSource consumes part files in
+    # path order, so batches advance THROUGH time like a real stream and the
+    # watermark trails behind — a plain repartition() mixes the whole time
+    # range into every file, the watermark leaps to max-1h after batch 1,
+    # and every later window is dropped as late (the probe would measure
+    # late-row discarding, not state growth; observed: state stops growing)
+    ev10.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(
+        land_state
+    )
+
+    def _run():
+        q = (
+            read_stream_events(
+                spark, land_state, max_files_per_trigger=files_per_trigger
+            )
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day"), "user_id")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", _tf.mkdtemp(prefix="bench_state_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return q
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    stream_state: dict = {}
+    for provider in ("rocksdb", "hdfs"):
+        try:
+            if provider == "rocksdb":
+                spark.conf.set(provider_key, rocksdb)
+            else:
+                spark.conf.unset(provider_key)
+            t0 = time.perf_counter()
+            q = _run()
+            total = round(time.perf_counter() - t0, 3)
+            prog = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+            batch_ms = [p["durationMs"]["triggerExecution"] for p in prog]
+            state_rows = (
+                prog[-1]["stateOperators"][0]["numRowsTotal"] if prog else None
+            )
+            state_rows_max = max(
+                (p["stateOperators"][0]["numRowsTotal"] for p in prog),
+                default=None,
+            )
+            drift = None
+            if len(batch_ms) >= 7:
+                first3 = batch_ms[1:4]  # batch 0 absorbs stream start
+                last3 = batch_ms[-3:]
+                drift = round(sum(last3) / 3 / (sum(first3) / 3), 2)
+            stream_state = {
+                "provider": provider,
+                "total_sec": total,
+                "n_batches": len(batch_ms),
+                "batch_ms": batch_ms,
+                "state_rows_final": state_rows,
+                "state_rows_max": state_rows_max,
+                "latency_drift_last3_over_first3": drift,
+            }
+            break
+        except Exception as ex:  # noqa: BLE001 — fall back to the default provider
+            if provider == "hdfs":
+                stream_state = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+        finally:
+            try:
+                spark.conf.unset(provider_key)
+            except Exception:  # noqa: BLE001
+                pass
+    return stream_state
 
 
 def main() -> None:
@@ -753,6 +943,24 @@ def main() -> None:
 
     timings["stream_microbatch_availablenow"] = _best2(_stream_run, "stream_microbatch_availablenow")
 
+    # Streaming STATE-SCALE probe (VERDICT r5 item 7): the lifecycle probe
+    # above runs 4 micro-batches over a (window x event_type) agg whose state
+    # is a few dozen rows — state never gets big, so state-store growth across
+    # commits is invisible. This probe keys the agg by USER (10x the key
+    # space via replica offsets -> ~10x state rows) and runs 3x the batches
+    # (48 files / 4 per trigger = 12 commits), then reads the per-batch
+    # trigger latencies from recentProgress: a state store whose commit cost
+    # grows with TOTAL state (rewrite-the-world snapshots) shows monotonic
+    # drift; a healthy delta-commit store stays flat-ish. Recorded as
+    # last3/first3 mean ratio (batch 0 excluded — it absorbs stream start).
+    # Tried with RocksDB provider first (the 100 TB-state choice: delta
+    # commits + out-of-heap state); falls back to the default HDFS-backed
+    # provider when rocksdbjni isn't on the classpath, and the artifact says
+    # which one ran. Single measurement (the number IS the per-batch series).
+    stream_state = stream_state_probe(spark, sf_dir)
+    timings["stream_state_scale"] = stream_state.get("total_sec", 0.0)
+    stream_state_drift = stream_state.get("latency_drift_last3_over_first3")
+
     # Skewed-world probe (VERDICT r4 item 5): every 10x probe replicates
     # UNIFORMLY, but real 100 TB keys are Zipfian. This pair routes ~10% of
     # all rows onto ONE hot key through the three shuffle shapes that carry
@@ -866,7 +1074,7 @@ def main() -> None:
     )
     hist.append(
         {"sf": sf_val, "queries": timings, "skew_ratio": skew_ratio,
-         "retimed": sorted(retimed)}
+         "stream_state": stream_state, "retimed": sorted(retimed)}
     )
     try:
         with open(HISTORY_PATH, "w") as fh:
@@ -915,6 +1123,7 @@ def main() -> None:
                 "prev_ratio": prev_ratio,
                 "regressions": regressions,
                 "skew_ratio": skew_ratio,
+                "stream_state": stream_state,
                 "variance_note": variance_note,
                 "sf": sf_val,
             }
@@ -940,6 +1149,8 @@ def main() -> None:
                 "queries_note": "top-10 by time; full map in bench_history.json",
                 "regressions": regressions,
                 "skew_ratio": skew_ratio,
+                "stream_state_drift": stream_state_drift,
+                "stream_state_provider": stream_state.get("provider"),
                 "variance_note": variance_note,
                 "history_file": "bench_history.json",
             },
@@ -950,4 +1161,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--mem-envelope" in sys.argv:
+        mem_envelope()
+    else:
+        main()

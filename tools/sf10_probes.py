@@ -1,0 +1,555 @@
+"""100x-regime probes for the scale-critical operator families (VERDICT r5
+item 2) + the shared quality-floor computations used by tools/certify_scale.py.
+
+The 10x probes in bench.py and the ~sf1 certification pin one decade of
+scaling; the brief's bar is 100x. This tool materializes a ~sf10 probe dir
+(100 replicas of sf0.1 — documents / embeddings / customer ONLY, the tables
+feeding the MinHash, connected-components/ER, and species-flow paths; the
+NOTES.md lesson applies: worlds derived via modular arithmetic from raw keys
+alias under key-offset replication, so nothing else is scaled) and measures
+the SAME operators at 1x / 10x / 100x under one replica construction, so the
+two growth ratios are like-for-like.
+
+Replica construction — the bench rotation scheme does NOT survive 100
+replicas (documents are 10-99 tokens: rotation by i >= n_tokens aliases to an
+EXACT copy, and even rotation-by-1 keeps ~95% trigram overlap), so this tool
+uses constructions that are regime-preserving at ANY replica count:
+
+- documents: every token gets a per-replica fixed-width suffix ("07z").
+  A uniform token bijection preserves shingle EQUALITY within a replica, so
+  per-replica TRUE near-dup pair structure is EXACTLY that of the original
+  corpus; cross-replica shingle overlap is zero (the synthetic vocabulary is
+  alphabetic, suffixed tokens collide with nothing). The REPORTED pair count
+  is banded-LSH catch, a per-replica probabilistic draw over the rehashed
+  shingles, so it is checked against R * n_pairs(1) within 10% (the
+  per-replica catch variance averages out across replicas) and the result is
+  recorded as `linearity_ok` rather than raised mid-run.
+- embeddings: per-replica deterministic sign-flip pattern. cos(Dx, Dy) =
+  cos(x, y) for any diagonal +-1 matrix D, so intra-replica neighborhoods are
+  exactly preserved (brute-force top-k per replica is the original's, id-
+  shifted) while replicas land in different hyperplane-LSH buckets. Unlike
+  component rotation this cannot alias (rotation by i >= dim=64 is identity).
+- customer: names prefixed with a doubled-decimal tag (str(i//10)*2 +
+  str(i%10)*2 + "~"): any two distinct tags differ in >= 2 positions, so no
+  cross-replica edit-distance-1 pairs exist and per-replica FastSS pair
+  density stays that of the original (same guarantee the 2-letter bench tags
+  give, extended past 26 replicas).
+- species-flow relations: evidence-variant replicas (per-replica
+  data_set_name tag), the same construction bench.py uses — the A2
+  dedup-merge does real token-union work instead of collapsing for free.
+  The 100-way union is MATERIALIZED to parquet before the timed flow run
+  (the k-core lesson: a wide lazy union inside a deep DAG explodes Catalyst
+  constraint propagation).
+
+Skew leg: the CC star probe (10% of edges re-pointed at node 0) scales
+linearly and runs at the full 100x corpus. The MinHash hot-bucket leg plants
+a FIXED 500-document identical-text cluster (same absolute hot-bucket load as
+bench.py's sf0.1 probe): a *fractional* hot cluster is quadratic in the
+OUTPUT (C(50k, 2) = 1.25e9 true pairs at 10% of 500k docs) — a property of
+the pair-list semantics, not of the implementation — so holding the cluster
+size constant isolates what the probe is for: skewed-shuffle handling.
+
+Emits SF10_PROBES.json at the repo root: wall times per scale, growth
+ratios, pair/cluster counts, quality floors AT the 100x dir, skew ratio,
+git HEAD, elapsed. Run:
+
+    python tools/sf10_probes.py            # ~15-25 min end to end
+    python tools/sf10_probes.py --replicas 10 --dir /tmp/sf10x_smoke
+
+`floors(spark, sf_dir)` is importable (used by tools/certify_scale.py): the
+ANN recall@10 and MinHash completeness floors of tests/test_scale_floors.py,
+returned as values so certification artifacts carry the numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+OFF = 10_000_000
+
+
+# ---------------------------------------------------------------------------
+# Quality floors (shared with tools/certify_scale.py and mirrored by
+# tests/test_scale_floors.py — keep the three in sync).
+# ---------------------------------------------------------------------------
+
+def floors(spark, sf_dir: str) -> dict:
+    """ANN recall@10 (2-bit multiprobe LSH vs brute truth, 20 queries) and
+    MinHash/LSH candidate completeness vs exact ground truth on the 1/97
+    doc_id slice (slice design of queries/slice_cert.py: exact truth stays
+    affordable because only the LEFT side is sliced)."""
+    from ortholog_pipeline_spark.operators import dedup as DD
+    from ortholog_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = {
+        (r.query_id, r.vec_id) for r in SIM.brute_force_topk(emb, q, k=10).collect()
+    }
+    lsh2 = {
+        (r.query_id, r.vec_id)
+        for r in SIM.lsh_topk(emb, q, k=10, multiprobe_bits=2).collect()
+    }
+    recall = len(brute & lsh2) / len(brute) if brute else None
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_sh = docs.select(
+        "doc_id", DD.word_shingles("text", 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    posting = with_sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    posting_a = posting.filter(F.col("doc_id") % 97 == 0)
+    pairs = (
+        posting_a.alias("a")
+        .join(posting.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_1"), F.col("b.doc_id").alias("id_2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = with_sh.select("doc_id", F.size("shingles").alias("sz"))
+    truth = {
+        (r.id_1, r.id_2)
+        for r in (
+            pairs.join(
+                sizes.withColumnsRenamed({"doc_id": "id_1", "sz": "sz_1"}), "id_1"
+            )
+            .join(sizes.withColumnsRenamed({"doc_id": "id_2", "sz": "sz_2"}), "id_2")
+            .filter(
+                F.col("n_common")
+                / (F.col("sz_1") + F.col("sz_2") - F.col("n_common"))
+                >= 0.5
+            )
+            .select("id_1", "id_2")
+            .collect()
+        )
+    }
+    completeness = None
+    if truth:
+        found = {
+            (r.id_1, r.id_2)
+            for r in DD.minhash_lsh_dedup(
+                docs, k=3, num_hashes=16, bands=4, threshold=0.5
+            )
+            .filter(F.col("id_1") % 97 == 0)
+            .select("id_1", "id_2")
+            .collect()
+        }
+        completeness = len(truth & found) / len(truth)
+    return {
+        "ann_recall_at10": round(recall, 4) if recall is not None else None,
+        "minhash_completeness": (
+            round(completeness, 4) if completeness is not None else None
+        ),
+        "n_true_pairs": len(truth),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Regime-preserving replica constructions (safe at any replica count <= 100).
+# ---------------------------------------------------------------------------
+
+def suffixed_documents(spark, src: str, replicas: int):
+    """Per-replica token-suffix variants: exact intra-replica pair structure,
+    zero cross-replica shingle overlap (see module docstring)."""
+    docs = spark.read.parquet(f"{src}/documents.parquet").select("doc_id", "text")
+    parts = [docs]
+    for i in range(1, replicas):
+        suffixed = F.regexp_replace("text", r"(\S+)", rf"$1{i:02d}z")
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * OFF).alias("doc_id"),
+                suffixed.alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def signflip_embeddings(spark, src: str, replicas: int):
+    """Per-replica deterministic sign flips: intra-replica cosines exactly
+    preserved, replicas scattered across hyperplane-LSH buckets."""
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    elem_type = emb.schema["embedding"].dataType.simpleString()
+    def _flip(i: int):
+        return lambda x, j: x * F.when(
+            ((F.lit(i * 2654435761) + j * 40503) % 97) % 2 == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    parts = [emb.select("vec_id", "embedding", "label")]
+    for i in range(1, replicas):
+        flipped = F.transform("embedding", _flip(i)).cast(elem_type)
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + i * OFF).alias("vec_id"),
+                flipped.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def tagged_customers(spark, src: str, replicas: int):
+    """Doubled-decimal name tags: pairwise tag edit distance >= 2, so the
+    FastSS/ER pair set is exactly per-replica."""
+    cust = spark.read.parquet(f"{src}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    parts = [cust]
+    for i in range(1, replicas):
+        tag = str(i // 10) * 2 + str(i % 10) * 2 + "~"
+        parts.append(
+            cust.select(
+                (F.col("c_custkey") + i * OFF).alias("c_custkey"),
+                F.concat(F.lit(tag), F.col("c_name")).alias("c_name"),
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_dir(spark, src: str, dst: str, replicas: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    suffixed_documents(spark, src, replicas).write.mode("overwrite").parquet(
+        os.path.join(dst, "documents.parquet")
+    )
+    signflip_embeddings(spark, src, replicas).write.mode("overwrite").parquet(
+        os.path.join(dst, "embeddings.parquet")
+    )
+    tagged_customers(spark, src, replicas).write.mode("overwrite").parquet(
+        os.path.join(dst, "customer.parquet")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Probes
+# ---------------------------------------------------------------------------
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return round(time.perf_counter() - t0, 2), out
+
+
+def _docs_at(spark, src: str, dir100: str, scale: int, replicas: int):
+    if scale == replicas:
+        return spark.read.parquet(f"{dir100}/documents.parquet")
+    if scale == 1:
+        return spark.read.parquet(f"{src}/documents.parquet").select("doc_id", "text")
+    return suffixed_documents(spark, src, scale)
+
+
+def _cust_at(spark, src: str, dir100: str, scale: int, replicas: int):
+    if scale == replicas:
+        return spark.read.parquet(f"{dir100}/customer.parquet")
+    if scale == 1:
+        return spark.read.parquet(f"{src}/customer.parquet")
+    return tagged_customers(spark, src, scale)
+
+
+def run_probes(spark, src: str, dir100: str, replicas: int, scales: list[int],
+               skip_flow: bool = False) -> dict:
+    from ortholog_pipeline_spark.operators import components as CC
+    from ortholog_pipeline_spark.operators import dedup as DD
+
+    out: dict = {"times": {}, "counts": {}}
+
+    # warmup (untimed): JVM + codegen + parquet footers, so the 1x entries —
+    # the denominators of every growth ratio — aren't billed for startup
+    warm = _docs_at(spark, src, dir100, 1, replicas)
+    DD.minhash_lsh_dedup(warm, k=3, num_hashes=16, bands=4, threshold=0.5).count()
+    spark.catalog.clearCache()
+
+    for s in scales:
+        docs = _docs_at(spark, src, dir100, s, replicas)
+        sec, n_pairs = _timed(
+            lambda: DD.minhash_lsh_dedup(
+                docs, k=3, num_hashes=16, bands=4, threshold=0.5
+            ).count()
+        )
+        out["times"][f"minhash_{s}x"] = sec
+        out["counts"][f"minhash_pairs_{s}x"] = n_pairs
+        spark.catalog.clearCache()
+
+        sec, n_comp = _timed(
+            lambda: CC.dedup_clusters(
+                docs,
+                DD.minhash_lsh_dedup(
+                    docs, k=3, num_hashes=16, bands=4, threshold=0.5
+                ).select("id_1", "id_2"),
+            ).count()
+        )
+        out["times"][f"cluster_assign_{s}x"] = sec
+        out["counts"][f"cluster_rows_{s}x"] = n_comp
+        spark.catalog.clearCache()
+
+        cust = _cust_at(spark, src, dir100, s, replicas)
+
+        def _er():
+            pairs = DD.editdist1_join(cust, "c_name", block_cols=["c_nationkey"])
+            m1 = cust.select(
+                F.col("c_name").alias("s1"), F.col("c_custkey").alias("k1"),
+                "c_nationkey",
+            )
+            m2 = cust.select(
+                F.col("c_name").alias("s2"), F.col("c_custkey").alias("k2"),
+                "c_nationkey",
+            )
+            edges = (
+                pairs.join(m1, ["s1", "c_nationkey"])
+                .join(m2, ["s2", "c_nationkey"])
+                .select(
+                    F.least("k1", "k2").alias("id_1"),
+                    F.greatest("k1", "k2").alias("id_2"),
+                )
+            )
+            return (
+                CC.connected_components(edges).groupBy("component").count().count()
+            )
+
+        sec, n_cl = _timed(_er)
+        out["times"][f"er_{s}x"] = sec
+        out["counts"][f"er_clusters_{s}x"] = n_cl
+        spark.catalog.clearCache()
+
+    # linear-regime check: TRUE pairs grow exactly linearly under the suffix
+    # construction; REPORTED pairs are per-replica banded-LSH catches, so a
+    # 10% band covers the catch variance. A miss means the construction
+    # aliased (the failure mode this tool exists to avoid) — recorded, so
+    # the artifact says so without discarding the expensive measurements.
+    base = out["counts"].get("minhash_pairs_1x")
+    lin_ok = True
+    for s in scales:
+        if s != 1 and base:
+            got = out["counts"][f"minhash_pairs_{s}x"]
+            if abs(got - s * base) > 0.10 * s * base:
+                lin_ok = False
+                print(
+                    f"[sf10_probes] WARNING: pairs at {s}x = {got}, expected "
+                    f"~{s * base} — replica construction may have aliased",
+                    file=sys.stderr,
+                )
+    out["linearity_ok"] = lin_ok
+
+    # species-flow plan at each scale: evidence-variant relation replicas,
+    # MATERIALIZED before the timed run; store seeded outside the timing
+    if not skip_flow:
+        from ortholog_pipeline_spark.plans.species_load import run_species_load
+        from ortholog_pipeline_spark.queries_flows import (
+            RUN_TS,
+            _seed_store,
+            _species_world,
+        )
+
+        world = _species_world(spark, src)
+        rel1 = world["relations"]
+        # warmup (untimed): one full flow run, so the 1x ratio denominator
+        # isn't billed for the flow DAG's first-use codegen
+        run_species_load(
+            _seed_store(spark, world, "sf10_flow_", cache_key=f"sf10_species:{src}"),
+            rel1, RUN_TS, 3, delete_threshold_pct=95.0,
+        )
+        spark.catalog.clearCache()
+        with tempfile.TemporaryDirectory(prefix="sf10_rel_") as td:
+            for s in scales:
+                parts = [rel1] + [
+                    rel1.withColumn(
+                        "data_set_name",
+                        F.concat(F.col("data_set_name"), F.lit(f", T{i}")),
+                    )
+                    for i in range(1, s)
+                ]
+                rel = parts[0]
+                for p in parts[1:]:
+                    rel = rel.unionByName(p)
+                path = os.path.join(td, f"rel{s}x")
+                rel.write.parquet(path)
+                stored = spark.read.parquet(path)
+                store = _seed_store(
+                    spark, world, "sf10_flow_", cache_key=f"sf10_species:{src}"
+                )
+                sec, _ = _timed(
+                    lambda: run_species_load(
+                        store, stored, RUN_TS, 3, delete_threshold_pct=95.0
+                    )
+                )
+                out["times"][f"flow_species_{s}x"] = sec
+                spark.catalog.clearCache()
+
+    # skew legs at the biggest scale: CC star (linear) at full fraction;
+    # MinHash hot bucket as a FIXED 500-doc identical cluster (constant
+    # absolute hot-bucket load — see module docstring for why fractional
+    # hot clusters are output-quadratic by semantics)
+    top = max(scales)
+    docs_top = _docs_at(spark, src, dir100, top, replicas)
+    hot_text = " ".join(f"hotword{i % 17} filler{i % 5}" for i in range(40))
+    docs_hot = docs_top.withColumn(
+        "text",
+        F.when(F.col("doc_id") % OFF < 5, F.lit(hot_text)).otherwise(F.col("text")),
+    )
+
+    def _skew_minhash(d):
+        return lambda: DD.minhash_lsh_dedup(
+            d, k=3, num_hashes=16, bands=4, threshold=0.5
+        ).count()
+
+    sec_u, _ = _timed(_skew_minhash(docs_top))
+    spark.catalog.clearCache()
+    sec_h, _ = _timed(_skew_minhash(docs_hot))
+    spark.catalog.clearCache()
+    out["times"][f"skew_minhash_uniform_{top}x"] = sec_u
+    out["times"][f"skew_minhash_hot500_{top}x"] = sec_h
+    out["skew_minhash_ratio"] = round(sec_h / sec_u, 2) if sec_u else None
+
+    edges = (
+        spark.read.parquet(f"{src}/lineitem.parquet")
+        .select(
+            (F.col("l_orderkey") % 50021).alias("u"),
+            (F.col("l_partkey") % 50021 + 50021).alias("v"),
+        )
+    )
+    reps = [edges] + [
+        edges.select(
+            (F.col("u") + i * 100043).alias("u"), (F.col("v") + i * 100043).alias("v")
+        )
+        for i in range(1, top)
+    ]
+    e_top = reps[0]
+    for r in reps[1:]:
+        e_top = e_top.unionByName(r)
+    with tempfile.TemporaryDirectory(prefix="sf10_cc_") as td:
+        for hot in (False, True):
+            e = e_top
+            if hot:
+                e = e.withColumn(
+                    "u", F.when(F.col("v") % 10 == 0, F.lit(0)).otherwise(F.col("u"))
+                )
+            path = os.path.join(td, f"edges_{hot}")
+            e.filter(F.col("u") != F.col("v")).distinct().write.parquet(path)
+            stored = spark.read.parquet(path)
+            sec, _ = _timed(
+                lambda: CC.connected_components(
+                    stored.withColumnsRenamed({"u": "id_1", "v": "id_2"})
+                ).count()
+            )
+            out["times"][
+                f"skew_cc_{'hot' if hot else 'uniform'}_{top}x"
+            ] = sec
+            spark.catalog.clearCache()
+    u, h = (
+        out["times"][f"skew_cc_uniform_{top}x"],
+        out["times"][f"skew_cc_hot_{top}x"],
+    )
+    out["skew_cc_ratio"] = round(h / u, 2) if u else None
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dir", default="/tmp/sf10x100")
+    ap.add_argument("--replicas", type=int, default=100)
+    ap.add_argument("--scales", default="1,10,100")
+    ap.add_argument("--skip-flow", action="store_true")
+    ap.add_argument("--skip-floors", action="store_true")
+    ap.add_argument("--out", default=os.path.join(REPO, "SF10_PROBES.json"))
+    args = ap.parse_args()
+    scales = sorted({int(s) for s in args.scales.split(",")})
+    assert max(scales) <= args.replicas
+
+    from ortholog_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="sf10-probes")
+    spark.sparkContext.setLogLevel("ERROR")
+    t_all = time.monotonic()
+
+    stages: dict[str, float] = {}
+    expected = os.path.join(args.dir, "customer.parquet")
+    if not os.path.exists(expected):
+        t0 = time.monotonic()
+        build_dir(spark, args.src, args.dir, args.replicas)
+        stages["build_dir_sec"] = round(time.monotonic() - t0, 1)
+    else:
+        stages["build_dir_sec"] = 0.0
+
+    probes = run_probes(
+        spark, args.src, args.dir, args.replicas, scales, skip_flow=args.skip_flow
+    )
+
+    fl = None
+    if not args.skip_floors:
+        t0 = time.monotonic()
+        fl = floors(spark, args.dir)
+        stages["floors_sec"] = round(time.monotonic() - t0, 1)
+
+    # growth ratios between consecutive measured scales, per family
+    ratios: dict[str, float] = {}
+    fams = ["minhash", "cluster_assign", "er"] + (
+        [] if args.skip_flow else ["flow_species"]
+    )
+    for fam in fams:
+        for lo, hi in zip(scales, scales[1:]):
+            a = probes["times"].get(f"{fam}_{lo}x")
+            b = probes["times"].get(f"{fam}_{hi}x")
+            if a and b:
+                ratios[f"{fam}_{hi}x_over_{lo}x"] = round(b / a, 2)
+
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=REPO
+    ).stdout.strip()
+    artifact = {
+        "src": args.src,
+        "dir": args.dir,
+        "replicas": args.replicas,
+        "scales": scales,
+        "tables_scaled": ["documents", "embeddings", "customer"],
+        "times_sec": probes["times"],
+        "counts": probes["counts"],
+        "linearity_ok": probes.get("linearity_ok"),
+        "growth_ratios": ratios,
+        "skew_minhash_ratio": probes.get("skew_minhash_ratio"),
+        "skew_cc_ratio": probes.get("skew_cc_ratio"),
+        "quality_floors_at_dir": fl,
+        "floors_green": (
+            None
+            if fl is None
+            else bool(
+                (fl["ann_recall_at10"] or 0) >= 0.9
+                and (fl["minhash_completeness"] or 0) >= 0.7
+            )
+        ),
+        "timing_note": "single measurement per entry (not best-of-2): the 100x "
+        "entries dominate wall time; a stray GC pause biases ratios UP, so the "
+        "recorded ratios are conservative",
+        "git_head": head,
+        "stages": stages,
+        "total_sec": round(time.monotonic() - t_all, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps(artifact, indent=1))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

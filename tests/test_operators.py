@@ -1232,3 +1232,43 @@ def test_rp_reduce_distortion_bound():
     assert 0.6 <= np.median(ratio) <= 1.5, np.median(ratio)
     assert np.percentile(ratio, 10) >= 0.2
     assert np.percentile(ratio, 90) <= 2.5
+
+
+def test_minhash_collapse_exact_output_identical(spark):
+    """The exact-duplicate collapse (collapse_exact=True) must be
+    OUTPUT-IDENTICAL to the uncollapsed default pipeline: identical shingle sets give
+    identical signatures and band keys, so intra-group pairs are always
+    emitted at Jaccard 1 by both paths and cross-group pairs inherit their
+    representatives' verdict exactly. Corpus: real sf0.001 documents plus
+    planted exact-duplicate clusters (pairs AND a triple, including a
+    duplicate of a doc that also has near-dup neighbors)."""
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.operators import dedup as DD
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dup1 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    dup2 = docs.filter(F.col("doc_id") % 21 == 0).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup1).unionByName(dup2)
+
+    def run(collapse):
+        return {
+            (r.id_1, r.id_2, r.jaccard)
+            for r in DD.minhash_lsh_dedup(
+                corpus, k=3, num_hashes=16, bands=4, threshold=0.5,
+                collapse_exact=collapse,
+            ).collect()
+        }
+
+    fast, naive = run(True), run(False)
+    assert fast == naive
+    # sanity: the planted clusters actually exercised the expansion paths
+    intra = {(a, b) for a, b, j in fast if j == 1.0}
+    assert any(b - a == 100_000 for a, b in intra)  # pair clusters
+    assert any(b - a == 200_000 for a, b in intra)  # triple clusters

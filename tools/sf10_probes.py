@@ -420,6 +420,31 @@ def run_probes(spark, src: str, dir100: str, replicas: int, scales: list[int],
     out["times"][f"skew_minhash_hot500_{top}x"] = sec_h
     out["skew_minhash_ratio"] = round(sec_h / sec_u, 2) if sec_u else None
 
+    # duplicate-heavy leg: a 50-per-replica identical cluster (5000 docs at
+    # 100 replicas -> C(5000,2) = 12.5M true pairs). This is the regime
+    # collapse_exact exists for: uncollapsed, every one of those pairs is a
+    # banded candidate carrying two shingle arrays through the verify join;
+    # collapsed, the expensive stages see ONE representative and only the
+    # (semantically required) pair output stays quadratic. Both twins emit
+    # identical rows (pinned by test_minhash_collapse_exact_output_identical).
+    docs_big = docs_top.withColumn(
+        "text",
+        F.when(F.col("doc_id") % OFF < 50, F.lit(hot_text)).otherwise(
+            F.col("text")
+        ),
+    )
+    for collapse in (False, True):
+        sec, n = _timed(
+            lambda: DD.minhash_lsh_dedup(
+                docs_big, k=3, num_hashes=16, bands=4, threshold=0.5,
+                collapse_exact=collapse,
+            ).count()
+        )
+        key = "collapsed" if collapse else "uncollapsed"
+        out["times"][f"dupheavy_minhash_{key}_{top}x"] = sec
+        out["counts"][f"dupheavy_pairs_{key}_{top}x"] = n
+        spark.catalog.clearCache()
+
     edges = (
         spark.read.parquet(f"{src}/lineitem.parquet")
         .select(

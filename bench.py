@@ -383,16 +383,26 @@ def mem_envelope() -> None:
         extra_conf={"spark.driver.memory": "2g"},
     )
     actual_mem = spark.conf.get("spark.driver.memory", "unknown")
+    # warmup + best-of-2, same estimator as the main bench: a single cold run
+    # bills one-time costs to whichever entry goes first — measured 127.7 s
+    # for flow_species_load cold (codegen + seed-prototype build) vs 11.8 s
+    # steady-state at the same 2g/local[8]; the envelope claim is about the
+    # PLAN's memory shape, not fixture setup
+    registry["a4_pricing_summary"](spark, sf_dir).count()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in heavy:
-        t0 = time.perf_counter()
+        best = float("inf")
         try:
-            registry[name](spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                registry[name](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            timings[name] = round(best, 3)
         except Exception as ex:  # noqa: BLE001 — the artifact records the failure
             failures[name] = f"{type(ex).__name__}: {ex}"[:300]
-        spark.catalog.clearCache()
+            spark.catalog.clearCache()
     artifact = {
         "metric": "mem_envelope_total",
         "value": round(sum(timings.values()), 3),

@@ -331,6 +331,8 @@ HEADLINE = [
     # round-3: LLM corpus-prep additions (chunking, packing, mixture)
     "sample_mixture_rebalance",
     "text_decontaminate_ngrams",
+    # round-6: duplicate-heavy MinHash with exact-duplicate collapse
+    "dedup_minhash_collapse",
 ]
 
 #: Rolling record of past runs (last 5), used for per-query regression ratios.
@@ -435,11 +437,19 @@ def mem_envelope() -> None:
 
 
 def _documents_10x(spark, sf_dir):
-    """10 replicas of the documents table with per-replica word rotation: rotated
-    texts share almost no trigram shingles, so near-dup pair DENSITY stays that of
-    the original corpus and the measurement isolates pure volume scaling (a naive
-    verbatim replication would instead create 45 extra true-dup pairs per doc and
-    measure candidate-explosion, not scaling)."""
+    """10 replicas of the documents table with per-replica word rotation.
+
+    CORRECTION (r6, measured): the original claim that rotated texts "share
+    almost no trigram shingles" is FALSE — rotation preserves token adjacency,
+    so a doc and its rotation share ~95% of shingles (median Jaccard 0.96 at
+    sf0.01) and every doc forms a 10-clique of true near-dups across replicas.
+    The probe therefore measures volume scaling PLUS a 45-pairs-per-doc
+    verify clique — a stable, comparable workload that every round has
+    measured identically, so the construction is kept for cross-round ratio
+    continuity. The alias-safe construction (per-replica token suffixes:
+    exact intra-replica pair structure, ZERO cross-replica overlap, safe past
+    rotation's token-count aliasing limit) lives in tools/sf10_probes.py and
+    backs the 1x/10x/100x growth ratios in SF10_PROBES.json."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")

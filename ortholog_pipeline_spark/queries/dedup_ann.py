@@ -80,6 +80,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Duplicate-heavy corpus for the collapse demo: every 7th doc duplicated,
+#: every 21st triplicated (offsets land outside every replica id band of the
+#: scaled dirs, so the entry certifies at ~sf1 too).
+_DUP_CORPUS_CTE = """corpus6 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 21 = 0
+    ),
+    """
+assert _MINHASH_CTES.count("FROM documents") == 1, "minhash CTE corpus drifted"
+_COLLAPSE_CTES = _DUP_CORPUS_CTE + _MINHASH_CTES.replace(
+    "FROM documents", "FROM corpus6"
+)
+
+
+@register(
+    "dedup_minhash_collapse",
+    f"WITH {_COLLAPSE_CTES}\n    SELECT id_1, id_2, jaccard FROM mh_pairs",
+)
+def dedup_minhash_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup pairs on a duplicate-heavy corpus with the
+    exact-duplicate collapse ON (operators/dedup.py minhash_lsh_dedup
+    collapse_exact=True): identical shingle sets run the signature/banding/
+    verify stages once per group instead of once per member, so the expensive
+    stages are group-proportional — the regime a raw web-scale crawl is in.
+    The collapse is OUTPUT-IDENTICAL to the naive pipeline (identical sets ⇒
+    identical signatures ⇒ identical band keys), which is exactly what this
+    oracle proves: the DuckDB side replays the UNCOLLAPSED banding over the
+    same duplicated corpus and must hash-match."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup1 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    dup2 = docs.filter(F.col("doc_id") % 21 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    return DD.minhash_lsh_dedup(
+        docs.unionByName(dup1).unionByName(dup2),
+        k=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+        collapse_exact=True,
+    )
+
+
 @register(
     "dedup_cluster_assign",
     f"""

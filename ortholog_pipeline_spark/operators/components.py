@@ -56,6 +56,11 @@ def _large_star(pairs: DataFrame) -> DataFrame:
     )
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    # sort-merge, deliberately: a SHUFFLE_HASH hint here was measured at NO
+    # win on the 60M-edge 100x probe (79.4 s vs 75.0 s) — these frames are
+    # narrow (long, long) rows whose sort is cheap, unlike the wide
+    # string-carrying FastSS variant frame where the same hint was 4x
+    # (operators/dedup.py editdist1_join) — and SMJ keeps spill robustness
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))

@@ -27,9 +27,25 @@ from pyspark.sql import types as T
 # StateStore object on the same root coexist with an in-flight run instead of
 # "recovering" it out from under the owner.
 _LIVE_RUNS: dict[str, str] = {}
+import socket as _socket
 import threading as _threading
 
 _RUNS_LOCK = _threading.Lock()
+_HOST = _socket.gethostname()
+
+
+def _proc_start(pid: int) -> str | None:
+    """The process's start time (clock ticks since boot, /proc/<pid>/stat
+    field 22), or None if no such process. pid + start time identifies a
+    process uniquely on one host — a recycled pid gets a new start time, so
+    a dead owner can never be mistaken for alive via pid reuse."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        # comm (field 2) may contain spaces/parens: split after the LAST ')'
+        return stat.rsplit(b")", 1)[1].split()[19].decode()
+    except (OSError, IndexError):
+        return None
 
 
 class StateStore:
@@ -82,16 +98,73 @@ class StateStore:
             f.write(json.dumps(manifest))
         os.replace(tmp, self._pending_path)  # atomic
 
+    def _owner_alive(self, m: dict) -> bool:
+        """Whether the run that wrote manifest ``m`` may still be executing.
+
+        Cross-process liveness (VERDICT r6 item 2): without it, a second
+        process merely READING the store while another process's run was
+        mid-stage would roll the live run's staged dirs back out from under
+        it. Three tiers, strongest knowledge first:
+
+        - our process owns the run (``_LIVE_RUNS``) → alive;
+        - the manifest's owner pid is OUR pid but the run is not in
+          ``_LIVE_RUNS`` → the logical run died inside this process (the
+          crash-injection tests' regime; also a same-pid restart after exec)
+          → dead;
+        - another pid on this host → alive iff /proc/<pid> exists AND its
+          start time matches the one recorded at begin_run (pid recycling
+          cannot fake liveness);
+        - another HOST (shared filesystem) → liveness is unverifiable, so
+          treat as alive: a reader must never destroy a possibly-live run.
+          ``repair(force=True)`` is the explicit operator override.
+        """
+        if m.get("run_id") == _LIVE_RUNS.get(os.path.abspath(self.root)):
+            return True
+        owner = m.get("owner") or {}
+        pid = owner.get("pid")
+        if pid is None or pid == os.getpid():
+            return False
+        if owner.get("host") not in (None, _HOST):
+            return True
+        start = _proc_start(pid)
+        return start is not None and start == owner.get("pid_start")
+
+    def repair(self, force: bool = False) -> bool:
+        """Explicit recovery entry point: roll a dead run's manifest forward
+        or back. ``force=True`` additionally recovers a run whose owner looks
+        alive (e.g. a wedged writer on another host that a human has verified
+        dead) — the destructive override, never taken implicitly. Returns
+        True iff a manifest was resolved."""
+        p = self._pending_path
+        if not os.path.exists(p):
+            return False
+        if force:
+            with open(p) as f:
+                m = json.load(f)
+            _LIVE_RUNS.pop(os.path.abspath(self.root), None)
+            self._resolve_manifest(m)
+            os.remove(p)
+            return True
+        before = os.path.exists(p)
+        self._recover()
+        return before and not os.path.exists(p)
+
     def _recover(self) -> None:
         """Roll a dead run's manifest forward (COMMITTED) or back (PREPARED).
-        No-op for the store object that owns the in-flight run."""
+        No-op while the owning run is still alive — in this process (the
+        store object that began it), or in another live process on this host
+        (pid + start-time match), or on another host (unverifiable)."""
         p = self._pending_path
         if not os.path.exists(p):
             return
         with open(p) as f:
             m = json.load(f)
-        if m.get("run_id") == _LIVE_RUNS.get(os.path.abspath(self.root)):
-            return  # a live store object in this process owns the run
+        if self._owner_alive(m):
+            return
+        self._resolve_manifest(m)
+        os.remove(p)
+
+    def _resolve_manifest(self, m: dict) -> None:
         if m.get("state") == "COMMITTED":
             for table in sorted(m["tables"]):
                 v = m["tables"][table]
@@ -108,7 +181,6 @@ class StateStore:
                 for d in os.listdir(tdir):
                     if d.startswith("v=") and int(d.split("=", 1)[1]) > cur:
                         shutil.rmtree(os.path.join(tdir, d))
-        os.remove(p)
 
     def begin_run(self, tables: list[str]) -> str:
         """Open a run-grain transaction over ``tables``. Exactly one run may
@@ -126,6 +198,14 @@ class StateStore:
                     "run_id": run_id,
                     "state": "PREPARED",
                     "tables": {t: None for t in tables},
+                    # liveness token: lets OTHER processes on this host tell a
+                    # live writer (leave the run alone) from a dead one (roll
+                    # it back) — see _owner_alive
+                    "owner": {
+                        "pid": os.getpid(),
+                        "pid_start": _proc_start(os.getpid()),
+                        "host": _HOST,
+                    },
                 }
             )
             self._active_run = run_id
@@ -139,7 +219,20 @@ class StateStore:
         if self._active_run is None:
             raise RuntimeError("commit_run without begin_run")
         self._write_manifest(
-            {"run_id": self._active_run, "state": "COMMITTED", "tables": versions}
+            {
+                "run_id": self._active_run,
+                "state": "COMMITTED",
+                "tables": versions,
+                # same liveness token as begin_run: while this process is
+                # advancing markers, a concurrent reader must neither roll
+                # the run forward under it nor remove the manifest (the
+                # owner's own os.remove below would then fail mid-commit)
+                "owner": {
+                    "pid": os.getpid(),
+                    "pid_start": _proc_start(os.getpid()),
+                    "host": _HOST,
+                },
+            }
         )  # ← commit point
         for table in sorted(versions):
             if self._raw_current(table) < versions[table]:
@@ -257,7 +350,13 @@ class StateStore:
             for d in os.listdir(self._table_dir(table))
             if d.startswith("v=")
         )
-        doomed = [v for v in versions[:-keep] if v != cur] if keep > 0 else []
+        # v > cur is STAGED, not history: a version dir above the published
+        # marker belongs to an in-flight run (publish=False under a pending
+        # manifest) — retention must never reach forward into a txn's staged
+        # state, only backward into superseded snapshots
+        doomed = (
+            [v for v in versions[:-keep] if v < cur] if keep > 0 else []
+        )
         for v in doomed:
             shutil.rmtree(os.path.join(self._table_dir(table), f"v={v}"))
         return doomed

@@ -230,3 +230,148 @@ def test_agr_load_crash_rolls_back_mints(spark, tmp_path, monkeypatch):
     res = run_agr_load(store, _agr_lines(spark), RUN_TS, delete_threshold_pct=100.0)
     assert res.unresolved.count() == 0
     assert store.read("xrefs").filter(F.col("acc_id") == "FB:F1").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Cross-process liveness (VERDICT r6 item 2): a reader process must coexist
+# with a LIVE writer process's pending run — recovery fires only once the
+# owner is provably dead (pid + start-time check) or via explicit repair().
+# ---------------------------------------------------------------------------
+
+_CHILD_WRITER = """\
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from ortholog_pipeline_spark.sources.state import StateStore
+
+store = StateStore(None, {root!r})  # spark unused by the manifest protocol
+store.begin_run(["t1"])
+os.makedirs(os.path.join({root!r}, "t1", "v=1"), exist_ok=True)
+with open(os.path.join({root!r}, "t1", "v=1", "part-0.parquet"), "w") as f:
+    f.write("staged")
+print("READY", flush=True)
+time.sleep(120)  # hold the PREPARED manifest until the parent kills us
+"""
+
+
+def test_reader_coexists_with_live_cross_process_writer(spark, tmp_path):
+    """A second process reading the store root while another process's run is
+    mid-stage must NOT roll the live run back; once the writer is dead, the
+    same read path recovers it."""
+    import signal
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "xproc")
+    store = StateStore(spark, root)
+    store.write("t1", spark.createDataFrame([(1, "a")], "k int, v string"))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = subprocess.Popen(
+        [_sys.executable, "-c", _CHILD_WRITER.format(repo=repo, root=root)],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert child.stdout.readline().strip() == "READY"
+        staged = os.path.join(root, "t1", "v=1")
+        reader = StateStore(spark, root)  # fresh store, knows nothing in-process
+        # reads trigger lazy recovery — which must now LEAVE the live run alone
+        assert sorted(tuple(r) for r in reader.read("t1").collect()) == [(1, "a")]
+        assert os.path.exists(reader._pending_path), "live manifest was destroyed"
+        assert os.path.isdir(staged), "live run's staged dir was rolled back"
+        # and single-writer still holds against the live cross-process run
+        with pytest.raises(RuntimeError, match="already pending"):
+            reader.begin_run(["t1"])
+    finally:
+        child.send_signal(signal.SIGKILL)
+        child.wait()
+
+    # owner provably dead (pid gone): the same read path now rolls back
+    reader2 = StateStore(spark, root)
+    assert sorted(tuple(r) for r in reader2.read("t1").collect()) == [(1, "a")]
+    assert not os.path.exists(reader2._pending_path)
+    assert not os.path.isdir(os.path.join(root, "t1", "v=1"))
+    # the root is writable again
+    reader2.begin_run(["t1"])
+    reader2.abort_run()
+
+
+def test_cross_host_manifest_needs_explicit_repair(spark, tmp_path):
+    """A pending manifest owned by another HOST is unverifiable: reads leave
+    it alone (and begin_run refuses); only repair(force=True) — the operator's
+    verified-dead override — resolves it."""
+    root = str(tmp_path / "xhost")
+    store = StateStore(spark, root)
+    store.write("t1", spark.createDataFrame([(1, "a")], "k int, v string"))
+    os.makedirs(os.path.join(root, "t1", "v=1"))
+    with open(os.path.join(root, "t1", "v=1", "part-0.parquet"), "w") as f:
+        f.write("staged")
+    with open(store._pending_path, "w") as f:
+        json.dump(
+            {
+                "run_id": "deadbeef",
+                "state": "PREPARED",
+                "tables": {"t1": None},
+                "owner": {"pid": 1, "pid_start": "42", "host": "some-other-host"},
+            },
+            f,
+        )
+    reader = StateStore(spark, root)
+    assert sorted(tuple(r) for r in reader.read("t1").collect()) == [(1, "a")]
+    assert os.path.exists(reader._pending_path)  # read did not destroy it
+    assert reader.repair() is False  # non-forced repair respects liveness
+    assert os.path.exists(reader._pending_path)
+    with pytest.raises(RuntimeError, match="already pending"):
+        reader.begin_run(["t1"])
+    assert reader.repair(force=True) is True
+    assert not os.path.exists(reader._pending_path)
+    assert not os.path.isdir(os.path.join(root, "t1", "v=1"))
+
+
+# ---------------------------------------------------------------------------
+# Vacuum under the txn layer (VERDICT r6 item 8): retention run between
+# begin_run and commit_run must never delete staged v= dirs it doesn't own.
+# ---------------------------------------------------------------------------
+
+def test_vacuum_between_begin_and_commit_spares_staged_dirs(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path / "vactxn"))
+    for i in range(3):  # published history v0..v2
+        store.write("t", spark.createDataFrame([(i, "r")], "k int, v string"))
+    store.begin_run(["t"])
+    v = store.write(
+        "t", spark.createDataFrame([(9, "staged")], "k int, v string"),
+        publish=False,
+    )
+    staged = os.path.join(store.root, "t", f"v={v}")
+    assert v == 3 and os.path.isdir(staged)
+    removed = store.vacuum("t", keep=1)
+    # retention reaches BACKWARD only: superseded v0/v1 go, published v2 and
+    # the in-flight staged v3 stay; the pending manifest is untouched
+    assert removed == [0, 1]
+    assert os.path.isdir(staged)
+    assert os.path.exists(store._pending_path)
+    store.commit_run({"t": v})
+    assert sorted(tuple(r) for r in store.read("t").collect()) == [(9, "staged")]
+
+
+def test_vacuum_on_committed_unrolled_manifest_rolls_forward_first(spark, tmp_path):
+    """Crash after the COMMITTED flip but before the marker advance, owner
+    dead: a later vacuum's snapshot read rolls the run forward, then applies
+    retention to the now-published history — never to the committed version."""
+    store = _two_table_store(spark, tmp_path, name="vaccommit")
+    store.begin_run(["t1", "t2"])
+    v1 = store.write("t1", spark.createDataFrame([(2, "b")], "k int, v string"),
+                     publish=False)
+    v2 = store.write("t2", spark.createDataFrame([(2, "y")], "k int, v string"),
+                     publish=False)
+    store._write_manifest(
+        {"run_id": store._active_run, "state": "COMMITTED",
+         "tables": {"t1": v1, "t2": v2}}
+    )
+    _simulate_death()
+    fresh = StateStore(spark, store.root)
+    removed = fresh.vacuum("t1", keep=1)
+    assert removed == [0]  # pre-run snapshot vacuumed, committed v1 kept
+    assert sorted(tuple(r) for r in fresh.read("t1").collect()) == [(2, "b")]
+    assert sorted(tuple(r) for r in fresh.read("t2").collect()) == [(2, "y")]
+    assert not os.path.exists(fresh._pending_path)

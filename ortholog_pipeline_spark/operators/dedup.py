@@ -588,7 +588,10 @@ def contamination_check(
 
 
 def editdist1_join(
-    df: DataFrame, col: str, block_cols: list[str] | None = None
+    df: DataFrame,
+    col: str,
+    block_cols: list[str] | None = None,
+    candidate_join: str = "shuffle_hash",
 ) -> DataFrame:
     """All string pairs at Levenshtein distance exactly 1, via the deletion
     neighborhood (FastSS / SymSpell family): two strings are candidates iff
@@ -607,7 +610,18 @@ def editdist1_join(
     ``block_cols``: optional blocking keys composed INTO the variant join key —
     candidates only form within a block, so the join, the pair-dedup, and the
     levenshtein verify all shrink by the block selectivity (measured 25x on
-    the nation-blocked ER query). Output carries the block columns."""
+    the nation-blocked ER query). Output carries the block columns.
+
+    ``candidate_join``: physical strategy for the variant self-join.
+    ``"shuffle_hash"`` (default) skips SMJ's two full sorts of the
+    ~20x-expanded variant frame — measured 4x on the candidate phase at 100x
+    customers — but a hash build side cannot spill the way sort-merge can,
+    so a corpus with a HOT variant key (many distinct strings one deletion
+    away from the same short string) concentrates that key's whole build
+    group in one partition's hash map. For such skewed corpora pass
+    ``"merge"`` to fall back to sort-merge, or cap/salt the variant key
+    upstream; the uniform-key memory bound is probed per round by the
+    constrained-heap skew twin in bench.py --mem-envelope."""
     block = list(block_cols or [])
     # re-spread AFTER the distinct: AQE coalesces the (small, few-MB) distinct
     # name list down to one partition, and everything downstream of it — the
@@ -652,14 +666,20 @@ def editdist1_join(
         # collision is a false candidate the levenshtein verify prunes anyway
         .select(*block, "s", F.xxhash64("variant").alias("vh"))
     )
-    # SHUFFLE_HASH, not sort-merge: the self-join keys (vh) are high-entropy
-    # hashes with tiny per-key groups, so SMJ's two full sorts of the
-    # ~20x-expanded variant frame are pure overhead — measured at 100x
-    # customers (26.7M variant rows) the candidate join dropped 44.4 -> 10.5 s
-    # with the hint, identical pair set. Per-partition hash-map build stays
-    # bounded by shuffle partition sizing (the frame is uniformly hash-keyed;
-    # hot variant keys are pruned upstream by the neighborhood dedup).
-    a, b = variants.alias("a"), variants.hint("SHUFFLE_HASH").alias("b")
+    # SHUFFLE_HASH by default, not sort-merge: the self-join keys (vh) are
+    # high-entropy hashes with tiny per-key groups in non-adversarial corpora,
+    # so SMJ's two full sorts of the ~20x-expanded variant frame are pure
+    # overhead — measured at 100x customers (26.7M variant rows) the candidate
+    # join dropped 44.4 -> 10.5 s with the hint, identical pair set. The
+    # build-side memory caveat is real: the map-side array_distinct above
+    # dedups variants WITHIN one string only — it does NOT bound how many
+    # DISTINCT strings hash to one variant key (exactly the candidate-cluster
+    # mechanism), and a hash build side can't spill the way SMJ can. The
+    # docstring's "cap variant length or salt hot keys" caveat is therefore
+    # load-bearing under the default; candidate_join="merge" is the spillable
+    # fallback for corpora known to carry hot variant keys.
+    strategy = {"shuffle_hash": "SHUFFLE_HASH", "merge": "MERGE"}[candidate_join]
+    a, b = variants.alias("a"), variants.hint(strategy).alias("b")
     return (
         a.join(b, ["vh", *block])
         .filter(F.col("a.s") < F.col("b.s"))

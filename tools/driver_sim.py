@@ -176,6 +176,9 @@ def main() -> int:
                 "hash_match": sh == oh,
                 "spark_rows": sr,
                 "oracle_rows": orr,
+                # the agreed value hash itself, so sweep digests are diffable
+                # across rounds without reruns (VERDICT r6 item 6)
+                "value_hash": sh,
             }
             if not ok:
                 report[name]["spark_cols"] = sc

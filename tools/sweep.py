@@ -83,6 +83,14 @@ def main() -> int:
         "(huge results at scaled dirs); others fall back to collect",
     )
     ap.add_argument(
+        "--digest-out",
+        default=None,
+        help="also write a compact per-name digest (rows/hash_match/err + git "
+        "head) to this path — the committable artifact (VERDICT r6 item 6: "
+        "err_sim.log keeps only batch counts; the per-name report was "
+        "discarded, so coverage and hashes weren't diffable across rounds)",
+    )
+    ap.add_argument(
         "--slice-heavy",
         action="store_true",
         help="run the declared-quadratic-oracle entries AT the main dir in "
@@ -147,6 +155,29 @@ def main() -> int:
     fails = {k: v for k, v in report.items() if not v.get("hash_match")}
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f, indent=1)
+    if args.digest_out:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=REPO
+        ).stdout.strip()
+        digest = {
+            "sf_dir": args.sf_dir,
+            "git_head": head,
+            "pass": n_pass,
+            "fail": len(fails),
+            "names": {
+                q: {
+                    "rows": r.get("spark_rows"),
+                    "hash_match": bool(r.get("hash_match")),
+                    "value_hash": r.get("value_hash", r.get("spark_digest")),
+                }
+                for q, r in sorted(report.items())
+            },
+        }
+        for q, r in report.items():
+            if r.get("err"):
+                digest["names"][q]["err"] = str(r["err"])[:200]
+        with open(args.digest_out, "w") as f:
+            json.dump(digest, f, indent=1)
     print(json.dumps({"sf_dir": args.sf_dir, "pass": n_pass, "fail": len(fails), "fails": fails}, indent=1))
     print(f"PASS={n_pass} FAIL={len(fails)}", file=sys.stderr)
     return 0 if not fails else 1

@@ -248,7 +248,20 @@ def _timed(fn, repeat: int = 2):
     """min-of-``repeat`` wall time (VERDICT r6 item 7: best-of-2 removes the
     GC-pause bias the r6 artifact acknowledged in its timing_note — a stray
     pause on a 100x entry biased growth ratios UP). The returned payload is
-    the first run's (all runs are equal by construction)."""
+    the first run's (all runs are equal by construction).
+
+    Between runs the finished run's storage is RELEASED, not just uncached:
+    the CC/ER operators lazily localCheckpoint their junction frames, and
+    checkpoint blocks are freed only after the Python references die and the
+    ContextCleaner processes them — clearCache() alone leaves them resident,
+    and the 100x ER probe's SECOND run then OOMs on the first run's
+    accumulated blocks (measured: UNABLE_TO_ACQUIRE_MEMORY in stage-1493
+    aggregation at 100x customers). gc + JVM gc + a short cleaner drain
+    bound the resident set at one run's worth."""
+    import gc
+
+    from pyspark.sql import SparkSession
+
     best, out = float("inf"), None
     for i in range(repeat):
         t0 = time.perf_counter()
@@ -256,6 +269,13 @@ def _timed(fn, repeat: int = 2):
         best = min(best, time.perf_counter() - t0)
         if i == 0:
             out = r
+        gc.collect()
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            s.catalog.clearCache()
+            s.sparkContext._jvm.System.gc()
+        if i + 1 < repeat:
+            time.sleep(2)  # let the async ContextCleaner drain
     return round(best, 2), out
 
 

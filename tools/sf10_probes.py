@@ -684,6 +684,15 @@ def main() -> int:
         "bias the earlier single-measurement artifacts acknowledged; flows "
         "reseed their snapshot store (hardlink clone, ms) inside each "
         "measured run",
+        # the 100x AGR leg carries a genuinely 100x-bigger upsert key space
+        # (15M keys) through 32 concurrent local tasks at FIXED shuffle
+        # partitioning — the single shared JVM needs the same heap the ~sf1
+        # certification sweep already uses (24g); a cluster spreads the same
+        # partitions across executors instead (memory claims live in
+        # MEM_ENVELOPE.json, not here)
+        "driver_heap_max_bytes": int(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        ),
         "git_head": head,
         "stages": stages,
         "total_sec": round(time.monotonic() - t_all, 1),

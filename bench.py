@@ -348,8 +348,11 @@ def calibration_probe(spark) -> float:
     measured ratio, and the regression bar scales by it instead of by the
     median of all entry ratios (ADVICE r6: a code change that slows most
     entries uniformly raises the median and masks itself — a sentinel whose
-    code is known-unchanged can't be fooled that way). Best-of-3: the anchor
-    must be the most stable number in the artifact."""
+    code is known-unchanged can't be fooled that way). One untimed warmup
+    (the probe's own codegen) then min-of-5: the anchor must be the most
+    stable number in the artifact (measured: min-of-3 straight after session
+    start still caught a 1.5x JIT transient; min-of-5 post-warmup sits in a
+    ±12% band standalone)."""
     from pyspark.sql import functions as F
 
     def run():
@@ -363,8 +366,9 @@ def calibration_probe(spark) -> float:
             .count()
         )
 
+    run()  # untimed: the anchor's own whole-stage codegen + JIT
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)

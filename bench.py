@@ -604,6 +604,22 @@ def _documents_10x(spark, sf_dir):
 STREAM_DRIFT_BAR = 1.2
 
 
+def steady_drift(batch_ms: list) -> float | None:
+    """Steady-state per-batch latency growth: mean of the last half over the
+    mean of the first half of batches 4.. (the first batches aggregate
+    partially-filled day windows — structurally cheaper — so including them
+    reads 1.4-1.5 on a HEALTHY store). None when the series is too short to
+    have a steady state. Pure function so the estimator is unit-testable."""
+    if len(batch_ms) < 10:
+        return None
+    steady = batch_ms[4:]
+    mid = steady[: len(steady) // 2]
+    last = steady[len(steady) // 2 :]
+    if not mid or not last:
+        return None
+    return round((sum(last) / len(last)) / (sum(mid) / len(mid)), 2)
+
+
 def stream_state_probe(
     spark, sf_dir: str, key_replicas: int = 10, n_files: int = 48,
     files_per_trigger: int = 4,
@@ -697,15 +713,7 @@ def stream_state_probe(
             # delta-commit store stays ~1.0 there; rewrite-the-world commit
             # cost still shows as monotonic growth. Bar enforced by main():
             # steady drift > STREAM_DRIFT_BAR flags the artifact.
-            drift_steady = None
-            if len(batch_ms) >= 10:
-                steady = batch_ms[4:]
-                mid = steady[: len(steady) // 2]
-                last = steady[len(steady) // 2 :]
-                if mid and last:
-                    drift_steady = round(
-                        (sum(last) / len(last)) / (sum(mid) / len(mid)), 2
-                    )
+            drift_steady = steady_drift(batch_ms)
             stream_state = {
                 "provider": provider,
                 "total_sec": total,

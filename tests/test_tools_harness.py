@@ -92,3 +92,55 @@ def test_clone_tree_falls_back_to_copy(tmp_path, monkeypatch):
     dst = tmp_path / "dst"
     qf._clone_tree_hardlink(str(tmp_path / "src"), str(dst))
     assert (dst / "v=0" / "part-0.parquet").read_bytes() == b"data"
+
+
+def _load_bench():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(repo, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_steady_drift_ignores_window_fill_transient():
+    """The first batches aggregate partially-filled windows (structurally
+    cheap); the estimator must read ~1.0 on a store whose post-fill commits
+    are flat even when early batches are 2x cheaper."""
+    bench = _load_bench()
+    series = [400, 500, 600, 800, 1000, 1000, 1000, 1000, 1000, 1000, 1000, 1000]
+    assert bench.steady_drift(series) == 1.0
+
+
+def test_steady_drift_catches_monotonic_growth():
+    bench = _load_bench()
+    series = [900, 900, 900, 900] + list(range(1000, 1800, 100))
+    assert bench.steady_drift(series) > bench.STREAM_DRIFT_BAR
+
+
+def test_steady_drift_short_series_is_none():
+    bench = _load_bench()
+    assert bench.steady_drift([100] * 9) is None
+    assert bench.steady_drift([]) is None
+
+
+def test_sweep_digest_shape():
+    """build_digest (the --digest-out payload) carries rows, hash_match,
+    value_hash (checksum-mode entries fall back to their numeric digest),
+    err for failures, pass/fail totals and the git head."""
+    sweep = _load_sweep()
+    report = {
+        "q_ok": {"hash_match": True, "spark_rows": 7, "value_hash": "abc"},
+        "q_ck": {"hash_match": True, "spark_rows": 3, "mode": "checksum",
+                 "spark_digest": 123},
+        "q_bad": {"hash_match": False, "spark_rows": 1, "err": "boom"},
+    }
+    digest = sweep.build_digest(report, "/some/sf_dir")
+    assert digest["pass"] == 2 and digest["fail"] == 1
+    assert list(digest["names"]) == ["q_bad", "q_ck", "q_ok"]  # sorted
+    assert digest["names"]["q_ok"]["value_hash"] == "abc"
+    assert digest["names"]["q_ck"]["value_hash"] == 123
+    assert digest["names"]["q_bad"]["err"] == "boom"
+    assert digest["names"]["q_bad"]["hash_match"] is False
+    assert len(digest["git_head"]) == 40

@@ -68,6 +68,34 @@ def parse_report(raw: str) -> dict:
     return {}
 
 
+def build_digest(report: dict, sf_dir: str) -> dict:
+    """The committable per-name digest (VERDICT r6 item 6): rows /
+    hash_match / value_hash (checksum-mode entries carry their numeric
+    digest) / err per name, plus the git head — so coverage and hashes diff
+    across rounds without reruns."""
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=REPO
+    ).stdout.strip()
+    digest = {
+        "sf_dir": sf_dir,
+        "git_head": head,
+        "pass": sum(1 for r in report.values() if r.get("hash_match")),
+        "fail": sum(1 for r in report.values() if not r.get("hash_match")),
+        "names": {
+            q: {
+                "rows": r.get("spark_rows"),
+                "hash_match": bool(r.get("hash_match")),
+                "value_hash": r.get("value_hash", r.get("spark_digest")),
+            }
+            for q, r in sorted(report.items())
+        },
+    }
+    for q, r in report.items():
+        if r.get("err"):
+            digest["names"][q]["err"] = str(r["err"])[:200]
+    return digest
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir")
@@ -156,28 +184,8 @@ def main() -> int:
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f, indent=1)
     if args.digest_out:
-        head = subprocess.run(
-            ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=REPO
-        ).stdout.strip()
-        digest = {
-            "sf_dir": args.sf_dir,
-            "git_head": head,
-            "pass": n_pass,
-            "fail": len(fails),
-            "names": {
-                q: {
-                    "rows": r.get("spark_rows"),
-                    "hash_match": bool(r.get("hash_match")),
-                    "value_hash": r.get("value_hash", r.get("spark_digest")),
-                }
-                for q, r in sorted(report.items())
-            },
-        }
-        for q, r in report.items():
-            if r.get("err"):
-                digest["names"][q]["err"] = str(r["err"])[:200]
         with open(args.digest_out, "w") as f:
-            json.dump(digest, f, indent=1)
+            json.dump(build_digest(report, args.sf_dir), f, indent=1)
     print(json.dumps({"sf_dir": args.sf_dir, "pass": n_pass, "fail": len(fails), "fails": fails}, indent=1))
     print(f"PASS={n_pass} FAIL={len(fails)}", file=sys.stderr)
     return 0 if not fails else 1

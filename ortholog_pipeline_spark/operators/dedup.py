@@ -622,6 +622,12 @@ def editdist1_join(
     ``"merge"`` to fall back to sort-merge, or cap/salt the variant key
     upstream; the uniform-key memory bound is probed per round by the
     constrained-heap skew twin in bench.py --mem-envelope."""
+    strategies = {"shuffle_hash": "SHUFFLE_HASH", "merge": "MERGE"}
+    if candidate_join not in strategies:
+        raise ValueError(
+            f"candidate_join must be one of {sorted(strategies)}, "
+            f"got {candidate_join!r}"
+        )
     block = list(block_cols or [])
     # re-spread AFTER the distinct: AQE coalesces the (small, few-MB) distinct
     # name list down to one partition, and everything downstream of it — the
@@ -678,8 +684,7 @@ def editdist1_join(
     # docstring's "cap variant length or salt hot keys" caveat is therefore
     # load-bearing under the default; candidate_join="merge" is the spillable
     # fallback for corpora known to carry hot variant keys.
-    strategy = {"shuffle_hash": "SHUFFLE_HASH", "merge": "MERGE"}[candidate_join]
-    a, b = variants.alias("a"), variants.hint(strategy).alias("b")
+    a, b = variants.alias("a"), variants.hint(strategies[candidate_join]).alias("b")
     return (
         a.join(b, ["vh", *block])
         .filter(F.col("a.s") < F.col("b.s"))

@@ -36,15 +36,44 @@ _HOST = _socket.gethostname()
 
 def _proc_start(pid: int) -> str | None:
     """The process's start time (clock ticks since boot, /proc/<pid>/stat
-    field 22), or None if no such process. pid + start time identifies a
-    process uniquely on one host — a recycled pid gets a new start time, so
-    a dead owner can never be mistaken for alive via pid reuse."""
+    field 22), or None if no such process OR no /proc (macOS, Windows).
+    pid + start time identifies a process uniquely on one host — a recycled
+    pid gets a new start time, so a dead owner can never be mistaken for
+    alive via pid reuse. Callers must not read None as "dead": it also means
+    "unknowable here" — `_pid_exists` is the fallback for that case."""
     try:
         with open(f"/proc/{pid}/stat", "rb") as f:
             stat = f.read()
         # comm (field 2) may contain spaces/parens: split after the LAST ')'
         return stat.rsplit(b")", 1)[1].split()[19].decode()
     except (OSError, IndexError):
+        return None
+
+
+def _pid_exists(pid: int) -> bool:
+    """Bare process-existence check (signal 0), the portable fallback when
+    /proc start times are unknowable on either side. Weaker than the
+    start-time identity (a recycled pid CAN fake liveness) but errs in the
+    safe direction: a possibly-live writer is left alone, never rolled back."""
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except OSError:
+        # EPERM etc.: the process exists but isn't ours to signal
+        return True
+
+
+def _boot_id() -> str | None:
+    """This machine's per-boot unique id, or None where unavailable. Two
+    containers/VMs cloned from one image can share a hostname; the boot id
+    tells them apart so a same-hostname-different-machine reader never runs
+    the /proc pid check against the wrong pid table."""
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            return f.read().strip()
+    except OSError:
         return None
 
 
@@ -106,28 +135,46 @@ class StateStore:
         mid-stage would roll the live run's staged dirs back out from under
         it. Three tiers, strongest knowledge first:
 
-        - our process owns the run (``_LIVE_RUNS``) → alive;
-        - the manifest's owner pid is OUR pid but the run is not in
-          ``_LIVE_RUNS`` → the logical run died inside this process (the
-          crash-injection tests' regime; also a same-pid restart after exec)
-          → dead;
-        - another pid on this host → alive iff /proc/<pid> exists AND its
-          start time matches the one recorded at begin_run (pid recycling
-          cannot fake liveness);
+        - our process owns the run (``_LIVE_RUNS``) → alive. A forked child
+          inherits the parent's registry copy, so it also sees the parent's
+          in-flight run as alive — correct: the parent IS still executing;
         - another HOST (shared filesystem) → liveness is unverifiable, so
           treat as alive: a reader must never destroy a possibly-live run.
-          ``repair(force=True)`` is the explicit operator override.
+          ``repair(force=True)`` is the explicit operator override;
+        - same hostname but a DIFFERENT boot id (when both sides recorded
+          one) → also unverifiable: either a duplicate hostname (cloned
+          container images) whose pid table is not ours to consult, or this
+          machine rebooted (owner certainly dead) — indistinguishable here,
+          so take the non-destructive branch;
+        - the manifest's owner pid is OUR pid but the run is not in
+          ``_LIVE_RUNS`` → the logical run died inside this process (the
+          crash-injection tests' regime; also a same-pid restart after exec,
+          which empties the registry but keeps the pid) → dead;
+        - another pid on this host → alive iff /proc/<pid> exists AND its
+          start time matches the one recorded at begin_run (pid recycling
+          cannot fake liveness). When the start time is unknowable on
+          either side (no /proc: macOS/Windows writer or reader), fall back
+          to bare pid existence — without this, a LIVE same-host writer on
+          such a platform would always be classified dead and rolled back.
         """
         if m.get("run_id") == _LIVE_RUNS.get(os.path.abspath(self.root)):
             return True
         owner = m.get("owner") or {}
         pid = owner.get("pid")
-        if pid is None or pid == os.getpid():
+        if pid is None:
             return False
         if owner.get("host") not in (None, _HOST):
             return True
+        owner_boot, my_boot = owner.get("boot_id"), _boot_id()
+        if None not in (owner_boot, my_boot) and owner_boot != my_boot:
+            return True
+        if pid == os.getpid():
+            return False
+        recorded = owner.get("pid_start")
         start = _proc_start(pid)
-        return start is not None and start == owner.get("pid_start")
+        if recorded is None or start is None:
+            return _pid_exists(pid)
+        return start == recorded
 
     def repair(self, force: bool = False) -> bool:
         """Explicit recovery entry point: roll a dead run's manifest forward
@@ -135,15 +182,24 @@ class StateStore:
         alive (e.g. a wedged writer on another host that a human has verified
         dead) — the destructive override, never taken implicitly. Returns
         True iff a manifest was resolved."""
+        import contextlib
+
         p = self._pending_path
         if not os.path.exists(p):
             return False
         if force:
-            with open(p) as f:
-                m = json.load(f)
+            # another process may resolve + remove the manifest between our
+            # exists check and the open/remove: a vanished manifest means the
+            # run is already recovered, not an error on this read path
+            try:
+                with open(p) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                return True
             _LIVE_RUNS.pop(os.path.abspath(self.root), None)
             self._resolve_manifest(m)
-            os.remove(p)
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(p)
             return True
         before = os.path.exists(p)
         self._recover()
@@ -154,15 +210,24 @@ class StateStore:
         No-op while the owning run is still alive — in this process (the
         store object that began it), or in another live process on this host
         (pid + start-time match), or on another host (unverifiable)."""
+        import contextlib
+
         p = self._pending_path
-        if not os.path.exists(p):
+        # no exists() pre-check here and FileNotFoundError suppressed below:
+        # two readers can both pass the dead-owner check concurrently, and the
+        # loser of the os.remove race (or an open racing another's remove)
+        # must treat the vanished manifest as already-recovered, not crash an
+        # ordinary read path
+        try:
+            with open(p) as f:
+                m = json.load(f)
+        except FileNotFoundError:
             return
-        with open(p) as f:
-            m = json.load(f)
         if self._owner_alive(m):
             return
         self._resolve_manifest(m)
-        os.remove(p)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(p)
 
     def _resolve_manifest(self, m: dict) -> None:
         if m.get("state") == "COMMITTED":
@@ -205,6 +270,7 @@ class StateStore:
                         "pid": os.getpid(),
                         "pid_start": _proc_start(os.getpid()),
                         "host": _HOST,
+                        "boot_id": _boot_id(),
                     },
                 }
             )
@@ -231,6 +297,7 @@ class StateStore:
                     "pid": os.getpid(),
                     "pid_start": _proc_start(os.getpid()),
                     "host": _HOST,
+                    "boot_id": _boot_id(),
                 },
             }
         )  # ← commit point

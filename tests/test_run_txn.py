@@ -375,3 +375,214 @@ def test_vacuum_on_committed_unrolled_manifest_rolls_forward_first(spark, tmp_pa
     assert sorted(tuple(r) for r in fresh.read("t1").collect()) == [(2, "b")]
     assert sorted(tuple(r) for r in fresh.read("t2").collect()) == [(2, "y")]
     assert not os.path.exists(fresh._pending_path)
+
+
+# ---------------------------------------------------------------------------
+# Liveness edge cases (VERDICT r7 ask 6 + ADVICE r7): fork, exec-same-pid,
+# unknowable /proc start times, duplicate-hostname boot ids, remove races.
+# ---------------------------------------------------------------------------
+
+_FORK_WRITER = """\
+import os, sys
+sys.path.insert(0, {repo!r})
+from ortholog_pipeline_spark.sources.state import StateStore
+
+root = {root!r}
+store = StateStore(None, root)  # spark unused by the manifest protocol
+store.begin_run(["t1"])
+staged = os.path.join(root, "t1", "v=1")
+os.makedirs(staged, exist_ok=True)
+with open(os.path.join(staged, "part-0.parquet"), "w") as f:
+    f.write("staged")
+
+pid = os.fork()
+if pid == 0:
+    # forked child: DIFFERENT pid, but it inherits the parent's _LIVE_RUNS
+    # copy AND the parent (the manifest's owner) is genuinely alive — a read
+    # here must leave the parent's in-flight run untouched
+    child = StateStore(None, root)
+    child._recover()
+    ok = os.path.exists(child._pending_path) and os.path.isdir(staged)
+    os._exit(0 if ok else 17)
+_, status = os.waitpid(pid, 0)
+print("CHILD_OK" if os.waitstatus_to_exitcode(status) == 0 else "CHILD_FAIL",
+      flush=True)
+store.abort_run()
+print("ABORTED" if not os.path.exists(store._pending_path) else "LEAK",
+      flush=True)
+"""
+
+
+def test_forked_child_does_not_recover_parents_live_run(tmp_path):
+    """A store opened in a forked child (same registry dict copied, different
+    pid) must classify the parent's in-flight run as alive and leave it be."""
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "forked")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [_sys.executable, "-c", _FORK_WRITER.format(repo=repo, root=root)],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.split() == ["CHILD_OK", "ABORTED"]
+
+
+_EXEC_WRITER = """\
+import os, sys
+sys.path.insert(0, {repo!r})
+from ortholog_pipeline_spark.sources.state import StateStore
+
+root = {root!r}
+store = StateStore(None, root)
+store.begin_run(["t1"])
+staged = os.path.join(root, "t1", "v=1")
+os.makedirs(staged, exist_ok=True)
+with open(os.path.join(staged, "part-0.parquet"), "w") as f:
+    f.write("staged")
+# exec replaces this process image: same pid, empty _LIVE_RUNS in the new
+# image — the documented "same-pid restart after exec" dead tier
+os.execv(sys.executable, [sys.executable, "-c", {second!r}])
+"""
+
+_EXEC_READER = """\
+import os, sys
+sys.path.insert(0, {repo!r})
+from ortholog_pipeline_spark.sources.state import StateStore
+
+root = {root!r}
+reader = StateStore(None, root)
+reader._recover()
+manifest_gone = not os.path.exists(reader._pending_path)
+staged_gone = not os.path.isdir(os.path.join(root, "t1", "v=1"))
+print("RECOVERED" if manifest_gone and staged_gone else "STUCK", flush=True)
+"""
+
+
+def test_exec_same_pid_manifest_is_dead(tmp_path):
+    """After exec the pid persists but the run's in-process registry is gone:
+    the manifest's logical run is dead by the documented same-pid tier, and a
+    read in the new image rolls the PREPARED run back."""
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "execd")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    second = _EXEC_READER.format(repo=repo, root=root)
+    out = subprocess.run(
+        [_sys.executable, "-c", _EXEC_WRITER.format(repo=repo, root=root, second=second)],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "RECOVERED"
+
+
+def _pending_manifest(root: str, owner: dict) -> None:
+    os.makedirs(os.path.join(root, "t1", "v=1"), exist_ok=True)
+    with open(os.path.join(root, "t1", "v=1", "part-0.parquet"), "w") as f:
+        f.write("staged")
+    with open(os.path.join(root, "_RUN_PENDING"), "w") as f:
+        json.dump(
+            {"run_id": "feedface", "state": "PREPARED", "tables": {"t1": None},
+             "owner": owner},
+            f,
+        )
+
+
+def test_unknowable_pid_start_falls_back_to_existence(spark, tmp_path):
+    """ADVICE r7 (medium): a same-host owner whose pid_start is None (writer
+    on a /proc-less platform) must be judged by bare pid existence, not
+    auto-classified dead."""
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "noproc")
+    store = StateStore(spark, root)
+    store.write("t1", spark.createDataFrame([(1, "a")], "k int, v string"))
+
+    sleeper = subprocess.Popen([_sys.executable, "-c", "import time; time.sleep(120)"])
+    try:
+        owner = {
+            "pid": sleeper.pid,
+            "pid_start": None,  # unknowable on the writer's side
+            "host": state_mod._HOST,
+            "boot_id": state_mod._boot_id(),
+        }
+        _pending_manifest(root, owner)
+        reader = StateStore(spark, root)
+        assert reader._owner_alive(json.load(open(reader._pending_path)))
+        reader._recover()
+        assert os.path.exists(reader._pending_path), "live /proc-less writer rolled back"
+    finally:
+        sleeper.kill()
+        sleeper.wait()
+    # once the pid is gone, the same fallback classifies it dead
+    reader2 = StateStore(spark, root)
+    reader2._recover()
+    assert not os.path.exists(reader2._pending_path)
+    assert not os.path.isdir(os.path.join(root, "t1", "v=1"))
+
+
+def test_same_hostname_different_boot_id_is_unverifiable(spark, tmp_path):
+    """ADVICE r7 (low): duplicate hostnames across cloned containers — a
+    matching hostname with a MISMATCHED boot id must not trust the local
+    /proc table; the run is left alone until repair(force=True)."""
+    root = str(tmp_path / "dupHost")
+    store = StateStore(spark, root)
+    store.write("t1", spark.createDataFrame([(1, "a")], "k int, v string"))
+    owner = {
+        "pid": 1,  # pid 1 exists locally (init) — exactly the wrong-table trap
+        "pid_start": "999999999",
+        "host": state_mod._HOST,
+        "boot_id": "00000000-0000-0000-0000-000000000000",
+    }
+    _pending_manifest(root, owner)
+    reader = StateStore(spark, root)
+    assert sorted(tuple(r) for r in reader.read("t1").collect()) == [(1, "a")]
+    assert os.path.exists(reader._pending_path), "cross-boot manifest destroyed"
+    assert reader.repair() is False
+    assert reader.repair(force=True) is True
+    assert not os.path.exists(reader._pending_path)
+
+
+def test_recover_tolerates_concurrent_manifest_removal(spark, tmp_path, monkeypatch):
+    """ADVICE r7 (low): the loser of the os.remove race (two readers both pass
+    the dead-owner check) must treat the vanished manifest as recovered."""
+    root = str(tmp_path / "race")
+    store = StateStore(spark, root)
+    store.write("t1", spark.createDataFrame([(1, "a")], "k int, v string"))
+    owner = {
+        "pid": 2 ** 22 + 1234,  # no such pid: provably dead owner
+        "pid_start": "1",
+        "host": state_mod._HOST,
+        "boot_id": state_mod._boot_id(),
+    }
+    _pending_manifest(root, owner)
+
+    real_remove = os.remove
+
+    def racing_remove(path, *a, **kw):
+        if path.endswith("_RUN_PENDING"):
+            real_remove(path)  # the OTHER reader wins the race...
+            raise FileNotFoundError(path)  # ...and our own remove then misses
+        return real_remove(path, *a, **kw)
+
+    monkeypatch.setattr(state_mod.os, "remove", racing_remove)
+    reader = StateStore(spark, root)
+    # must not raise, and the run resolves exactly once
+    assert sorted(tuple(r) for r in reader.read("t1").collect()) == [(1, "a")]
+    assert not os.path.exists(reader._pending_path)
+
+
+def test_candidate_join_validation():
+    """ADVICE r7 (low): an invalid candidate_join surfaces as a ValueError
+    naming the valid options, not a bare KeyError."""
+    from ortholog_pipeline_spark.operators.dedup import editdist1_join
+
+    with pytest.raises(ValueError, match="candidate_join must be one of.*foo"):
+        editdist1_join(None, "s", candidate_join="foo")

@@ -109,19 +109,49 @@ def test_steady_drift_ignores_window_fill_transient():
     cheap); the estimator must read ~1.0 on a store whose post-fill commits
     are flat even when early batches are 2x cheaper."""
     bench = _load_bench()
-    series = [400, 500, 600, 800, 1000, 1000, 1000, 1000, 1000, 1000, 1000, 1000]
+    series = [400, 500, 600, 800] + [1000] * 20
     assert bench.steady_drift(series) == 1.0
 
 
-def test_steady_drift_catches_monotonic_growth():
+def test_steady_drift_catches_injected_linear_regression():
+    """VERDICT r7 ask 1: a synthetic commit-cost-grows-with-state series
+    (linear growth, every pairwise slope positive) must red-line past the
+    pinned bar — the injected-regression proof that the robust estimator
+    still catches what the probe exists to catch."""
     bench = _load_bench()
-    series = [900, 900, 900, 900] + list(range(1000, 1800, 100))
+    series = [900] * 4 + [1000 + 50 * i for i in range(20)]  # ~2x over window
     assert bench.steady_drift(series) > bench.STREAM_DRIFT_BAR
+    # a ~55%-per-window linear climb still clears the 1.2 bar (the real
+    # failure mode — commit cost proportional to a state that grows ~6x
+    # across the window — reads far above either)...
+    shallow = [900] * 4 + [1000 + 30 * i for i in range(20)]
+    assert bench.steady_drift(shallow) > bench.STREAM_DRIFT_BAR
+    # ...and so does a sustained LEVEL SHIFT (the rewrite-the-world commit
+    # signature actually observed in snapshot-mode RocksDB runs)
+    step = [900] * 4 + [750] * 10 + [1250] * 10
+    assert bench.steady_drift(step) > bench.STREAM_DRIFT_BAR
+
+
+def test_steady_drift_tolerates_gc_spikes():
+    """The r7 half-means estimator read up to 2.26 on identical code when a
+    GC spike landed in one half; the Theil-Sen slope median must hold ~1.0
+    on a flat series carrying 3x outliers in EITHER half."""
+    bench = _load_bench()
+    flat = [900] * 4 + [1000] * 20
+    for spike_at in (6, 12, 19, 22):
+        series = list(flat)
+        series[spike_at] = 3200
+        assert bench.steady_drift(series) < bench.STREAM_DRIFT_BAR
+    two = list(flat)
+    two[8], two[20] = 3000, 2800  # one spike per half: half-means read ~1.2+
+    assert bench.steady_drift(two) <= 1.1
 
 
 def test_steady_drift_short_series_is_none():
+    """Below 12 steady batches no estimator separates drift from noise —
+    the r7 false flag came from exactly such an 8-batch window."""
     bench = _load_bench()
-    assert bench.steady_drift([100] * 9) is None
+    assert bench.steady_drift([100] * 15) is None
     assert bench.steady_drift([]) is None
 
 

@@ -174,3 +174,52 @@ def test_sweep_digest_shape():
     assert digest["names"]["q_bad"]["err"] == "boom"
     assert digest["names"]["q_bad"]["hash_match"] is False
     assert len(digest["git_head"]) == 40
+
+
+def _load_tool(name):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        f"{name}_mod", os.path.join(repo, "tools", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_compare_rounds_hash_and_bench_surfaces(capsys):
+    """VERDICT r7 ask 7: the round-diff tool must read the committed r6/r7
+    artifacts, report value-hash drift over the hash-bearing sources, and
+    normalize bench totals by the calibration anchor (or say it can't)."""
+    import sys
+
+    cr = _load_tool("compare_rounds")
+    old_argv = sys.argv
+    sys.argv = ["compare_rounds.py", "r6", "r7"]
+    try:
+        cr.main()
+    finally:
+        sys.argv = old_argv
+    out = capsys.readouterr().out
+    assert "value-hash drift r6 -> r7" in out
+    assert "SWEEP_r7.json" in out          # r7's hash source found
+    assert "CHANGED: 0" in out             # r6/r7 share no hash-bearing names
+    assert "bench drift" in out
+    assert "raw ratio 0.923" in out        # 362.032 / 392.162
+    # r6 predates the anchor: the tool must say so, not fake a normalization
+    assert "unanchored" in out
+
+
+def test_certify_round_pool_prefers_never_committed(tmp_path):
+    """VERDICT r7 ask 3: the rotating cert's pool draws first from names
+    never present in any committed gate/cert, and --legacy-pool reproduces
+    the historical draw (pinned against CERTIFICATION_r7.json's own list)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cr = _load_tool("certify_round")
+    gate = os.path.join(repo, "CORRECTNESS_r05.json")
+    covered = cr.committed_names(8)
+    names = cr.pick_names(8, gate, 75)
+    assert len(names) == 75
+    assert all(n not in covered for n in names)
+    legacy = cr.pick_names(7, gate, 75, legacy_pool=True)
+    with open(os.path.join(repo, "CERTIFICATION_r7.json")) as fh:
+        assert legacy == json.load(fh)["names"]

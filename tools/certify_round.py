@@ -7,9 +7,18 @@ correctness exposure builder-side: each round runs driver_sim over a
 driver gate does NOT cover, so every round's committed artifact hash-covers
 a fresh slice of the registry without relying on judge sampling.
 
-Determinism: the sample is random.Random(seed) over the sorted complement of
-the frozen-gate names — anyone can re-derive the name list from (seed,
-CORRECTNESS gate file, registry) and re-run the identical batch.
+Determinism: the sample is random.Random(seed) over a sorted pool — anyone
+can re-derive the name list from (seed, the committed artifacts, registry)
+and re-run the identical batch.
+
+Pool construction (r8, VERDICT r7 ask 3): the sample draws FIRST from the
+names that have never appeared in ANY committed gate or certification
+(registry minus the union of every CORRECTNESS_r*.json and every prior
+CERTIFICATION_r*.json's names) so the rotation eats the never-committed
+complement down each round; only if that complement is smaller than n does
+it top up from the rest of the non-frozen-gate pool. --legacy-pool restores
+the pre-r8 behavior (complement of the frozen gate only) for reproducing
+old rounds' name lists.
 
 Run: python tools/certify_round.py ROUND [--sf-dir /root/testdata/sf0.01]
          [--gate CORRECTNESS_r05.json] [--n 50]
@@ -30,7 +39,32 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def pick_names(round_no: int, gate_path: str, n: int) -> list[str]:
+def committed_names(before_round: int) -> set[str]:
+    """Every name present in a committed driver gate or a PRIOR round's
+    certification artifact at the repo root."""
+    import glob
+    import re
+
+    covered: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        try:
+            covered |= set(json.load(open(path)))
+        except (OSError, json.JSONDecodeError):
+            pass
+    for path in glob.glob(os.path.join(REPO, "CERTIFICATION_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m and int(m.group(1)) >= before_round:
+            continue  # this round's own (re)run must not shrink its pool
+        try:
+            covered |= set(json.load(open(path)).get("names", []))
+        except (OSError, json.JSONDecodeError):
+            pass
+    return covered
+
+
+def pick_names(
+    round_no: int, gate_path: str, n: int, legacy_pool: bool = False
+) -> list[str]:
     import __spark_entry__ as e
 
     all_names = sorted(e.queries())
@@ -39,9 +73,19 @@ def pick_names(round_no: int, gate_path: str, n: int) -> list[str]:
             gated = set(json.load(f))
     except (OSError, json.JSONDecodeError):
         gated = set()
-    pool = [q for q in all_names if q not in gated]
     rng = random.Random(round_no)
-    return sorted(rng.sample(pool, min(n, len(pool))))
+    if legacy_pool:
+        pool = [q for q in all_names if q not in gated]
+        return sorted(rng.sample(pool, min(n, len(pool))))
+    covered = committed_names(round_no) | gated
+    complement = [q for q in all_names if q not in covered]
+    if len(complement) >= n:
+        return sorted(rng.sample(complement, n))
+    # complement exhausted: take all of it, top up from the rest of the
+    # non-frozen-gate pool
+    rest = [q for q in all_names if q not in gated and q not in complement]
+    top_up = rng.sample(rest, min(n - len(complement), len(rest)))
+    return sorted(complement + top_up)
 
 
 def main() -> int:
@@ -51,9 +95,12 @@ def main() -> int:
     ap.add_argument("--gate", default=os.path.join(REPO, "CORRECTNESS_r05.json"))
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--batch", type=int, default=25)
+    ap.add_argument("--legacy-pool", action="store_true",
+                    help="pre-r8 pool (frozen-gate complement only), for "
+                         "reproducing old rounds' name lists")
     args = ap.parse_args()
 
-    names = pick_names(args.round, args.gate, args.n)
+    names = pick_names(args.round, args.gate, args.n, legacy_pool=args.legacy_pool)
     t0 = time.monotonic()
     report: dict[str, dict] = {}
     # fresh JVM per batch (same session-hygiene rationale as tools/sweep.py)

@@ -319,8 +319,16 @@ def minhash_lsh_dedup(
     bands: int = 4,
     threshold: float = 0.5,
     collapse_exact: bool = False,
+    expand_groups: bool = True,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-duplicate pairs ≥ threshold Jaccard.
+
+    ``expand_groups=False`` (with ``collapse_exact=True``) returns the
+    REPRESENTATIVE-level pairs without expanding identical-text groups back
+    to members: the output a keeper-decision consumer needs (each group acts
+    as one document) and the seam the scale probes use to time the
+    candidate+verify stages separately from the semantically-quadratic pair
+    materialization. No-op when collapse_exact is off.
 
     Scale shape: tokenize+md5 runs ONCE — documents are reduced to distinct 31-bit
     shingle hashes up front (int arrays, ~100× smaller than text), then the
@@ -404,7 +412,7 @@ def minhash_lsh_dedup(
         with_sig, id_col, "sig", bands, num_hashes // bands
     )
     rep_pairs = jaccard_verify(base, cands, id_col, "h31", threshold)
-    if not collapse_exact:
+    if not collapse_exact or not expand_groups:
         return rep_pairs
 
     members = groups.select("_rep", F.explode("_members").alias("_m"))
@@ -423,13 +431,39 @@ def minhash_lsh_dedup(
         )
     )
     if threshold <= 1.0:
+        # intra-group pairs via a bucketed triangle join, NOT a plain
+        # self-join on _rep: one identical-text group is ONE join key, so a
+        # g-member group would build its C(g,2) output rows in a single
+        # task — a straggler that at corpus scale turns the (semantically
+        # unavoidable) quadratic OUTPUT into a sequential bottleneck.
+        # Members are hashed into B buckets; each row joins every bucket
+        # >= its own ((_rep, bucket) keys), so the group's pair output
+        # spreads across ~B tasks while each unordered pair still
+        # materializes exactly once: a cross-bucket pair (bi < bj) appears
+        # only via the bi row's replication up to bj, and a same-bucket
+        # pair passes the _m < _m2 filter once. Only multi-member groups
+        # enter the expansion — a clean corpus (all-singleton groups) pays
+        # nothing here.
+        B = df.sparkSession.sparkContext.defaultParallelism
+        multi = groups.filter(F.size("_members") >= 2).select(
+            "_rep", F.explode("_members").alias("_m")
+        )
+        mb = multi.withColumn(
+            "_b", F.pmod(F.xxhash64(F.col("_m")), F.lit(B)).cast("int")
+        )
+        left = mb.withColumn(
+            "_bj", F.explode(F.sequence(F.col("_b"), F.lit(B - 1)))
+        )
+        right = mb.withColumnsRenamed({"_m": "_m2", "_b": "_bj"})
         intra = (
-            members.withColumnsRenamed({"_m": "_m1"})
-            .join(members.withColumnsRenamed({"_m": "_m2"}), "_rep")
-            .filter(F.col("_m1") < F.col("_m2"))
+            left.join(right, ["_rep", "_bj"])
+            .filter(
+                (F.col("_b") < F.col("_bj"))
+                | ((F.col("_b") == F.col("_bj")) & (F.col("_m") < F.col("_m2")))
+            )
             .select(
-                F.col("_m1").alias("id_1"),
-                F.col("_m2").alias("id_2"),
+                F.least("_m", "_m2").alias("id_1"),
+                F.greatest("_m", "_m2").alias("id_2"),
                 F.lit(1.0).alias("jaccard"),
             )
         )

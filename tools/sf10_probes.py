@@ -366,37 +366,57 @@ def run_probes(spark, src: str, dir100: str, replicas: int, scales: list[int],
         # training grams. Under the suffix construction eval grams only match
         # train docs of the SAME replica (suffixed tokens collide with
         # nothing), so the matched-doc workload grows exactly linearly.
-        def _decontam():
-            toks = docs.select(
-                "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-            )
-            grams = (
-                toks.filter(F.size("t") >= 4)
-                .select(
-                    "doc_id",
-                    F.explode(
-                        F.expr(
-                            "transform(sequence(0, size(t) - 4),"
-                            " i -> array_join(slice(t, i + 1, 4), ' '))"
-                        )
-                    ).alias("g"),
+        # Two eval-suite regimes (r8, VERDICT r7 ask 5):
+        #   * growing: eval docs drawn across ALL replicas — eval-gram
+        #     broadcast grows linearly with the corpus (the synthetic
+        #     worst case; this is the family whose last-decade ratio the
+        #     linear-fit block in main() explains);
+        #   * fixed: eval docs from replica 0 only — a constant-size
+        #     broadcast, the PRODUCTION regime (a benchmark suite does not
+        #     grow because the training corpus did), isolating the pure
+        #     scan-proportional component.
+        def _decontam(fixed_eval: bool):
+            def run():
+                toks = docs.select(
+                    "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
                 )
-                .distinct()
-            )
-            is_eval = F.col("doc_id") % 97 == 0
-            eval_grams = grams.filter(is_eval).select("g").distinct()
-            train = grams.filter(~is_eval)
-            tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-            hit = (
-                train.join(F.broadcast(eval_grams), "g")
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("n_shared"))
-            )
-            return tot.join(hit, "doc_id").count()
+                grams = (
+                    toks.filter(F.size("t") >= 4)
+                    .select(
+                        "doc_id",
+                        F.explode(
+                            F.expr(
+                                "transform(sequence(0, size(t) - 4),"
+                                " i -> array_join(slice(t, i + 1, 4), ' '))"
+                            )
+                        ).alias("g"),
+                    )
+                    .distinct()
+                )
+                is_eval = F.col("doc_id") % 97 == 0
+                if fixed_eval:
+                    is_eval = is_eval & (F.col("doc_id") < OFF)
+                eval_grams = grams.filter(is_eval).select("g").distinct()
+                train = grams.filter(~is_eval)
+                tot = train.groupBy("doc_id").agg(
+                    F.count(F.lit(1)).alias("n_grams")
+                )
+                hit = (
+                    train.join(F.broadcast(eval_grams), "g")
+                    .groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("n_shared"))
+                )
+                return tot.join(hit, "doc_id").count()
 
-        sec, n_hit = _timed(_decontam)
+            return run
+
+        sec, n_hit = _timed(_decontam(False))
         out["times"][f"decontam_{s}x"] = sec
         out["counts"][f"decontam_hits_{s}x"] = n_hit
+        spark.catalog.clearCache()
+        sec, n_hit = _timed(_decontam(True))
+        out["times"][f"decontam_fixed_eval_{s}x"] = sec
+        out["counts"][f"decontam_fixed_eval_hits_{s}x"] = n_hit
         spark.catalog.clearCache()
 
     # linear-regime check: TRUE pairs grow exactly linearly under the suffix
@@ -538,30 +558,52 @@ def run_probes(spark, src: str, dir100: str, replicas: int, scales: list[int],
     out["times"][f"skew_minhash_hot500_{top}x"] = sec_h
     out["skew_minhash_ratio"] = round(sec_h / sec_u, 2) if sec_u else None
 
-    # duplicate-heavy leg: a 50-per-replica identical cluster (5000 docs at
-    # 100 replicas -> C(5000,2) = 12.5M true pairs). This is the regime
-    # collapse_exact exists for: uncollapsed, every one of those pairs is a
-    # banded candidate carrying two shingle arrays through the verify join;
-    # collapsed, the expensive stages see ONE representative and only the
-    # (semantically required) pair output stays quadratic. Both twins emit
-    # identical rows (pinned by test_minhash_collapse_exact_output_identical).
-    docs_big = docs_top.withColumn(
-        "text",
-        F.when(F.col("doc_id") % OFF < 50, F.lit(hot_text)).otherwise(
-            F.col("text")
-        ),
-    )
-    for collapse in (False, True):
+    # duplicate-heavy twins (reworked r8, VERDICT r7 ask 2): the r7 twin
+    # timed .count() over the FULL pipeline at a single cluster size, and
+    # the corpus-proportional signature/banding floor (~30 s over 500k
+    # docs) plus the C(5000,2)=12.5M-pair output materialization dominated
+    # both legs (40.10 vs 40.07 s — discriminating nothing). Two changes:
+    #   * per-stage timing — `collapsed_stages` times the collapse + sig +
+    #     band + verify stages at REPRESENTATIVE granularity
+    #     (expand_groups=False, the new operator seam), separating what
+    #     collapse optimizes from the semantically-quadratic expansion;
+    #   * a second cluster size (200/replica -> 20k docs, C=200M pairs,
+    #     16x the quadratic work at identical corpus size) so the
+    #     quadratic component is visible above the linear floor — at
+    #     g=5000 the honest negative is RECORDED: collapse saves only the
+    #     small verify delta there because banding the 500k-doc corpus
+    #     dominates, which is exactly the right 100 TB shape.
+    # Both full twins emit identical rows (pinned by
+    # test_minhash_collapse_exact_output_identical); the intra-group
+    # expansion is a bucketed triangle join since r8 (dedup.py), so the
+    # collapsed leg no longer serializes C(g,2) rows through one task.
+    for g_per_rep, gtag in ((50, "g5k"), (200, "g20k")):
+        docs_big = docs_top.withColumn(
+            "text",
+            F.when(F.col("doc_id") % OFF < g_per_rep, F.lit(hot_text)).otherwise(
+                F.col("text")
+            ),
+        )
         sec, n = _timed(
             lambda: DD.minhash_lsh_dedup(
                 docs_big, k=3, num_hashes=16, bands=4, threshold=0.5,
-                collapse_exact=collapse,
+                collapse_exact=True, expand_groups=False,
             ).count()
         )
-        key = "collapsed" if collapse else "uncollapsed"
-        out["times"][f"dupheavy_minhash_{key}_{top}x"] = sec
-        out["counts"][f"dupheavy_pairs_{key}_{top}x"] = n
+        out["times"][f"dupheavy_{gtag}_collapsed_stages_{top}x"] = sec
+        out["counts"][f"dupheavy_{gtag}_rep_pairs_{top}x"] = n
         spark.catalog.clearCache()
+        for collapse in (False, True):
+            sec, n = _timed(
+                lambda: DD.minhash_lsh_dedup(
+                    docs_big, k=3, num_hashes=16, bands=4, threshold=0.5,
+                    collapse_exact=collapse,
+                ).count()
+            )
+            key = "collapsed" if collapse else "uncollapsed"
+            out["times"][f"dupheavy_{gtag}_{key}_full_{top}x"] = sec
+            out["counts"][f"dupheavy_{gtag}_pairs_{key}_{top}x"] = n
+            spark.catalog.clearCache()
 
     edges = (
         spark.read.parquet(f"{src}/lineitem.parquet")
@@ -646,7 +688,7 @@ def main() -> int:
 
     # growth ratios between consecutive measured scales, per family
     ratios: dict[str, float] = {}
-    fams = ["minhash", "cluster_assign", "er", "decontam"] + (
+    fams = ["minhash", "cluster_assign", "er", "decontam", "decontam_fixed_eval"] + (
         [] if args.skip_flow else ["flow_species", "flow_agr"]
     )
     for fam in fams:
@@ -655,6 +697,33 @@ def main() -> int:
             b = probes["times"].get(f"{fam}_{hi}x")
             if a and b:
                 ratios[f"{fam}_{hi}x_over_{lo}x"] = round(b / a, 2)
+
+    # Decontamination growth-law receipt (VERDICT r7 ask 5): the family's
+    # last-decade ratio (5.6x in r7) is NOT a shuffle artifact — the probe
+    # is a scan-every-training-doc operator, so its cost law is t = a + b*s
+    # (fixed session/plan overhead + input-proportional work), and a pure
+    # linear law's per-decade ratio APPROACHES 10x as the fixed term
+    # amortizes (r7: fit from the 1x/10x points predicts the measured 100x
+    # within 8%). Linear is the floor for an operator semantically required
+    # to touch every row; the fit (not the decade ratio) is the scale
+    # evidence, recorded per variant. rel_err <= 0.25 = the input-
+    # proportionality argument holds; a large positive rel_err would be the
+    # superlinear smoking gun the ask is probing for.
+    fits: dict[str, dict] = {}
+    for fam in ("decontam", "decontam_fixed_eval"):
+        t = [probes["times"].get(f"{fam}_{s}x") for s in scales]
+        if len(scales) >= 3 and all(t):
+            b = (t[1] - t[0]) / (scales[1] - scales[0])
+            a = t[0] - b * scales[0]
+            pred = a + b * scales[-1]
+            fits[fam] = {
+                "fixed_sec": round(a, 2),
+                "per_1x_sec": round(b, 4),
+                "predicted_at_top": round(pred, 2),
+                "measured_at_top": t[-1],
+                "rel_err": round(abs(pred - t[-1]) / t[-1], 3),
+                "linear_law_holds": bool(abs(pred - t[-1]) / t[-1] <= 0.25),
+            }
 
     head = subprocess.run(
         ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=REPO
@@ -669,6 +738,7 @@ def main() -> int:
         "counts": probes["counts"],
         "linearity_ok": probes.get("linearity_ok"),
         "growth_ratios": ratios,
+        "decontam_growth_law": fits or None,
         "skew_minhash_ratio": probes.get("skew_minhash_ratio"),
         "skew_cc_ratio": probes.get("skew_cc_ratio"),
         "quality_floors_at_dir": fl,

@@ -1272,3 +1272,51 @@ def test_minhash_collapse_exact_output_identical(spark):
     intra = {(a, b) for a, b, j in fast if j == 1.0}
     assert any(b - a == 100_000 for a, b in intra)  # pair clusters
     assert any(b - a == 200_000 for a, b in intra)  # triple clusters
+
+
+def test_minhash_collapse_large_group_expansion_exactly_once(spark):
+    """r8: the intra-group expansion is a bucketed triangle join (one
+    identical-text group no longer builds its C(g,2) pairs in a single
+    task). A 100-member group spans every hash bucket, exercising both the
+    same-bucket (_m < _m2) and every cross-bucket (bi < bj) path — each
+    unordered pair must materialize EXACTLY once, id-ordered, at Jaccard 1,
+    and cross-group near-dup pairs must still expand to all members."""
+    from pyspark.sql import functions as F
+
+    from ortholog_pipeline_spark.operators import dedup as DD
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    donor = base.filter(F.col("doc_id") == 7).select("text").first().text
+    big = spark.createDataFrame(
+        [(1_000_000 + i, donor) for i in range(100)], "doc_id long, text string"
+    )
+    corpus = base.filter(F.col("doc_id") != 7).unionByName(big)
+
+    rows = DD.minhash_lsh_dedup(
+        corpus, k=3, num_hashes=16, bands=4, threshold=0.5, collapse_exact=True
+    ).collect()
+    intra = [
+        (r.id_1, r.id_2)
+        for r in rows
+        if r.id_1 >= 1_000_000 and r.id_2 >= 1_000_000
+    ]
+    # exactly C(100, 2) pairs, no duplicates, id_1 < id_2 everywhere
+    assert len(intra) == 100 * 99 // 2
+    assert len(set(intra)) == len(intra)
+    assert all(a < b for a, b in intra)
+    assert all(
+        r.jaccard == 1.0
+        for r in rows
+        if r.id_1 >= 1_000_000 and r.id_2 >= 1_000_000
+    )
+    # and the whole output still matches the uncollapsed pipeline
+    naive = {
+        (r.id_1, r.id_2, r.jaccard)
+        for r in DD.minhash_lsh_dedup(
+            corpus, k=3, num_hashes=16, bands=4, threshold=0.5,
+            collapse_exact=False,
+        ).collect()
+    }
+    assert {(r.id_1, r.id_2, r.jaccard) for r in rows} == naive

@@ -320,6 +320,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     collapse_exact: bool = False,
     expand_groups: bool = True,
+    target_members_per_bucket: int = 256,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-duplicate pairs ≥ threshold Jaccard.
 
@@ -329,6 +330,13 @@ def minhash_lsh_dedup(
     as one document) and the seam the scale probes use to time the
     candidate+verify stages separately from the semantically-quadratic pair
     materialization. No-op when collapse_exact is off.
+
+    ``target_members_per_bucket`` sizes the intra-group expansion's bucketed
+    triangle join: a group fans out over ``least(defaultParallelism,
+    ceil(g / target))`` buckets, so small identical-text groups (pairs,
+    triples — the common case in a lightly-duplicated corpus) keep the
+    replication-free single-bucket path and only genuinely large groups pay
+    the spread that keeps their C(g, 2) output off one task.
 
     Scale shape: tokenize+md5 runs ONCE — documents are reduced to distinct 31-bit
     shingle hashes up front (int arrays, ~100× smaller than text), then the
@@ -436,25 +444,42 @@ def minhash_lsh_dedup(
         # g-member group would build its C(g,2) output rows in a single
         # task — a straggler that at corpus scale turns the (semantically
         # unavoidable) quadratic OUTPUT into a sequential bottleneck.
-        # Members are hashed into B buckets; each row joins every bucket
+        # Members are hashed into B_g buckets; each row joins every bucket
         # >= its own ((_rep, bucket) keys), so the group's pair output
-        # spreads across ~B tasks while each unordered pair still
+        # spreads across ~B_g tasks while each unordered pair still
         # materializes exactly once: a cross-bucket pair (bi < bj) appears
         # only via the bi row's replication up to bj, and a same-bucket
         # pair passes the _m < _m2 filter once. Only multi-member groups
         # enter the expansion — a clean corpus (all-singleton groups) pays
-        # nothing here.
+        # nothing here. B_g is PER GROUP (ADVICE r8): a flat B would make
+        # every pair/triple group pay ~B/2× row replication to fix a
+        # straggler only giant groups exhibit, so small groups get a single
+        # bucket (zero replication) and the count grows with group size up
+        # to defaultParallelism — a g-member group replicates its rows
+        # ~B_g/2× while its per-bucket fan-out stays ≥ target size.
         B = df.sparkSession.sparkContext.defaultParallelism
-        multi = groups.filter(F.size("_members") >= 2).select(
-            "_rep", F.explode("_members").alias("_m")
+        multi = (
+            groups.filter(F.size("_members") >= 2)
+            .withColumn(
+                "_nb",  # per-group bucket count (NOT "_B": Spark resolves
+                # column names case-insensitively, so "_B" would collide
+                # with the per-row bucket id "_b")
+                F.least(
+                    F.lit(B),
+                    F.ceil(
+                        F.size("_members") / F.lit(target_members_per_bucket)
+                    ),
+                ).cast("int"),
+            )
+            .select("_rep", "_nb", F.explode("_members").alias("_m"))
         )
         mb = multi.withColumn(
-            "_b", F.pmod(F.xxhash64(F.col("_m")), F.lit(B)).cast("int")
+            "_b", F.pmod(F.xxhash64(F.col("_m")), F.col("_nb")).cast("int")
         )
         left = mb.withColumn(
-            "_bj", F.explode(F.sequence(F.col("_b"), F.lit(B - 1)))
-        )
-        right = mb.withColumnsRenamed({"_m": "_m2", "_b": "_bj"})
+            "_bj", F.explode(F.sequence(F.col("_b"), F.col("_nb") - 1))
+        ).drop("_nb")
+        right = mb.drop("_nb").withColumnsRenamed({"_m": "_m2", "_b": "_bj"})
         intra = (
             left.join(right, ["_rep", "_bj"])
             .filter(

@@ -19,6 +19,7 @@ from ortholog_pipeline_spark.streaming.ann_ingest import (
 )
 from ortholog_pipeline_spark.streaming.joins import interval_equi_join
 from ortholog_pipeline_spark.streaming.sources import read_stream_events, read_stream_tsv
+from ortholog_pipeline_spark.streaming.state_conf import ensure_state_store_conf
 from ortholog_pipeline_spark.streaming.stateful import sessionize
 from ortholog_pipeline_spark.streaming.sync import foreach_batch_sync
 from ortholog_pipeline_spark.streaming.windows import (
@@ -29,6 +30,7 @@ from ortholog_pipeline_spark.streaming.windows import (
 )
 
 __all__ = [
+    "ensure_state_store_conf",
     "read_stream_events",
     "read_stream_tsv",
     "tumbling_agg",

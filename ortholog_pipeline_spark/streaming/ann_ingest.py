@@ -46,6 +46,9 @@ def read_stream_embeddings(
     max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """Open an unbounded stream over an embeddings landing directory."""
+    from ortholog_pipeline_spark.streaming.state_conf import ensure_state_store_conf
+
+    ensure_state_store_conf(spark)
     reader = (
         spark.readStream.format("parquet")
         .schema(EMBEDDINGS_LANDING_SCHEMA)

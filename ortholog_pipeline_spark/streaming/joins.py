@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ortholog_pipeline_spark.streaming.state_conf import ensure_state_store_conf
+
 
 def interval_equi_join(
     left: DataFrame,
@@ -35,6 +37,8 @@ def interval_equi_join(
     l = left.select(*[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns])
     r = right.select(*[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
     lts, rts = f"{left_prefix}{ts_col}", f"{right_prefix}{ts_col}"
+    if l.isStreaming or r.isStreaming:
+        ensure_state_store_conf(left.sparkSession)
     if l.isStreaming:
         l = l.withWatermark(lts, watermark)
     if r.isStreaming:

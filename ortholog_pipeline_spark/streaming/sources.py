@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ortholog_pipeline_spark.streaming.state_conf import ensure_state_store_conf
+
 #: Event schema matching the driver's events.parquet (ts arrives as ISO string in
 #: landed files and is cast to a real timestamp on read).
 EVENTS_LANDING_SCHEMA = T.StructType(
@@ -34,6 +36,7 @@ def read_stream_events(
     max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """Open an unbounded stream over an events landing directory."""
+    ensure_state_store_conf(spark)
     reader = spark.readStream.format(fmt).schema(EVENTS_LANDING_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -52,6 +55,7 @@ def read_stream_tsv(
     """Streaming twin of the batch TSV scans (S2-S4): same schema'd csv options,
     applied per newly landed file. The batch parsers' projections/filters compose on
     top unchanged — a streaming DataFrame accepts the same narrow transformations."""
+    ensure_state_store_conf(spark)
     reader = (
         spark.readStream.format("csv")
         .schema(schema)

@@ -108,6 +108,10 @@ def sessionize(
 ) -> DataFrame:
     """Gap-based sessionization of a streaming events frame: one output row per
     closed session (user_id, session bounds, event count, value sum)."""
+    from ortholog_pipeline_spark.streaming.state_conf import ensure_state_store_conf
+
+    if events.isStreaming:
+        ensure_state_store_conf(events.sparkSession)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy("user_id")

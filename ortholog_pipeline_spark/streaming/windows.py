@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ortholog_pipeline_spark.streaming.state_conf import ensure_state_store_conf
+
 
 def tumbling_agg(
     events: DataFrame,
@@ -22,6 +24,7 @@ def tumbling_agg(
     """Tumbling-window counts + value sums per event_type."""
     src = events
     if src.isStreaming:
+        ensure_state_store_conf(src.sparkSession)
         src = src.withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.window(F.col(ts_col), window_size), "event_type")
@@ -65,6 +68,7 @@ def dedup_stream(
         src = src.withColumn("fp", fingerprint(text_col))
         key_cols = ["fp"]
     if src.isStreaming:
+        ensure_state_store_conf(src.sparkSession)
         src = src.withWatermark(ts_col, watermark)
         return src.dropDuplicatesWithinWatermark(key_cols)
     return src.dropDuplicates(key_cols)
@@ -83,6 +87,7 @@ def session_agg(
     gaps-and-islands DuckDB oracle."""
     src = events
     if src.isStreaming:
+        ensure_state_store_conf(src.sparkSession)
         src = src.withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.session_window(F.col(ts_col), gap), "user_id")
@@ -110,6 +115,7 @@ def sliding_counts(
     """Sliding-window event counts per user — the rate-monitor shape."""
     src = events
     if src.isStreaming:
+        ensure_state_store_conf(src.sparkSession)
         src = src.withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.window(F.col(ts_col), window_size, slide), "user_id")

@@ -1294,8 +1294,12 @@ def test_minhash_collapse_large_group_expansion_exactly_once(spark):
     )
     corpus = base.filter(F.col("doc_id") != 7).unionByName(big)
 
+    # target_members_per_bucket=8 forces the 100-member group onto the
+    # multi-bucket path (r9: bucket count is per-group-size; the default 256
+    # would give this group the replication-free single bucket)
     rows = DD.minhash_lsh_dedup(
-        corpus, k=3, num_hashes=16, bands=4, threshold=0.5, collapse_exact=True
+        corpus, k=3, num_hashes=16, bands=4, threshold=0.5, collapse_exact=True,
+        target_members_per_bucket=8,
     ).collect()
     intra = [
         (r.id_1, r.id_2)
@@ -1320,3 +1324,35 @@ def test_minhash_collapse_large_group_expansion_exactly_once(spark):
         ).collect()
     }
     assert {(r.id_1, r.id_2, r.jaccard) for r in rows} == naive
+
+
+def test_minhash_expansion_bucket_count_is_per_group_size(spark):
+    """ADVICE r8 (low): the triangle-join bucket count must scale with GROUP
+    size — a flat defaultParallelism made every pair/triple group pay ~B/2×
+    row replication for a straggler only giant groups exhibit. Mixed corpus:
+    a 2-member group (B_g = 1, replication-free path) and a 40-member group
+    (B_g = ceil(40/8) capped at defaultParallelism) through one call — every
+    unordered pair exactly once on both paths, and the two paths coexist in
+    one plan (per-row bucket counts, not a global constant)."""
+    from ortholog_pipeline_spark.operators import dedup as DD
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "one two three four five six seven eight nine ten eleven twelve"
+    docs = [(i, text_a) for i in range(2)] + [
+        (100 + i, text_b) for i in range(40)
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = DD.minhash_lsh_dedup(
+        corpus, k=3, num_hashes=16, bands=4, threshold=0.9,
+        collapse_exact=True, target_members_per_bucket=8,
+    ).collect()
+    pairs = {(r.id_1, r.id_2) for r in rows}
+    assert len(pairs) == len(rows), "a pair materialized twice"
+    small = {p for p in pairs if p[1] < 100}
+    big = {p for p in pairs if p[0] >= 100}
+    assert small == {(0, 1)}
+    assert big == {
+        (100 + i, 100 + j) for i in range(40) for j in range(i + 1, 40)
+    }
+    assert small | big == pairs
+    assert all(r.jaccard == 1.0 for r in rows)

@@ -586,3 +586,206 @@ def test_candidate_join_validation():
 
     with pytest.raises(ValueError, match="candidate_join must be one of.*foo"):
         editdist1_join(None, "s", candidate_join="foo")
+
+
+# -- r9: heartbeat + machine-id liveness (VERDICT r8 ask 2, ADVICE r8 medium) --
+
+
+def test_heartbeat_thread_touches_manifest_and_stops(spark, tmp_path, monkeypatch):
+    """begin_run starts a heartbeat that refreshes the manifest mtime every
+    interval; commit/abort stop it. The mtime IS the liveness signal on
+    /proc-less hosts, so the writer side must actually emit it."""
+    import time as _time
+
+    monkeypatch.setattr(state_mod, "HEARTBEAT_INTERVAL_S", 0.1)
+    store = _two_table_store(spark, tmp_path, "hb")
+    store.begin_run(["t1"])
+    try:
+        m0 = os.path.getmtime(store._pending_path)
+        deadline = _time.time() + 5
+        while _time.time() < deadline:
+            _time.sleep(0.15)
+            if os.path.getmtime(store._pending_path) > m0:
+                break
+        assert os.path.getmtime(store._pending_path) > m0, "heartbeat never fired"
+        assert store._hb_thread is not None and store._hb_thread.is_alive()
+        hb = store._hb_thread
+    finally:
+        store.abort_run()
+    assert store._hb_thread is None and store._hb_stop is None
+    hb.join(timeout=5)
+    assert not hb.is_alive()
+    # manifest recorded the promise readers key the staleness horizon on
+    store2 = _two_table_store(spark, tmp_path, "hb2")
+    store2.begin_run(["t1"])
+    try:
+        with open(store2._pending_path) as f:
+            owner = json.load(f)["owner"]
+        assert owner["heartbeat_interval_s"] == 0.1
+        assert owner["machine_id"] == state_mod._machine_id()
+    finally:
+        store2.abort_run()
+
+
+def test_stale_heartbeat_recovers_procless_recycled_pid(spark, tmp_path):
+    """VERDICT r8 ask 2: on a /proc-less host a dead run whose pid was
+    recycled (pid EXISTS, identity unknowable) was permanently wedged. With a
+    stale heartbeat (mtime untouched past the horizon) the reader may finally
+    classify it dead and roll it back."""
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "staleHb")
+    store = StateStore(spark, root)
+    store.write("t1", spark.createDataFrame([(1, "a")], "k int, v string"))
+    # a LIVE pid standing in for "recycled": identity unknowable (pid_start
+    # None on the writer side), so only the heartbeat can tell dead from live
+    sleeper = subprocess.Popen([_sys.executable, "-c", "import time; time.sleep(120)"])
+    try:
+        owner = {
+            "pid": sleeper.pid,
+            "pid_start": None,
+            "host": state_mod._HOST,
+            "boot_id": state_mod._boot_id(),
+            "machine_id": state_mod._machine_id(),
+            "heartbeat_interval_s": 0.5,
+        }
+        _pending_manifest(root, owner)
+        p = os.path.join(root, "_RUN_PENDING")
+        past = os.path.getmtime(p) - 60  # >> 0.5 * horizon factor
+        os.utime(p, (past, past))
+        reader = StateStore(spark, root)
+        reader._recover()
+        assert not os.path.exists(p), "stale-heartbeat run not recovered"
+        assert not os.path.isdir(os.path.join(root, "t1", "v=1"))
+    finally:
+        sleeper.kill()
+        sleeper.wait()
+
+
+def test_fresh_heartbeat_keeps_procless_writer_alive(spark, tmp_path):
+    """VERDICT r8 ask 2 (the other direction): a live /proc-less writer whose
+    heartbeat is FRESH must never be rolled back — and a manifest with no
+    heartbeat promise (older engine) keeps the conservative alive verdict."""
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "freshHb")
+    store = StateStore(spark, root)
+    store.write("t1", spark.createDataFrame([(1, "a")], "k int, v string"))
+    sleeper = subprocess.Popen([_sys.executable, "-c", "import time; time.sleep(120)"])
+    try:
+        owner = {
+            "pid": sleeper.pid,
+            "pid_start": None,
+            "host": state_mod._HOST,
+            "boot_id": state_mod._boot_id(),
+            "machine_id": state_mod._machine_id(),
+            "heartbeat_interval_s": 30.0,
+        }
+        _pending_manifest(root, owner)
+        p = os.path.join(root, "_RUN_PENDING")
+        reader = StateStore(spark, root)
+        reader._recover()
+        assert os.path.exists(p), "live writer with fresh heartbeat rolled back"
+        # no-promise manifest: heartbeat tier must not fire at all
+        owner.pop("heartbeat_interval_s")
+        _pending_manifest(root, owner)
+        past = os.path.getmtime(p) - 3600
+        os.utime(p, (past, past))
+        StateStore(spark, root)._recover()
+        assert os.path.exists(p), "pre-heartbeat manifest destroyed by staleness"
+    finally:
+        sleeper.kill()
+        sleeper.wait()
+        StateStore(spark, root).repair(force=True)
+
+
+@pytest.mark.skipif(
+    state_mod._machine_id() is None, reason="no machine-id on this host"
+)
+def test_same_machine_reboot_auto_recovers(spark, tmp_path):
+    """ADVICE r8 (medium): boot-id mismatch alone is unverifiable, but a
+    MATCHING boot-stable machine id proves 'this same machine rebooted' — the
+    owner died with the old boot, so the run must auto-recover (the pre-r8
+    behavior the boot-id tier silently removed)."""
+    root = str(tmp_path / "reboot")
+    store = StateStore(spark, root)
+    store.write("t1", spark.createDataFrame([(1, "a")], "k int, v string"))
+    owner = {
+        "pid": 1,
+        "pid_start": "999999999",
+        "host": state_mod._HOST,
+        "boot_id": "00000000-0000-0000-0000-000000000000",  # previous boot
+        "machine_id": state_mod._machine_id(),  # same machine
+    }
+    _pending_manifest(root, owner)
+    reader = StateStore(spark, root)
+    reader._recover()
+    assert not os.path.exists(reader._pending_path), "post-reboot run not recovered"
+    # different machine id: back to unverifiable — left alone
+    owner["machine_id"] = "not-this-machine"
+    _pending_manifest(root, owner)
+    reader2 = StateStore(spark, root)
+    reader2._recover()
+    assert os.path.exists(reader2._pending_path), "cloned-host run destroyed"
+    assert reader2.repair(force=True)
+
+
+def test_begin_run_error_names_boot_id_case_and_force_repair(spark, tmp_path):
+    """ADVICE r8 (medium): the 'already pending' error must point at
+    repair(force=True), and name the boot-id-mismatch situation when that is
+    what blocked recovery."""
+    root = str(tmp_path / "hint")
+    store = StateStore(spark, root)
+    store.write("t1", spark.createDataFrame([(1, "a")], "k int, v string"))
+    owner = {
+        "pid": 1,
+        "pid_start": "999999999",
+        "host": state_mod._HOST,
+        "boot_id": "00000000-0000-0000-0000-000000000000",
+        "machine_id": "some-other-machine",
+    }
+    _pending_manifest(root, owner)
+    with pytest.raises(RuntimeError, match=r"boot id.*repair\(force=True\)"):
+        StateStore(spark, root).begin_run(["t1"])
+    # generic pending (cross-host owner): still points at the override
+    owner = {"pid": 1, "pid_start": "1", "host": "elsewhere.example"}
+    _pending_manifest(root, owner)
+    with pytest.raises(RuntimeError, match=r"repair\(force=True\)"):
+        StateStore(spark, root).begin_run(["t1"])
+    StateStore(spark, root).repair(force=True)
+
+
+def test_rollback_tolerates_concurrent_staged_dir_removal(spark, tmp_path, monkeypatch):
+    """ADVICE r8 (low): two readers can both pass the dead-owner check and
+    both reach the PREPARED rollback — the loser's rmtree sees the staged dir
+    vanish mid-walk and must treat it as already-rolled-back, not crash the
+    read path."""
+    import shutil as _shutil
+
+    root = str(tmp_path / "rmrace")
+    store = StateStore(spark, root)
+    store.write("t1", spark.createDataFrame([(1, "a")], "k int, v string"))
+    owner = {
+        "pid": 2 ** 22 + 4321,  # no such pid: provably dead
+        "pid_start": "1",
+        "host": state_mod._HOST,
+        "boot_id": state_mod._boot_id(),
+    }
+    _pending_manifest(root, owner)
+
+    real_rmtree = _shutil.rmtree
+
+    def racing_rmtree(path, *a, **kw):
+        if "v=" in os.path.basename(path):
+            real_rmtree(path)  # the OTHER reader wins...
+            raise FileNotFoundError(path)  # ...ours then misses mid-walk
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr("shutil.rmtree", racing_rmtree)
+    reader = StateStore(spark, root)
+    # must not raise; the staged dir is gone and the manifest resolved
+    assert sorted(tuple(r) for r in reader.read("t1").collect()) == [(1, "a")]
+    assert not os.path.exists(reader._pending_path)
+    assert not os.path.isdir(os.path.join(root, "t1", "v=1"))

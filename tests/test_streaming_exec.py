@@ -225,3 +225,56 @@ def test_foreach_batch_sync_checkpoint_recovery(spark, land):
     # (a) the committed batch never re-entered the sink
     seen_again = set().union(*replayed) if replayed else set()
     assert seen_again == {1, 2, 3, 4} - mid
+
+
+def test_engine_default_state_store_is_rocksdb_changelog(spark, land):
+    """VERDICT r8 ask 1: the 100 TB-state store config (RocksDB provider +
+    changelog checkpointing) must be the ENGINE's streaming default, not a
+    bench-probe-only setting — the r8 probe measured snapshot-mode commit
+    cost growing 25-65% with state while changelog checkpointing stays flat.
+    Pinned on a REAL StreamingQuery: the running query's state operator
+    reports RocksDB custom metrics, and both confs read back as set."""
+    from ortholog_pipeline_spark.session import ROCKSDB_PROVIDER
+    from ortholog_pipeline_spark.streaming.state_conf import (
+        CHANGELOG_KEY,
+        CHOICE_KEY,
+        HDFS_PROVIDER,
+        PROVIDER_KEY,
+        ensure_state_store_conf,
+    )
+
+    schema = "ts timestamp, event_type string, value double"
+    src_dir, ck = str(land / "src"), str(land / "ck")
+    _write(spark, src_dir, [(T0, "a", 1.0), (T0 + timedelta(seconds=12), "b", 2.0)],
+           schema)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    # the constructor itself must upgrade the session (get_spark already bakes
+    # the confs in; this pins the runtime path for foreign sessions too)
+    out = tumbling_agg(stream, window_size="10 seconds", watermark="5 seconds")
+    assert spark.conf.get(PROVIDER_KEY) == ROCKSDB_PROVIDER
+    assert spark.conf.get(CHANGELOG_KEY) == "true"
+    q = (
+        out.writeStream.format("memory").queryName("ssconf")
+        .outputMode("append").option("checkpointLocation", ck).start()
+    )
+    try:
+        q.processAllAvailable()
+        ops = (q.lastProgress or {}).get("stateOperators") or []
+        assert ops, "no state operator in progress"
+        metrics = ops[0].get("customMetrics") or {}
+        rocks_keys = [k for k in metrics if "rocksdb" in k.lower()]
+        assert rocks_keys, f"state store is not RocksDB: {sorted(metrics)[:8]}"
+    finally:
+        q.stop()
+
+    # overrides: the explicit escape hatch keeps the stock provider...
+    s2 = spark.newSession()
+    s2.conf.set(CHOICE_KEY, "hdfs")
+    s2.conf.set(PROVIDER_KEY, HDFS_PROVIDER)
+    assert ensure_state_store_conf(s2) is False
+    assert s2.conf.get(PROVIDER_KEY) == HDFS_PROVIDER
+    # ...and a deliberate third-party provider is never replaced
+    s3 = spark.newSession()
+    s3.conf.set(PROVIDER_KEY, "com.example.CustomStateStoreProvider")
+    assert ensure_state_store_conf(s3) is False
+    assert s3.conf.get(PROVIDER_KEY) == "com.example.CustomStateStoreProvider"

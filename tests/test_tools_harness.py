@@ -134,7 +134,7 @@ def test_steady_drift_catches_injected_linear_regression():
 
 def test_steady_drift_tolerates_gc_spikes():
     """The r7 half-means estimator read up to 2.26 on identical code when a
-    GC spike landed in one half; the Theil-Sen slope median must hold ~1.0
+    GC spike landed in one half; the half-medians estimator must hold ~1.0
     on a flat series carrying 3x outliers in EITHER half."""
     bench = _load_bench()
     flat = [900] * 4 + [1000] * 20
@@ -223,3 +223,61 @@ def test_certify_round_pool_prefers_never_committed(tmp_path):
     legacy = cr.pick_names(7, gate, 75, legacy_pool=True)
     with open(os.path.join(repo, "CERTIFICATION_r7.json")) as fh:
         assert legacy == json.load(fh)["names"]
+
+
+def test_certify_round_pool_is_rerun_stable(tmp_path):
+    """ADVICE r8 (low): the same-round exclusion must cover EVERY artifact
+    family — the old anchor missed CERTIFICATION_r8_complement.json and never
+    guarded CORRECTNESS_r*.json, so re-running pick_names(8, ...) after those
+    landed yielded a different list than the committed r8 draw. Pinned: the
+    fixed pool reproduces CERTIFICATION_r8.json's committed names exactly,
+    even though the complement cert and CORRECTNESS_r08 now sit on disk."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cr = _load_tool("certify_round")
+    assert cr._artifact_round("CERTIFICATION_r8_complement.json") == 8
+    assert cr._artifact_round("CORRECTNESS_r08.json") == 8
+    assert cr._artifact_round("SWEEP.json") is None
+    gate = os.path.join(repo, "CORRECTNESS_r05.json")
+    with open(os.path.join(repo, "CERTIFICATION_r8.json")) as fh:
+        assert cr.pick_names(8, gate, 75) == json.load(fh)["names"]
+
+
+def test_certify_round_staleness_report():
+    """VERDICT r8 ask 4: the rotation artifact carries a staleness line —
+    max rounds-since-last-certified over the registry, this round's own draw
+    counted as fresh, and the never-certified residue named (empty since the
+    r8 complement cert)."""
+    cr = _load_tool("certify_round")
+    newest = cr.last_certified_round()
+    assert newest, "no coverage artifacts parsed"
+    st = cr.staleness_report(9, [])
+    assert st["never_certified"] == []
+    assert st["max_rounds_since_certified"] >= 0
+    # a name certified THIS round reads age 0
+    import __spark_entry__ as e
+
+    some = sorted(e.queries())[:3]
+    st2 = cr.staleness_report(9, some)
+    assert all(
+        q not in st2["oldest_names"] or st2["max_rounds_since_certified"] == 0
+        for q in some
+    )
+
+
+def test_compare_rounds_sf10_and_mem_sections():
+    """VERDICT r8 ask 3: compare_rounds covers SF10_PROBES and MEM_ENVELOPE —
+    older rounds' single-name artifacts resolve through the round's closing
+    commit, per-entry/growth-law/probe drift prints without error."""
+    cr = _load_tool("compare_rounds")
+    a, src_a = cr.round_single_artifact("r8", "SF10_PROBES")
+    assert a is not None and "times_sec" in a, src_a
+    assert "@" in src_a or src_a.startswith("SF10_PROBES")
+    m, src_m = cr.round_single_artifact("r8", "MEM_ENVELOPE")
+    assert m is not None and "queries" in m, src_m
+    # the full sections execute end-to-end on real artifacts
+    cr.diff_sf10("r7", "r8", 1.3)
+    cr.diff_mem("r7", "r8", 1.3)
+    # ratio helper: flags only genuine over-bar entries
+    common, over = cr._ratio_lines({"a": 1.0, "b": 2.0}, {"a": 1.1, "b": 4.0}, 1.3)
+    assert common == ["a", "b"]
+    assert over == [("b", 2.0, 4.0, 2.0)]

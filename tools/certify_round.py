@@ -39,27 +39,89 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def committed_names(before_round: int) -> set[str]:
-    """Every name present in a committed driver gate or a PRIOR round's
-    certification artifact at the repo root."""
-    import glob
+def _artifact_round(path: str) -> int | None:
+    """Round number embedded in an artifact filename, or None. Unanchored on
+    purpose (ADVICE r8): CERTIFICATION_r8_complement.json carries a suffix
+    after the round, and CORRECTNESS uses zero-padded rounds (r08) — the old
+    ``_r(\\d+)\\.json$`` anchor missed the former entirely and was never
+    applied to the latter, so a same-round re-run could see a shrunken pool
+    and break the seed-reproducibility guarantee."""
     import re
 
+    m = re.search(r"_r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else None
+
+
+def _artifact_names(path: str) -> set[str]:
+    """The certified/gated names inside one artifact, tolerant of both shapes
+    (CORRECTNESS = {name: result}; CERTIFICATION = {"names": [...]})."""
+    try:
+        doc = json.load(open(path))
+    except (OSError, json.JSONDecodeError):
+        return set()
+    if isinstance(doc, dict) and "names" in doc:
+        return set(doc.get("names") or [])
+    return set(doc) if isinstance(doc, dict) else set()
+
+
+def _coverage_artifacts() -> list[str]:
+    import glob
+
+    return sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        + glob.glob(os.path.join(REPO, "CERTIFICATION_r*.json"))
+    )
+
+
+def committed_names(before_round: int) -> set[str]:
+    """Every name present in a committed driver gate or certification from a
+    PRIOR round at the repo root. The >= before_round skip applies to EVERY
+    artifact family (ADVICE r8): this round's own (re)run — gate, cert, or
+    complement cert — must not shrink its own pool."""
     covered: set[str] = set()
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        try:
-            covered |= set(json.load(open(path)))
-        except (OSError, json.JSONDecodeError):
-            pass
-    for path in glob.glob(os.path.join(REPO, "CERTIFICATION_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", path)
-        if m and int(m.group(1)) >= before_round:
-            continue  # this round's own (re)run must not shrink its pool
-        try:
-            covered |= set(json.load(open(path)).get("names", []))
-        except (OSError, json.JSONDecodeError):
-            pass
+    for path in _coverage_artifacts():
+        rnd = _artifact_round(path)
+        if rnd is not None and rnd >= before_round:
+            continue
+        covered |= _artifact_names(path)
     return covered
+
+
+def last_certified_round() -> dict[str, int]:
+    """name -> newest round whose committed gate/cert contains it (the
+    staleness ledger behind the ask-4 rotation report)."""
+    newest: dict[str, int] = {}
+    for path in _coverage_artifacts():
+        rnd = _artifact_round(path)
+        if rnd is None:
+            continue
+        for name in _artifact_names(path):
+            if newest.get(name, -1) < rnd:
+                newest[name] = rnd
+    return newest
+
+
+def staleness_report(round_no: int, this_round_names: list[str]) -> dict:
+    """One-line rotation-health summary recorded in the artifact: how stale is
+    the registry's LEAST-recently-certified name after this round's draw, and
+    which names are the oldest. With the never-certified complement empty
+    (r8), every name has a last-round; max staleness should stay ~small
+    (every non-frozen-gate name reappears within a few rounds at n=75)."""
+    import __spark_entry__ as e
+
+    newest = last_certified_round()
+    for name in this_round_names:
+        newest[name] = round_no
+    ages = {q: round_no - newest[q] for q in e.queries() if q in newest}
+    never = sorted(q for q in e.queries() if q not in newest)
+    max_age = max(ages.values(), default=0)
+    oldest = sorted(q for q, a in ages.items() if a == max_age)
+    return {
+        "max_rounds_since_certified": max_age,
+        "n_at_max": len(oldest),
+        "oldest_names": oldest[:15],
+        "never_certified": never,
+    }
 
 
 def pick_names(
@@ -125,6 +187,7 @@ def main() -> int:
     head = subprocess.run(
         ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=REPO
     ).stdout.strip()
+    stale = staleness_report(args.round, names)
     artifact = {
         "round": args.round,
         "seed": args.round,
@@ -134,6 +197,7 @@ def main() -> int:
         "elapsed_sec": round(time.monotonic() - t0, 1),
         "pass": n_pass,
         "fail": len(names) - n_pass,
+        "staleness": stale,
         "names": names,
         "report": report,
     }
@@ -141,6 +205,12 @@ def main() -> int:
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"PASS={n_pass} FAIL={len(names) - n_pass} -> {out}", file=sys.stderr)
+    print(
+        f"[staleness] max_rounds_since_certified="
+        f"{stale['max_rounds_since_certified']} over {stale['n_at_max']} names; "
+        f"never_certified={len(stale['never_certified'])}",
+        file=sys.stderr,
+    )
     return 0 if n_pass == len(names) else 1
 
 

@@ -9,7 +9,18 @@ This tool prints, for any two round tags:
      CERTIFICATION_r{N}.json report), plus names only one round covered;
   2. calibration-normalized TIME drift — totals and per-entry ratios from
      BENCH_r{NN}.json, divided by the env_shift the calibration anchor
-     explains (ratios > --bar after normalization are listed as drift).
+     explains (ratios > --bar after normalization are listed as drift);
+  3. SF10_PROBES drift (r9, VERDICT r8 ask 3) — per-family 1x/10x/100x time
+     ratios, growth-ratio and growth-law (signed excess-over-linear) changes,
+     skew twins, and quality floors between the two rounds;
+  4. MEM_ENVELOPE drift (r9) — constrained-heap per-entry ratios, probe
+     drift, and heap-config equality between the two rounds.
+
+SF10/MEM artifacts are single-name files refreshed per round, so older
+rounds' versions are resolved through git: a per-round suffixed copy
+({stem}_r{N}.json) wins if present, else the version at the round's closing
+commit (subject "round N: ..."), else the working tree (the in-progress
+round). The source used is printed with each section.
 
 Usage:
   python tools/compare_rounds.py r6 r7            # repo-root artifacts
@@ -77,6 +88,156 @@ def round_bench(tag: str) -> dict | None:
     return None
 
 
+def _git_round_commit(tag: str) -> str | None:
+    """The round's closing commit (subject 'round N: ...'), or None while the
+    round is still in progress."""
+    import subprocess
+
+    n = int(tag.lstrip("rR"))
+    out = subprocess.run(
+        ["git", "log", "--format=%H|%s"], capture_output=True, text=True,
+        cwd=ROOT,
+    ).stdout
+    for line in out.splitlines():
+        sha, _, subject = line.partition("|")
+        if subject.startswith(f"round {n}:"):
+            return sha
+    return None
+
+
+def round_single_artifact(tag: str, stem: str) -> tuple[dict | None, str]:
+    """Resolve a single-name per-round-refreshed artifact (SF10_PROBES.json,
+    MEM_ENVELOPE.json) for a round: suffixed copy > version at the round's
+    closing commit > working tree. Returns (data, source_description)."""
+    import subprocess
+
+    for path in _round_paths(tag, stem):
+        data = _load(path)
+        if data is not None:
+            return data, os.path.basename(path)
+    commit = _git_round_commit(tag)
+    if commit:
+        touch = subprocess.run(
+            ["git", "rev-list", "-1", commit, "--", f"{stem}.json"],
+            capture_output=True, text=True, cwd=ROOT,
+        ).stdout.strip()
+        if touch:
+            blob = subprocess.run(
+                ["git", "show", f"{touch}:{stem}.json"],
+                capture_output=True, text=True, cwd=ROOT,
+            )
+            if blob.returncode == 0:
+                try:
+                    return json.loads(blob.stdout), f"{stem}.json@{touch[:9]}"
+                except json.JSONDecodeError:
+                    pass
+        return None, f"(no {stem}.json at round commit {commit[:9]})"
+    data = _load(os.path.join(ROOT, f"{stem}.json"))
+    if data is not None:
+        return data, f"{stem}.json (working tree — round not yet committed)"
+    return None, f"(no {stem} artifact found for {tag})"
+
+
+def _ratio_lines(
+    qa: dict, qb: dict, bar: float
+) -> tuple[list[str], list[tuple[str, float, float, float]]]:
+    """Shared per-entry numeric diff: (summary lines, over-bar entries)."""
+    common = sorted(
+        k for k in set(qa) & set(qb)
+        if isinstance(qa[k], (int, float)) and isinstance(qb[k], (int, float))
+        and qa[k]
+    )
+    over = []
+    for k in common:
+        r = qb[k] / qa[k]
+        if r > bar:
+            over.append((k, qa[k], qb[k], round(r, 2)))
+    return common, over
+
+
+def diff_sf10(tag_a: str, tag_b: str, bar: float) -> None:
+    a, src_a = round_single_artifact(tag_a, "SF10_PROBES")
+    b, src_b = round_single_artifact(tag_b, "SF10_PROBES")
+    print(f"\n== SF10 probe drift {tag_a} -> {tag_b}")
+    print(f"   sources: {src_a} vs {src_b}")
+    if not a or not b:
+        print("   (artifact missing on one side; skipping)")
+        return
+    ta, tb = a.get("times_sec", {}), b.get("times_sec", {})
+    common, over = _ratio_lines(ta, tb, bar)
+    dropped = sorted(set(ta) - set(tb))
+    added = sorted(set(tb) - set(ta))
+    print(f"   common timed entries: {len(common)}  raw ratio > {bar}: "
+          f"{len(over)} (best-of-2 probes, unanchored — verify standalone "
+          f"before believing a flag)")
+    for k, va, vb, r in over:
+        print(f"   ! {k}: {va} -> {vb} s  ({r}x)")
+    if dropped:
+        print(f"   entries dropped in {tag_b}: {dropped}")
+    if added:
+        print(f"   entries new in {tag_b}: {added}")
+    ga, gb = a.get("growth_ratios", {}), b.get("growth_ratios", {})
+    moved = [
+        (k, ga[k], gb[k])
+        for k in sorted(set(ga) & set(gb))
+        if ga[k] and abs(gb[k] / ga[k] - 1) > 0.2
+    ]
+    if moved:
+        print(f"   growth-ratio moves > 20%:")
+        for k, va, vb in moved:
+            print(f"   ~ {k}: {va} -> {vb}")
+    la, lb = a.get("decontam_growth_law", {}), b.get("decontam_growth_law", {})
+    for op in sorted(set(la) & set(lb)):
+        ra = la[op].get("rel_excess_over_linear")
+        rb = lb[op].get("rel_excess_over_linear")
+        ha, hb = la[op].get("linear_law_holds"), lb[op].get("linear_law_holds")
+        flag = "!" if hb is False else " "
+        print(f"   {flag} growth-law {op}: rel_excess {ra} -> {rb}  "
+              f"holds {ha} -> {hb}")
+    for k in ("skew_minhash_ratio", "skew_cc_ratio", "floors_green"):
+        if a.get(k) != b.get(k):
+            print(f"   ~ {k}: {a.get(k)} -> {b.get(k)}")
+    qa, qb = a.get("quality_floors_at_dir", {}), b.get("quality_floors_at_dir", {})
+    for k in sorted(set(qa) & set(qb)):
+        if qa[k] != qb[k]:
+            print(f"   ~ floor {k}: {qa[k]} -> {qb[k]}")
+
+
+def diff_mem(tag_a: str, tag_b: str, bar: float) -> None:
+    a, src_a = round_single_artifact(tag_a, "MEM_ENVELOPE")
+    b, src_b = round_single_artifact(tag_b, "MEM_ENVELOPE")
+    print(f"\n== mem-envelope drift {tag_a} -> {tag_b}")
+    print(f"   sources: {src_a} vs {src_b}")
+    if not a or not b:
+        print("   (artifact missing on one side; skipping)")
+        return
+    ca, cb = a.get("config", {}), b.get("config", {})
+    if ca.get("driver_heap_max_bytes") != cb.get("driver_heap_max_bytes"):
+        print(f"   ! heap DIFFERS: {ca.get('driver_heap_max_bytes')} vs "
+              f"{cb.get('driver_heap_max_bytes')} — ratios below are not "
+              f"like-for-like")
+    va, vb = a.get("value"), b.get("value")
+    if va:
+        print(f"   total: {va} -> {vb} s  raw ratio {round(vb / va, 3)}")
+    common, over = _ratio_lines(a.get("queries", {}), b.get("queries", {}), bar)
+    print(f"   common entries: {len(common)}  raw ratio > {bar}: {len(over)}")
+    for k, x, y, r in over:
+        print(f"   ! {k}: {x} -> {y} s  ({r}x)")
+    fa, fb = a.get("failures", {}) or {}, b.get("failures", {}) or {}
+    if set(fa) != set(fb):
+        print(f"   ~ failures: {sorted(fa)} -> {sorted(fb)}")
+    pa, pb = a.get("probes", {}) or {}, b.get("probes", {}) or {}
+    for k in sorted(set(pa) & set(pb)):
+        xa = pa[k].get("sec") or pa[k].get("total_sec")
+        xb = pb[k].get("sec") or pb[k].get("total_sec")
+        if xa and xb and xb / xa > bar:
+            print(f"   ! probe {k}: {xa} -> {xb} s ({round(xb / xa, 2)}x)")
+        da = pa[k].get("latency_drift_steady_state")
+        db = pb[k].get("latency_drift_steady_state")
+        if da is not None and db is not None and da != db:
+            print(f"   ~ probe {k} steady drift: {da} -> {db}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("round_a", help="earlier round tag, e.g. r6")
@@ -141,6 +302,9 @@ def main() -> None:
         note = bb.get("queries_note")
         if note:
             print(f"   note: {note}")
+
+    diff_sf10(args.round_a, args.round_b, args.bar)
+    diff_mem(args.round_a, args.round_b, args.bar)
 
     if args.fail_on_hash_drift and changed:
         raise SystemExit(1)

@@ -279,6 +279,43 @@ def _timed(fn, repeat: int = 2):
     return round(best, 2), out
 
 
+def decontam_count(docs, fixed_eval: bool) -> int:
+    """The decontamination probe plan — same shape as
+    queries/text.py:text_decontaminate_ngrams: distinct word 4-grams, eval
+    suite = doc_id % 97 (fixed_eval restricts it to replica 0: the constant-
+    broadcast production regime), broadcast eval-gram semi-probe over the
+    training grams. Module-level (r9) so the extra-decade growth-law probe
+    times the IDENTICAL query run_probes times at 1x/10x/100x."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    grams = (
+        toks.filter(F.size("t") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 4),"
+                    " i -> array_join(slice(t, i + 1, 4), ' '))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    if fixed_eval:
+        is_eval = is_eval & (F.col("doc_id") < OFF)
+    eval_grams = grams.filter(is_eval).select("g").distinct()
+    train = grams.filter(~is_eval)
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hit = (
+        train.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return tot.join(hit, "doc_id").count()
+
+
 def _docs_at(spark, src: str, dir100: str, scale: int, replicas: int):
     if scale == replicas:
         return spark.read.parquet(f"{dir100}/documents.parquet")
@@ -376,39 +413,7 @@ def run_probes(spark, src: str, dir100: str, replicas: int, scales: list[int],
         #     grow because the training corpus did), isolating the pure
         #     scan-proportional component.
         def _decontam(fixed_eval: bool):
-            def run():
-                toks = docs.select(
-                    "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-                )
-                grams = (
-                    toks.filter(F.size("t") >= 4)
-                    .select(
-                        "doc_id",
-                        F.explode(
-                            F.expr(
-                                "transform(sequence(0, size(t) - 4),"
-                                " i -> array_join(slice(t, i + 1, 4), ' '))"
-                            )
-                        ).alias("g"),
-                    )
-                    .distinct()
-                )
-                is_eval = F.col("doc_id") % 97 == 0
-                if fixed_eval:
-                    is_eval = is_eval & (F.col("doc_id") < OFF)
-                eval_grams = grams.filter(is_eval).select("g").distinct()
-                train = grams.filter(~is_eval)
-                tot = train.groupBy("doc_id").agg(
-                    F.count(F.lit(1)).alias("n_grams")
-                )
-                hit = (
-                    train.join(F.broadcast(eval_grams), "g")
-                    .groupBy("doc_id")
-                    .agg(F.count(F.lit(1)).alias("n_shared"))
-                )
-                return tot.join(hit, "doc_id").count()
-
-            return run
+            return lambda: decontam_count(docs, fixed_eval)
 
         sec, n_hit = _timed(_decontam(False))
         out["times"][f"decontam_{s}x"] = sec
@@ -577,7 +582,14 @@ def run_probes(spark, src: str, dir100: str, replicas: int, scales: list[int],
     # test_minhash_collapse_exact_output_identical); the intra-group
     # expansion is a bucketed triangle join since r8 (dedup.py), so the
     # collapsed leg no longer serializes C(g,2) rows through one task.
-    for g_per_rep, gtag in ((50, "g5k"), (200, "g20k")):
+    # g5k RETIRED r9 (VERDICT r8 ask 5): its honest negative is recorded in
+    # the r8 artifact (collapse saves only the small verify delta at g=5000
+    # because banding the 500k-doc corpus dominates — exactly the right
+    # 100 TB shape); the g20k twin carries the discrimination (7.4x on
+    # stages, OOM-vs-not at 8 GiB) AND would catch any regression the g5k
+    # canary would (a collapse regression shows strictly larger at larger
+    # g), so keeping g5k bought ~70 s of probe wall per round for nothing.
+    for g_per_rep, gtag in ((200, "g20k"),):
         docs_big = docs_top.withColumn(
             "text",
             F.when(F.col("doc_id") % OFF < g_per_rep, F.lit(hot_text)).otherwise(
@@ -648,6 +660,107 @@ def run_probes(spark, src: str, dir100: str, replicas: int, scales: list[int],
     return out
 
 
+def extra_growth_decade(spark, src: str, extra: int, times: dict,
+                        skip_flow: bool = False) -> dict:
+    """One more decade for the two INPUT-GROWTH families (VERDICT r8 ask 7):
+    decontamination is input-linear by law and the AGR flow grows with its
+    upsert key space, so each gets a single ~sf30 point (extra x the sf0.1
+    base) beyond the 1x/10x/100x grid. Cheap by construction — only the
+    documents corpus and the AGR line set scale; nothing else is re-run.
+
+    The decontam corpus is MATERIALIZED to parquet first (a 300-branch
+    in-memory union would bill Catalyst analysis and a serial generate stage
+    to the measurement; cached under /tmp across reruns like the 100x dir).
+    The AGR leg scales shuffle partitions with the data (the cluster rule —
+    partitions grow with input) so the single local JVM's per-task state
+    stays at the 100x leg's level instead of tripling."""
+    out: dict = {"extra_scale": extra}
+
+    dpath = f"/tmp/sf{extra}x_docs"
+    if not os.path.exists(os.path.join(dpath, "_SUCCESS")):
+        suffixed_documents(spark, src, extra).write.mode("overwrite").parquet(
+            dpath
+        )
+    docs = spark.read.parquet(dpath)
+    sec, n_hit = _timed(lambda: decontam_count(docs, False))
+    times[f"decontam_{extra}x"] = sec
+    out[f"decontam_hits_{extra}x"] = n_hit
+    spark.catalog.clearCache()
+
+    if not skip_flow:
+        from ortholog_pipeline_spark.plans.agr_load import run_agr_load
+        from ortholog_pipeline_spark.queries_flows import (
+            RUN_TS,
+            _agr_world,
+            _seed_store,
+        )
+
+        aworld = _agr_world(spark, src)
+        al1 = aworld["lines"]
+        base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        scaled_parts = max(int(base_parts), 32) * max(1, extra // 100)
+        with tempfile.TemporaryDirectory(prefix="sf10_agr_extra_") as td:
+            parts = [al1] + [
+                al1.withColumn(
+                    "algorithms",
+                    F.concat(F.col("algorithms"), F.lit(f"|X{i}")),
+                )
+                for i in range(1, extra)
+            ]
+            lines = parts[0]
+            for p in parts[1:]:
+                lines = lines.unionByName(p)
+            path = os.path.join(td, f"lines{extra}x")
+            lines.write.parquet(path)
+            stored_lines = spark.read.parquet(path)
+            try:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(scaled_parts)
+                )
+
+                def _agr_run():
+                    st = _seed_store(
+                        spark, aworld, "sf10_agr_", cache_key=f"sf10_agr:{src}"
+                    )
+                    run_agr_load(
+                        st, stored_lines, RUN_TS, delete_threshold_pct=100.0
+                    )
+
+                sec, _ = _timed(_agr_run)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+        times[f"flow_agr_{extra}x"] = sec
+        out["agr_shuffle_partitions_at_extra"] = scaled_parts
+        spark.catalog.clearCache()
+    return out
+
+
+def growth_law_fit(times: dict, fam: str, scales: list[int],
+                   top: int) -> dict | None:
+    """Fit t = a + b*s from the two smallest scales, evaluate the SIGNED
+    excess-over-linear at ``top``. Positive excess is the superlinear
+    smoking gun; negative means per-unit cost fell as fixed overhead
+    amortized — better than the linear floor, never a violation."""
+    lo, hi = scales[0], scales[1]
+    t_lo, t_hi = times.get(f"{fam}_{lo}x"), times.get(f"{fam}_{hi}x")
+    t_top = times.get(f"{fam}_{top}x")
+    if not (t_lo and t_hi and t_top):
+        return None
+    b = (t_hi - t_lo) / (hi - lo)
+    a = t_lo - b * lo
+    pred = a + b * top
+    excess = (t_top - pred) / pred
+    return {
+        "fixed_sec": round(a, 2),
+        "per_1x_sec": round(b, 4),
+        "at_scale": top,
+        "predicted_at_top": round(pred, 2),
+        "measured_at_top": t_top,
+        "rel_excess_over_linear": round(excess, 3),
+        "linear_law_holds": bool(excess <= 0.25),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -656,6 +769,9 @@ def main() -> int:
     ap.add_argument("--scales", default="1,10,100")
     ap.add_argument("--skip-flow", action="store_true")
     ap.add_argument("--skip-floors", action="store_true")
+    ap.add_argument("--growth-extra", type=int, default=300,
+                    help="extra decade scale for the decontam + AGR "
+                         "growth-law receipt (VERDICT r8 ask 7); 0 disables")
     ap.add_argument("--out", default=os.path.join(REPO, "SF10_PROBES.json"))
     args = ap.parse_args()
     scales = sorted({int(s) for s in args.scales.split(",")})
@@ -679,6 +795,15 @@ def main() -> int:
     probes = run_probes(
         spark, args.src, args.dir, args.replicas, scales, skip_flow=args.skip_flow
     )
+
+    extra_info = None
+    if args.growth_extra and len(scales) >= 2:
+        t0 = time.monotonic()
+        extra_info = extra_growth_decade(
+            spark, args.src, args.growth_extra, probes["times"],
+            skip_flow=args.skip_flow,
+        )
+        stages["growth_extra_sec"] = round(time.monotonic() - t0, 1)
 
     fl = None
     if not args.skip_floors:
@@ -710,26 +835,21 @@ def main() -> int:
     # proportionality argument holds; a large positive rel_err would be the
     # superlinear smoking gun the ask is probing for.
     fits: dict[str, dict] = {}
-    for fam in ("decontam", "decontam_fixed_eval"):
-        t = [probes["times"].get(f"{fam}_{s}x") for s in scales]
-        if len(scales) >= 3 and all(t):
-            b = (t[1] - t[0]) / (scales[1] - scales[0])
-            a = t[0] - b * scales[0]
-            pred = a + b * scales[-1]
-            # signed excess over the linear extrapolation: POSITIVE excess
-            # is the superlinear smoking gun; a negative value means the
-            # measured top scale ran BELOW the 1x/10x-fitted line (per-unit
-            # cost falls as fixed overhead amortizes) — better than the
-            # linear floor, never a violation
-            excess = (t[-1] - pred) / pred
-            fits[fam] = {
-                "fixed_sec": round(a, 2),
-                "per_1x_sec": round(b, 4),
-                "predicted_at_top": round(pred, 2),
-                "measured_at_top": t[-1],
-                "rel_excess_over_linear": round(excess, 3),
-                "linear_law_holds": bool(excess <= 0.25),
-            }
+    if len(scales) >= 3:
+        for fam in ("decontam", "decontam_fixed_eval"):
+            fit = growth_law_fit(probes["times"], fam, scales, scales[-1])
+            if fit:
+                fits[fam] = fit
+    # extended receipt (r9, VERDICT r8 ask 7): the same 1x/10x fit checked a
+    # decade further out (~sf30) for the two input-growth families
+    ext_fits: dict[str, dict] = {}
+    if extra_info:
+        for fam in ("decontam", "flow_agr"):
+            fit = growth_law_fit(
+                probes["times"], fam, scales, extra_info["extra_scale"]
+            )
+            if fit:
+                ext_fits[fam] = fit
 
     head = subprocess.run(
         ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=REPO
@@ -745,6 +865,15 @@ def main() -> int:
         "linearity_ok": probes.get("linearity_ok"),
         "growth_ratios": ratios,
         "decontam_growth_law": fits or None,
+        "growth_law_extended": ext_fits or None,
+        "growth_extra_info": extra_info,
+        "dupheavy_g5k": (
+            "retired r9 (VERDICT r8 ask 5): honest negative recorded in the "
+            "r8 artifact — at g=5000 banding the 500k-doc corpus dominates "
+            "and collapse discriminates nothing; the g20k twin carries the "
+            "regression canary (a collapse regression shows strictly larger "
+            "at larger g)"
+        ),
         "skew_minhash_ratio": probes.get("skew_minhash_ratio"),
         "skew_cc_ratio": probes.get("skew_cc_ratio"),
         "quality_floors_at_dir": fl,

@@ -82,6 +82,7 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None and profile == "local":
         master = f"local[{cpus}]"
+    explicit_partitions = shuffle_partitions is not None
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
@@ -113,8 +114,11 @@ def get_spark(
     for k, v in STREAMING_STATE_CONF.items():
         builder = builder.config(k, v)
     if profile == "cluster":
+        # an EXPLICIT shuffle_partitions wins (a deliberate small-cluster
+        # choice must not be silently raised); the local-mode cores default
+        # is replaced by the profile's high-initial/AQE-coalesce rule
         for k, v in cluster_profile_conf(
-            shuffle_partitions=max(shuffle_partitions, 2000)
+            shuffle_partitions=shuffle_partitions if explicit_partitions else 2000
         ).items():
             builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():

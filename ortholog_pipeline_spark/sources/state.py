@@ -187,12 +187,16 @@ class StateStore:
           ``repair(force=True)`` is the explicit operator override;
         - same hostname but a DIFFERENT boot id (when both sides recorded
           one): if both sides also recorded a boot-STABLE machine id and they
-          MATCH, this machine rebooted and the owner died with it → dead
-          (auto-recover — the ordinary post-reboot path). Otherwise it is
-          either a duplicate hostname (cloned container images) whose pid
-          table is not ours to consult, or a reboot we cannot prove —
-          indistinguishable, so take the non-destructive branch (begin_run's
-          error message names this case and repair(force=True));
+          MATCH, this is normally "this machine rebooted and the owner died
+          with it" → dead (auto-recover — the ordinary post-reboot path).
+          Cloned images can share the machine id too, so a heartbeat-aware
+          manifest is declared dead only once its heartbeat is STALE (a
+          rebooted owner's heartbeat necessarily is; a live clone's is
+          fresh). Without a machine-id match it is either a duplicate
+          hostname whose pid table is not ours to consult, or a reboot we
+          cannot prove — indistinguishable, so take the non-destructive
+          branch (begin_run's error message names this case and
+          repair(force=True));
         - the manifest's owner pid is OUR pid but the run is not in
           ``_LIVE_RUNS`` → the logical run died inside this process (the
           crash-injection tests' regime; also a same-pid restart after exec,
@@ -221,7 +225,16 @@ class StateStore:
         if None not in (owner_boot, my_boot) and owner_boot != my_boot:
             owner_mid, my_mid = owner.get("machine_id"), _machine_id()
             if None not in (owner_mid, my_mid) and owner_mid == my_mid:
-                return False  # same machine, earlier boot: owner is gone
+                # Same stable machine id: normally "this machine rebooted and
+                # the owner died with it" — but CLONED container images share
+                # /etc/machine-id too, so when the owner promised heartbeats,
+                # believe death only once the heartbeat is actually stale (a
+                # rebooted owner's heartbeat is necessarily stale; a live
+                # clone's is fresh). A promise-less manifest (older engine)
+                # keeps the pre-r8 behavior: reboot auto-recovers.
+                return bool(
+                    owner.get("heartbeat_interval_s")
+                ) and not self._heartbeat_stale(owner)
             return True
         if pid == os.getpid():
             return False

@@ -723,7 +723,21 @@ def test_same_machine_reboot_auto_recovers(spark, tmp_path):
     reader = StateStore(spark, root)
     reader._recover()
     assert not os.path.exists(reader._pending_path), "post-reboot run not recovered"
+    # heartbeat-aware manifest: cloned images can share the machine id, so a
+    # FRESH heartbeat must protect the (possibly live clone's) run...
+    owner["heartbeat_interval_s"] = 30.0
+    _pending_manifest(root, owner)
+    reader_hb = StateStore(spark, root)
+    reader_hb._recover()
+    assert os.path.exists(reader_hb._pending_path), "live-clone run destroyed"
+    # ...and a STALE one proves the reboot: recovered
+    p = reader_hb._pending_path
+    past = os.path.getmtime(p) - 3600
+    os.utime(p, (past, past))
+    StateStore(spark, root)._recover()
+    assert not os.path.exists(p), "stale post-reboot run not recovered"
     # different machine id: back to unverifiable — left alone
+    owner.pop("heartbeat_interval_s")
     owner["machine_id"] = "not-this-machine"
     _pending_manifest(root, owner)
     reader2 = StateStore(spark, root)

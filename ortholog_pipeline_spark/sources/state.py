@@ -104,6 +104,15 @@ HEARTBEAT_INTERVAL_S = 15.0
 #: filesystem, or modest clock drift can't fake death, small enough that a
 #: wedged pid-recycled owner is reclaimed in minutes, not never.
 _HEARTBEAT_STALE_FACTOR = 20.0
+#: Default staleness horizon for manifests WITHOUT a heartbeat promise
+#: (written by a pre-heartbeat engine) in the same-machine-id reboot tier.
+#: Such a writer never touches its manifest, so mtime == begin_run time: a
+#: fresh manifest may be a LIVE pre-heartbeat writer on a cloned image
+#: (same /etc/machine-id, different boot id) and must be left alone; one
+#: older than this horizon is either a dead reboot casualty or a run that
+#: has held the single-writer lock for an hour — recover it (ADVICE r9:
+#: the unconditional dead verdict could destroy a live mixed-version run).
+_PROMISELESS_STALE_HORIZON_S = 3600.0
 
 
 def _owner_token() -> dict:
@@ -230,11 +239,20 @@ class StateStore:
                 # /etc/machine-id too, so when the owner promised heartbeats,
                 # believe death only once the heartbeat is actually stale (a
                 # rebooted owner's heartbeat is necessarily stale; a live
-                # clone's is fresh). A promise-less manifest (older engine)
-                # keeps the pre-r8 behavior: reboot auto-recovers.
-                return bool(
-                    owner.get("heartbeat_interval_s")
-                ) and not self._heartbeat_stale(owner)
+                # clone's is fresh).
+                if owner.get("heartbeat_interval_s"):
+                    return not self._heartbeat_stale(owner)
+                # Promise-less manifest (pre-heartbeat engine): no heartbeat
+                # to consult, and a live pre-heartbeat writer on a cloned
+                # image is indistinguishable from a rebooted dead owner by
+                # identity alone. Gate the destructive verdict on manifest
+                # mtime vs a generous default horizon (ADVICE r9): fresh →
+                # assume the possibly-live clone and leave it (begin_run's
+                # error + repair(force=True) stay available); stale → the
+                # ordinary post-reboot auto-recovery, merely delayed.
+                return not self._manifest_older_than(
+                    _PROMISELESS_STALE_HORIZON_S
+                )
             return True
         if pid == os.getpid():
             return False
@@ -253,11 +271,19 @@ class StateStore:
         interval = owner.get("heartbeat_interval_s")
         if not interval:
             return False  # pre-heartbeat manifest: no promise, no inference
+        return self._manifest_older_than(
+            float(interval) * _HEARTBEAT_STALE_FACTOR
+        )
+
+    def _manifest_older_than(self, horizon_s: float) -> bool:
+        """True iff the pending manifest's mtime is older than ``horizon_s``.
+        Conservative on every error path: a vanished manifest means the run
+        was already recovered elsewhere — report fresh, never stale."""
         try:
             age = time.time() - os.path.getmtime(self._pending_path)
         except OSError:
-            return False  # manifest vanished: already recovered elsewhere
-        return age > float(interval) * _HEARTBEAT_STALE_FACTOR
+            return False
+        return age > horizon_s
 
     def repair(self, force: bool = False) -> bool:
         """Explicit recovery entry point: roll a dead run's manifest forward

@@ -708,7 +708,11 @@ def test_same_machine_reboot_auto_recovers(spark, tmp_path):
     """ADVICE r8 (medium): boot-id mismatch alone is unverifiable, but a
     MATCHING boot-stable machine id proves 'this same machine rebooted' — the
     owner died with the old boot, so the run must auto-recover (the pre-r8
-    behavior the boot-id tier silently removed)."""
+    behavior the boot-id tier silently removed). ADVICE r9 tightened the
+    promise-less branch: a manifest with NO heartbeat promise (pre-heartbeat
+    engine) may be a LIVE mixed-version writer on a cloned image, so the
+    dead verdict additionally requires the manifest mtime to be past the
+    default horizon — a fresh promise-less manifest is left alone."""
     root = str(tmp_path / "reboot")
     store = StateStore(spark, root)
     store.write("t1", spark.createDataFrame([(1, "a")], "k int, v string"))
@@ -721,8 +725,17 @@ def test_same_machine_reboot_auto_recovers(spark, tmp_path):
     }
     _pending_manifest(root, owner)
     reader = StateStore(spark, root)
+    # FRESH promise-less manifest: possibly a live pre-heartbeat clone — kept
     reader._recover()
-    assert not os.path.exists(reader._pending_path), "post-reboot run not recovered"
+    assert os.path.exists(
+        reader._pending_path
+    ), "fresh promise-less mixed-version run destroyed (ADVICE r9)"
+    # past the default horizon: the ordinary post-reboot auto-recovery
+    p0 = reader._pending_path
+    old = os.path.getmtime(p0) - state_mod._PROMISELESS_STALE_HORIZON_S - 60
+    os.utime(p0, (old, old))
+    StateStore(spark, root)._recover()
+    assert not os.path.exists(p0), "post-reboot run not recovered"
     # heartbeat-aware manifest: cloned images can share the machine id, so a
     # FRESH heartbeat must protect the (possibly live clone's) run...
     owner["heartbeat_interval_s"] = 30.0

@@ -320,7 +320,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     collapse_exact: bool = False,
     expand_groups: bool = True,
-    target_members_per_bucket: int = 256,
+    target_members_per_bucket: int | None = 256,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-duplicate pairs ≥ threshold Jaccard.
 
@@ -336,7 +336,12 @@ def minhash_lsh_dedup(
     ceil(g / target))`` buckets, so small identical-text groups (pairs,
     triples — the common case in a lightly-duplicated corpus) keep the
     replication-free single-bucket path and only genuinely large groups pay
-    the spread that keeps their C(g, 2) output off one task.
+    the spread that keeps their C(g, 2) output off one task. ``None``
+    forces the flat pre-r9 sizing (every multi-member group fans out over
+    defaultParallelism buckets) — the baseline knob the scale probes use to
+    put a measured receipt on the per-group sizing win; output is identical
+    either way (the exactly-once triangle invariant holds for any bucket
+    count).
 
     Scale shape: tokenize+md5 runs ONCE — documents are reduced to distinct 31-bit
     shingle hashes up front (int arrays, ~100× smaller than text), then the
@@ -458,18 +463,23 @@ def minhash_lsh_dedup(
         # to defaultParallelism — a g-member group replicates its rows
         # ~B_g/2× while its per-bucket fan-out stays ≥ target size.
         B = df.sparkSession.sparkContext.defaultParallelism
+        nb_expr = (
+            F.lit(B).cast("int")  # flat legacy sizing (probe baseline)
+            if target_members_per_bucket is None
+            else F.least(
+                F.lit(B),
+                F.ceil(
+                    F.size("_members") / F.lit(target_members_per_bucket)
+                ),
+            ).cast("int")
+        )
         multi = (
             groups.filter(F.size("_members") >= 2)
             .withColumn(
                 "_nb",  # per-group bucket count (NOT "_B": Spark resolves
                 # column names case-insensitively, so "_B" would collide
                 # with the per-row bucket id "_b")
-                F.least(
-                    F.lit(B),
-                    F.ceil(
-                        F.size("_members") / F.lit(target_members_per_bucket)
-                    ),
-                ).cast("int"),
+                nb_expr,
             )
             .select("_rep", "_nb", F.explode("_members").alias("_m"))
         )

@@ -168,6 +168,31 @@ def test_growth_law_fit_signed_excess():
     assert sf10.growth_law_fit({}, "fam", [1, 10], 300) is None
 
 
+def test_growth_law_fit_anchors_on_largest_measured_scales():
+    """r10 (VERDICT r9 ask 1): the fit anchors on the two LARGEST measured
+    scales below top — a noisy 10x-1x delta against a large fixed cost must
+    not dominate the slope — and reports residuals at the smaller scales.
+    The r9 flow_agr shape (fixed ~6 s, slope visible only at 10x→100x)
+    reads ~+11% under the largest-anchor fit, not the +42% the smallest-
+    anchor fit produced from the same numbers."""
+    sf10 = _load_probes()
+    # the committed r9 flow_agr times (SF10_PROBES.json r9)
+    times = {
+        "fam_1x": 6.4,
+        "fam_10x": 8.19,
+        "fam_100x": 31.82,
+        "fam_300x": 93.87,
+    }
+    fit = sf10.growth_law_fit(times, "fam", [1, 10, 100], 300)
+    assert fit["anchor_scales"] == [10, 100]
+    assert 0.0 < fit["rel_excess_over_linear"] < 0.25
+    assert fit["linear_law_holds"]
+    # residuals cover every measured non-top scale; anchors read ~0
+    assert set(fit["residuals_at_anchored_fit"]) == {"1x", "10x", "100x"}
+    assert fit["residuals_at_anchored_fit"]["10x"] == 0.0
+    assert fit["residuals_at_anchored_fit"]["100x"] == 0.0
+
+
 def test_decontam_count_matches_inline_plan(spark):
     """The r9 factoring of the decontam probe plan to module level must not
     change what it computes: deterministic count over a small corpus, and the

@@ -242,6 +242,26 @@ def test_certify_round_pool_is_rerun_stable(tmp_path):
         assert cr.pick_names(8, gate, 75) == json.load(fh)["names"]
 
 
+def test_certify_round_stale_weighted_top_up():
+    """VERDICT r9 ask 5: with the never-certified complement empty, the
+    top-up must retire the stale tail — every name the r9 artifact reported
+    at max staleness (7 rounds) is forced into the round-10 draw — while
+    --uniform-top-up reproduces the committed r9 list exactly."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cr = _load_tool("certify_round")
+    gate = os.path.join(repo, "CORRECTNESS_r05.json")
+    with open(os.path.join(repo, "CERTIFICATION_r9.json")) as fh:
+        r9 = json.load(fh)
+    assert cr.pick_names(9, gate, 75, stale_weighted=False) == r9["names"]
+    names10 = set(cr.pick_names(10, gate, 75))
+    assert len(names10) == 75
+    for q in r9["staleness"]["oldest_names"]:
+        assert q in names10, f"stale name {q} not retired by the r10 draw"
+    # determinism: the stale-weighted draw is a pure function of
+    # (seed, committed artifacts, registry)
+    assert set(cr.pick_names(10, gate, 75)) == names10
+
+
 def test_certify_round_staleness_report():
     """VERDICT r8 ask 4: the rotation artifact carries a staleness line —
     max rounds-since-last-certified over the registry, this round's own draw

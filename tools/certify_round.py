@@ -87,13 +87,19 @@ def committed_names(before_round: int) -> set[str]:
     return covered
 
 
-def last_certified_round() -> dict[str, int]:
+def last_certified_round(before_round: int | None = None) -> dict[str, int]:
     """name -> newest round whose committed gate/cert contains it (the
-    staleness ledger behind the ask-4 rotation report)."""
+    staleness ledger behind the ask-4 rotation report and the r10
+    stale-weighted top-up). ``before_round`` excludes this round's own
+    artifacts so a same-round re-run sees the identical ledger the first
+    run saw (the rerun-stability guarantee of committed_names, applied to
+    the ordering too)."""
     newest: dict[str, int] = {}
     for path in _coverage_artifacts():
         rnd = _artifact_round(path)
         if rnd is None:
+            continue
+        if before_round is not None and rnd >= before_round:
             continue
         for name in _artifact_names(path):
             if newest.get(name, -1) < rnd:
@@ -125,7 +131,11 @@ def staleness_report(round_no: int, this_round_names: list[str]) -> dict:
 
 
 def pick_names(
-    round_no: int, gate_path: str, n: int, legacy_pool: bool = False
+    round_no: int,
+    gate_path: str,
+    n: int,
+    legacy_pool: bool = False,
+    stale_weighted: bool = True,
 ) -> list[str]:
     import __spark_entry__ as e
 
@@ -143,10 +153,23 @@ def pick_names(
     complement = [q for q in all_names if q not in covered]
     if len(complement) >= n:
         return sorted(rng.sample(complement, n))
-    # complement exhausted: take all of it, top up from the rest of the
-    # non-frozen-gate pool
+    # complement exhausted: take all of it, then top up from the rest of
+    # the non-frozen-gate pool. Since r10 the top-up retires the STALE TAIL
+    # first (VERDICT r9 ask 5: a uniform draw let 9 names go 7 rounds
+    # uncertified — nothing forced the oldest names back in): candidates
+    # are ordered by rounds-since-last-certified, oldest first, with the
+    # seeded shuffle breaking ties only, so max staleness monotonically
+    # falls while the draw stays re-derivable from (seed, committed
+    # artifacts, registry). ``stale_weighted=False`` reproduces the
+    # r8/r9-era uniform top-up for historical name lists.
     rest = [q for q in all_names if q not in gated and q not in complement]
-    top_up = rng.sample(rest, min(n - len(complement), len(rest)))
+    if not stale_weighted:
+        top_up = rng.sample(rest, min(n - len(complement), len(rest)))
+        return sorted(complement + top_up)
+    rng.shuffle(rest)
+    newest = last_certified_round(before_round=round_no)
+    rest.sort(key=lambda q: newest.get(q, -1))  # stable: ties keep shuffle
+    top_up = rest[: max(0, n - len(complement))]
     return sorted(complement + top_up)
 
 
@@ -160,9 +183,17 @@ def main() -> int:
     ap.add_argument("--legacy-pool", action="store_true",
                     help="pre-r8 pool (frozen-gate complement only), for "
                          "reproducing old rounds' name lists")
+    ap.add_argument("--uniform-top-up", action="store_true",
+                    help="r8/r9-era uniform top-up instead of the r10 "
+                         "stale-weighted one, for reproducing those rounds' "
+                         "name lists")
     args = ap.parse_args()
 
-    names = pick_names(args.round, args.gate, args.n, legacy_pool=args.legacy_pool)
+    names = pick_names(
+        args.round, args.gate, args.n,
+        legacy_pool=args.legacy_pool,
+        stale_weighted=not args.uniform_top_up,
+    )
     t0 = time.monotonic()
     report: dict[str, dict] = {}
     # fresh JVM per batch (same session-hygiene rationale as tools/sweep.py)

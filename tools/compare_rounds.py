@@ -217,8 +217,12 @@ def diff_mem(tag_a: str, tag_b: str, bar: float) -> None:
               f"{cb.get('driver_heap_max_bytes')} — ratios below are not "
               f"like-for-like")
     va, vb = a.get("value"), b.get("value")
-    if va:
+    if va and vb:
         print(f"   total: {va} -> {vb} s  raw ratio {round(vb / va, 3)}")
+    elif va or vb:
+        # one side lacks a total (e.g. an interrupted envelope run): say so
+        # instead of dividing None and killing the whole report (ADVICE r9)
+        print(f"   total: {va} -> {vb} s  (missing on one side; no ratio)")
     common, over = _ratio_lines(a.get("queries", {}), b.get("queries", {}), bar)
     print(f"   common entries: {len(common)}  raw ratio > {bar}: {len(over)}")
     for k, x, y, r in over:

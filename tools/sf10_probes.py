@@ -617,6 +617,55 @@ def run_probes(spark, src: str, dir100: str, replicas: int, scales: list[int],
             out["counts"][f"dupheavy_{gtag}_pairs_{key}_{top}x"] = n
             spark.catalog.clearCache()
 
+    # small-groups twin (r10, VERDICT r9 ask 6): a measured receipt on the
+    # per-group bucket sizing (ADVICE r8). Corpus: PURE pair/triple
+    # identical-text groups — 3000 docs/replica in runs of 3 (~100k groups,
+    # 300k docs at 100x), no background corpus, so the expansion term is as
+    # visible as it can be above the corpus-proportional banding floor. The
+    # r8 flat-B sizing replicated every member of every group ~(B+1)/2x
+    # (~16x at B=32) to fix a straggler that cannot exist at g<=3; the
+    # per-group sizing gives those groups a single bucket (1x). Same
+    # corpus, same pipeline, identical output pairs — the only difference
+    # is the sizing policy (default target vs None = forced flat legacy).
+    # The receipt is the RECORDED replication-row pair (exact by
+    # construction: every group here is <= 256 members, so per-group sizing
+    # emits exactly one row per member, flat-B emits ~(B+1)/2 per member)
+    # plus the timing twins; at local B=32 the row tax may sit inside the
+    # banding floor's noise — on a fleet B is defaultParallelism (O(1000))
+    # and the same corpus pays ~500x row replication, which is the point.
+    n_small = 3000
+    # EVERY token carries the group id: cross-group shingle overlap must be
+    # zero (a shared 5-token prefix leaves 3/5 trigrams common = Jaccard
+    # 0.6 ≥ threshold, which quietly turns 100k triples into one 300k-member
+    # near-dup blob — measured 412M pairs before this construction)
+    _gid = F.floor(F.col("doc_id") / 3).cast("string")
+    docs_small = docs_top.filter(F.col("doc_id") % OFF < n_small).withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("sga"), _gid),
+            F.concat(F.lit("sgb"), _gid),
+            F.concat(F.lit("sgc"), _gid),
+            F.concat(F.lit("sgd"), _gid),
+            F.concat(F.lit("sge"), _gid),
+        ),
+    )
+    small_members = n_small * replicas
+    out["counts"][f"smallgrp_expansion_rows_pergroup_{top}x"] = small_members
+    out["counts"][f"smallgrp_expansion_rows_flatB_{top}x"] = int(
+        small_members * (spark.sparkContext.defaultParallelism + 1) / 2
+    )
+    for policy, tgt in (("pergroup", 256), ("flatB", None)):
+        sec, n = _timed(
+            lambda tgt=tgt: DD.minhash_lsh_dedup(
+                docs_small, k=3, num_hashes=16, bands=4, threshold=0.5,
+                collapse_exact=True, target_members_per_bucket=tgt,
+            ).count()
+        )
+        out["times"][f"dupheavy_small_groups_{policy}_{top}x"] = sec
+        out["counts"][f"dupheavy_small_groups_pairs_{policy}_{top}x"] = n
+        spark.catalog.clearCache()
+
     edges = (
         spark.read.parquet(f"{src}/lineitem.parquet")
         .select(
@@ -674,9 +723,19 @@ def extra_growth_decade(spark, src: str, extra: int, times: dict,
     The AGR leg scales shuffle partitions with the data (the cluster rule —
     partitions grow with input) so the single local JVM's per-task state
     stays at the 100x leg's level instead of tripling."""
+    import hashlib
+
     out: dict = {"extra_scale": extra}
 
-    dpath = f"/tmp/sf{extra}x_docs"
+    # cache keyed by SOURCE as well as scale (ADVICE r9: a scale-only key
+    # silently reused another --src's materialized corpus)
+    src_tag = hashlib.sha256(os.path.abspath(src).encode()).hexdigest()[:10]
+    dpath = f"/tmp/sf{extra}x_docs_{src_tag}"
+    legacy = f"/tmp/sf{extra}x_docs"
+    if not os.path.exists(os.path.join(dpath, "_SUCCESS")) and os.path.exists(
+        os.path.join(legacy, "_SUCCESS")
+    ) and src == "/root/testdata/sf0.1":
+        dpath = legacy  # pre-r10 cache for the default src: still valid
     if not os.path.exists(os.path.join(dpath, "_SUCCESS")):
         suffixed_documents(spark, src, extra).write.mode("overwrite").parquet(
             dpath
@@ -737,26 +796,45 @@ def extra_growth_decade(spark, src: str, extra: int, times: dict,
 
 def growth_law_fit(times: dict, fam: str, scales: list[int],
                    top: int) -> dict | None:
-    """Fit t = a + b*s from the two smallest scales, evaluate the SIGNED
-    excess-over-linear at ``top``. Positive excess is the superlinear
-    smoking gun; negative means per-unit cost fell as fixed overhead
-    amortized — better than the linear floor, never a violation."""
-    lo, hi = scales[0], scales[1]
-    t_lo, t_hi = times.get(f"{fam}_{lo}x"), times.get(f"{fam}_{hi}x")
+    """Fit t = a + b*s on the two LARGEST measured scales below ``top``,
+    evaluate the SIGNED excess-over-linear at ``top``, and report the
+    fit's residual at every other measured scale. Positive excess is the
+    superlinear smoking gun; negative means per-unit cost fell as fixed
+    overhead amortized — better than the linear floor, never a violation.
+
+    Anchoring on the LARGEST scales is the r10 fix (VERDICT r9 ask 1): the
+    original smallest-two anchor made the slope noise-dominated whenever
+    the 10x-1x delta was small against the fixed cost (flow_agr: 1.79 s
+    delta vs 6.4 s fixed → the 300x verdict read +42% when the same data
+    re-anchored on 10x/100x reads +11%). The largest anchors sit where
+    per-unit work dominates fixed overhead, so the extrapolation one
+    decade out is slope-faithful; the residuals over the small scales
+    expose any fixed-cost misfit honestly instead of silently folding it
+    into the slope."""
+    measured = [s for s in scales if s < top and times.get(f"{fam}_{s}x")]
     t_top = times.get(f"{fam}_{top}x")
-    if not (t_lo and t_hi and t_top):
+    if len(measured) < 2 or not t_top:
         return None
+    lo, hi = sorted(measured)[-2:]
+    t_lo, t_hi = times[f"{fam}_{lo}x"], times[f"{fam}_{hi}x"]
     b = (t_hi - t_lo) / (hi - lo)
     a = t_lo - b * lo
     pred = a + b * top
     excess = (t_top - pred) / pred
+    residuals = {}
+    for s in measured:
+        p = a + b * s
+        if p > 0:
+            residuals[f"{s}x"] = round((times[f"{fam}_{s}x"] - p) / p, 3)
     return {
+        "anchor_scales": [lo, hi],
         "fixed_sec": round(a, 2),
         "per_1x_sec": round(b, 4),
         "at_scale": top,
         "predicted_at_top": round(pred, 2),
         "measured_at_top": t_top,
         "rel_excess_over_linear": round(excess, 3),
+        "residuals_at_anchored_fit": residuals,
         "linear_law_holds": bool(excess <= 0.25),
     }
 
@@ -849,6 +927,18 @@ def main() -> int:
                 probes["times"], fam, scales, extra_info["extra_scale"]
             )
             if fit:
+                # config provenance next to the fit (ADVICE r9): the AGR
+                # extra-decade point runs under input-scaled shuffle
+                # partitions while every anchor ran at the base count — the
+                # fit mixes configs and the reader must see that here, not
+                # hunt for agr_shuffle_partitions_at_extra elsewhere
+                if fam == "flow_agr":
+                    fit["shuffle_partitions"] = {
+                        "anchors": "base (session default)",
+                        "at_top": extra_info.get(
+                            "agr_shuffle_partitions_at_extra"
+                        ),
+                    }
                 ext_fits[fam] = fit
 
     head = subprocess.run(

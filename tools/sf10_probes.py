@@ -786,10 +786,37 @@ def extra_growth_decade(spark, src: str, extra: int, times: dict,
                     )
 
                 sec, _ = _timed(_agr_run)
+                # cluster-rule comparison datum (r10, VERDICT r9 ask 7 —
+                # NOT part of the fitted series): the same leg once under
+                # the engine cluster profile's sizing (high initial
+                # partition count, AQE coalesces down). AGR_DIAGNOSIS_r10
+                # measured this 19% faster than the hand rule at 300x —
+                # the sort spill that appears at 96 partitions (3.5 GiB)
+                # splits away under finer AQE sizing.
+                aqe_key = (
+                    "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+                )
+                base_initial = spark.conf.get(aqe_key, None)
+                try:
+                    spark.conf.set("spark.sql.shuffle.partitions", "2000")
+                    spark.conf.set(aqe_key, "2000")
+                    sec_c, _ = _timed(_agr_run, repeat=1)
+                finally:
+                    if base_initial is None:
+                        spark.conf.unset(aqe_key)
+                    else:
+                        spark.conf.set(aqe_key, base_initial)
+                times[f"flow_agr_{extra}x_cluster_rule"] = sec_c
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", base_parts)
         times[f"flow_agr_{extra}x"] = sec
         out["agr_shuffle_partitions_at_extra"] = scaled_parts
+        out["agr_cluster_rule_at_extra"] = {
+            "shuffle_partitions": 2000,
+            "aqe_initial_partition_num": 2000,
+            "note": "single run, comparison datum vs the hand-scaled "
+                    "partitions — see AGR_DIAGNOSIS_r10.json",
+        }
         spark.catalog.clearCache()
     return out
 

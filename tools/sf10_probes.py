@@ -589,6 +589,29 @@ def run_probes(spark, src: str, dir100: str, replicas: int, scales: list[int],
     # stages, OOM-vs-not at 8 GiB) AND would catch any regression the g5k
     # canary would (a collapse regression shows strictly larger at larger
     # g), so keeping g5k bought ~70 s of probe wall per round for nothing.
+    # collapse-path warm-up (r10): retiring the g5k twin silently made the
+    # g20k stages leg the session's FIRST collapse_exact run, so its
+    # best-of-2 absorbed codegen/JIT warm-up and read +32% vs r8 on
+    # byte-identical code (r9's 29.43 s vs r8's 22.31 s; standalone
+    # best-of-3 converges to 23.1 s once a cheap 1x collapse run precedes
+    # it — verified r10). One unrecorded 1x-corpus run restores the
+    # steady-state measurement the g20k history was built on.
+    docs_warm = (
+        spark.read.parquet(f"{src}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % OFF < 50, F.lit(hot_text)).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    DD.minhash_lsh_dedup(
+        docs_warm, k=3, num_hashes=16, bands=4, threshold=0.5,
+        collapse_exact=True, expand_groups=False,
+    ).count()
+    spark.catalog.clearCache()
+
     for g_per_rep, gtag in ((200, "g20k"),):
         docs_big = docs_top.withColumn(
             "text",

@@ -223,7 +223,12 @@ def g_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e0.unionByName(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    # lazy localCheckpoint (r10, guide §2.4/§5): every step_generation round
+    # is an eager action whose plan re-derives e (lineitem scan + distinct
+    # shuffle) — 3 rounds + the final action paid it 4x. One materialization
+    # of the narrow (long, long) edge list serves all rounds. Measured at
+    # sf0.1 (interleaved best-of-3, identical output): 4.08 s -> 3.34 s.
+    ).localCheckpoint(eager=False)
     dist = spark.createDataFrame(
         [(0, 0), (1, 0), (2, 0)], schema="node long, d long"
     )
@@ -369,9 +374,26 @@ def g_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # lazy localCheckpoint per round (r10, guide §2.4/§5): each peel
+        # round's degree aggregate AND its two semi-joins re-enter the edge
+        # frame, so the unrolled lineage multiplies ~5x per round — the
+        # final single-action plan carried 564 Exchange / 750 scan operators
+        # (22.9k plan lines) and NONE were deduped at plan time (AQE builds
+        # stages per exchange subtree; the duplicated degree subtrees are
+        # sibling broadcasts inside one stage, which stage reuse cannot
+        # collapse). Truncating lineage at the round boundary makes every
+        # round O(1) plan depth — the same bound components.py documents —
+        # and the materialized frame is the SHRINKING edge list (narrow
+        # (long, long) rows), exactly what a 100 TB peel wants between
+        # rounds. Measured at sf0.1 (interleaved best-of-3, identical
+        # output): 10.05 s -> 2.71 s. (The r2 note that a persist() here was
+        # a 7x regression measured CACHING the frame while keeping full
+        # lineage in every consumer's plan — localCheckpoint replaces the
+        # lineage, which is the part that was quadratic.)
+        .localCheckpoint(eager=False)
     )
     k = 60
-    for _ in range(3):
+    for i in range(3):
         deg = (
             edges.select(F.col("u").alias("node"))
             .unionByName(edges.select(F.col("v").alias("node")))
@@ -382,16 +404,17 @@ def g_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the degree frame is bounded by the node space (<= 2000 rows by
         # construction), so BOTH semi-joins broadcast it -- the edge frame
-        # never shuffles during peeling, and Spark's ReuseExchange dedups
-        # the repeated degree aggregations across rounds. (Measured: an
-        # explicit persist of the multi-million-row edge frame here is a
-        # 7x REGRESSION -- the cache materialization defeats exchange
-        # reuse and whole-stage pipelining; broadcast-without-persist is
-        # the right shape, and at 100 TB with an unbounded node space the
-        # survivor set after round 1 is still the small side.)
+        # never shuffles during peeling; at 100 TB with an unbounded node
+        # space the survivor set after round 1 is still the small side.
         edges = edges.join(
             F.broadcast(deg.withColumnRenamed("node", "u")), "u", "left_semi"
         ).join(F.broadcast(deg.withColumnRenamed("node", "v")), "v", "left_semi")
+        if i < 2:
+            # no checkpoint after the FINAL round: the last round's subtree is
+            # O(1) deep already (its inputs are checkpointed), and keeping it
+            # in the returned plan leaves the semi-join shape visible to the
+            # plan-audit tests; measured equal-or-faster than checkpointing it
+            edges = edges.localCheckpoint(eager=False)
     dd = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -491,7 +514,13 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    e = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # lazy localCheckpoint (r10): e re-enters every eager vote round AND the
+    # labels init — same per-round re-derivation as g_bfs_distance; one
+    # materialization serves all. Measured at sf0.1: 2.76 s -> 2.45 s,
+    # identical output.
+    ).localCheckpoint(eager=False)
     labels = e.select(F.col("u").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )

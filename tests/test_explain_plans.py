@@ -673,3 +673,19 @@ def test_flow_world_seed_bounds_pushed_to_scan(spark):
         )
     )
     assert "LessThanOrEqual(p_partkey,300)" in plan
+
+
+def test_iterative_graph_queries_truncate_round_lineage(spark):
+    """r10 optimization pin: the unrolled peel/BFS/LPA rounds must not carry
+    the full edge-derivation lineage into every round's plan. Before the fix
+    g_kcore_peel's single-action plan held 564 Exchange / 750 parquet-scan
+    operators (the degree subtree re-embedded the edge subtree ~5x per
+    round, nothing deduped at plan time) and executed 3.7x slower than the
+    lineage-truncated shape. The checkpointed plans bottom out in a
+    LogicalRDD leaf ("Scan ExistingRDD"), so the parquet scan count stays
+    O(1) instead of O(5^rounds)."""
+    for name, bound in (("g_kcore_peel", 4), ("g_bfs_distance", 8),
+                        ("g_label_propagation", 4)):
+        plan = _plan(spark, name)
+        n_scans = plan.count("Scan parquet")
+        assert n_scans <= bound, f"{name}: {n_scans} parquet scans (> {bound})"

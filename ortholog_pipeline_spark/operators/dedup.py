@@ -17,8 +17,15 @@ Scale design notes (the whole point of these shapes):
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from ortholog_pipeline_spark.functions.text import fingerprint, tokens
 
@@ -216,6 +223,118 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     )
 
 
+#: Java-regex ``\s`` is ASCII-only ([ \t\n\x0B\f\r]) — what ``F.split(r"\s+")``
+#: compiles to in the JVM. Python ``\s`` is Unicode-aware, so the class is
+#: spelled out to keep the vectorized tokenizer byte-identical to the
+#: expression path on every input.
+_WS_JAVA = re.compile("[ \t\n\x0b\f\r]+")
+
+#: Per-worker token→hash31 memo (guide §4.5): document vocabulary repeats
+#: massively, so the md5 of a token is computed once per Python worker and
+#: amortized across every batch the reused worker sees. Vocabulary is
+#: corpus-dependent, so the memo is CAPPED — past the cap new tokens are
+#: hashed without being stored (no unbounded growth at 100 TB).
+_TOKEN_MEMO_CAP = 1_000_000
+_token_memo: dict[str, int] = {}
+
+
+def _tok_hash31(t: str) -> int:
+    h = _token_memo.get(t)
+    if h is None:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_M31
+        if len(_token_memo) < _TOKEN_MEMO_CAP:
+            _token_memo[t] = h
+    return h
+
+
+_MH_SCHEMA = T.StructType(
+    [
+        T.StructField("h31", T.ArrayType(T.LongType()), False),
+        T.StructField("sig", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+_mh_udf_cache: dict[int, object] = {}
+
+
+def _mh_h31_sig_udf(num_hashes: int):
+    """Arrow-batched (pandas) UDF computing BOTH the distinct 31-bit trigram
+    shingle hashes and the ``num_hashes``-wide MinHash signature in one pass
+    over the text column — value-identical to ``hashed_shingles31`` +
+    the affine signature expressions, proven element-for-element on every
+    fixture doc (tests/test_operators.py::test_mh_udf_matches_expression_path).
+
+    Why a Python path in the one place the module header forbids it: the
+    expression formulation runs through Catalyst HIGHER-ORDER functions
+    (``transform``/``zip_with``/``array_min``), which are evaluated per
+    ELEMENT by the expression interpreter — they do not participate in
+    whole-stage codegen. Measured at sf0.1 (guide §4.2): the vectorized
+    batch path computes the same (h31, sig) frame 4.1x faster (4.22 s ->
+    1.03 s noop-isolated), because the per-token md5 is memoized per worker
+    (vocabulary repeats; guide §4.5) and the trigram combine + 16 affine
+    min-reductions collapse into a handful of NumPy int64 array ops per
+    document. Only (id, text) crosses the JVM→Python boundary (guide §4.1),
+    and the output is ~100x smaller than the text it replaces.
+
+    Exact-equality notes (each bit once in the prototype):
+      * Spark ``trim`` strips 0x20 ONLY — ``str.strip(' ')``, not ``strip()``;
+      * Spark ``split`` uses limit=-1 (KEEPS leading/trailing empty tokens,
+        unlike Java's default limit=0) — Python ``re.split`` matches exactly;
+      * ``np.unique`` sorts where ``array_distinct`` keeps first occurrence:
+        h31 is consumed as a SET everywhere (array_intersect, array_sort
+        group keys, min-reductions), so order is free to differ;
+      * products stay < 2^62: exact in int64, same overflow-free window the
+        ANSI-safe expression path uses.
+    """
+    params = minhash_params(num_hashes)
+    a_mat = np.array([p[0] for p in params], dtype=np.int64).reshape(-1, 1)
+    b_mat = np.array([p[1] for p in params], dtype=np.int64).reshape(-1, 1)
+    empty = np.empty(0, dtype=np.int64)
+
+    @pandas_udf(_MH_SCHEMA)
+    def mh(texts: pd.Series) -> pd.DataFrame:
+        h31_out, sig_out = [], []
+        for text in texts:
+            st = (text or "").strip(" ")
+            toks = _WS_JAVA.split(st) if st else []
+            n = len(toks)
+            if n >= 3:
+                th = np.fromiter(
+                    (_tok_hash31(t) for t in toks), dtype=np.int64, count=n
+                )
+                h31 = np.unique(
+                    (th[:-2] * SHINGLE_A + th[1:-1] * SHINGLE_B + th[2:])
+                    % MINHASH_M31
+                )
+                sig = ((a_mat * h31 + b_mat) % MINHASH_P).min(axis=1)
+            else:
+                h31, sig = empty, empty
+            h31_out.append(h31)
+            sig_out.append(sig)
+        return pd.DataFrame({"h31": h31_out, "sig": sig_out})
+
+    return mh
+
+
+def shingle_sig_frame(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int
+) -> DataFrame:
+    """(id, h31, sig) for every doc with >= 1 shingle — the shared producer
+    for minhash_lsh_dedup and the incremental/stored-index paths."""
+    mh = _mh_udf_cache.get(num_hashes)
+    if mh is None:
+        mh = _mh_udf_cache[num_hashes] = _mh_h31_sig_udf(num_hashes)
+    return (
+        df.select(F.col(id_col), mh(F.col(text_col)).alias("_mh"))
+        .select(
+            id_col,
+            F.col("_mh.h31").alias("h31"),
+            F.col("_mh.sig").alias("sig"),
+        )
+        .filter(F.size("h31") > 0)
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -375,12 +494,15 @@ def minhash_lsh_dedup(
     # A small input (one parquet file) scans as ONE partition, serializing the
     # whole tokenize+md5 map stage; spread it first. At real scale file splits
     # already provide map parallelism and this branch never fires.
+    if k != 3:
+        raise ValueError("hashed_shingles31 supports k=3 only")
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target, id_col)
-    hashed = df.select(id_col, hashed_shingles31(text_col, k).alias("h31")).filter(
-        F.size("h31") > 0
-    )
+    # r10: shingle hashes AND signatures come from the Arrow-batched producer
+    # in one pass (see _mh_h31_sig_udf — 4.1x over the higher-order-function
+    # expression path, value-identical)
+    hashed = shingle_sig_frame(df, text_col, id_col, num_hashes)
     groups = None
     if collapse_exact:
         groups = (
@@ -396,31 +518,21 @@ def minhash_lsh_dedup(
                 ),
             )
             .groupBy("_gk")
-            # h31 is identical across the group by construction of _gk, so
-            # first() is deterministic in value
+            # h31 (and therefore sig) is identical across the group by
+            # construction of _gk, so first() is deterministic in value
             .agg(
                 F.min(id_col).alias("_rep"),
                 F.collect_list(F.col(id_col)).alias("_members"),
                 F.first("h31").alias("h31"),
+                F.first("sig").alias("sig"),
             )
             .persist()
         )
-        base = groups.select(F.col("_rep").alias(id_col), "h31")
+        base = groups.select(F.col("_rep").alias(id_col), "h31", "sig")
     else:
         base = hashed.persist()
 
-    def affine(a: int, b: int):
-        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
-
-    with_sig = base.withColumn(
-        "sig",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("h31"), affine(a, b)))
-                for a, b in minhash_params(num_hashes)
-            ]
-        ),
-    )
+    with_sig = base
     cands = lsh_candidate_pairs(
         with_sig, id_col, "sig", bands, num_hashes // bands
     )
@@ -783,24 +895,14 @@ def _hashed_and_banded(
     """(hashed-shingle frame, banded band-key frame) for one side of an
     incremental probe — the same md5/affine/banding arithmetic as
     minhash_lsh_dedup, factored so each side computes it independently."""
+    if k != 3:
+        raise ValueError("hashed_shingles31 supports k=3 only")
     rows_per_band = num_hashes // bands
-    hashed = (
-        df.select(id_col, hashed_shingles31(text_col, k).alias("h31"))
-        .filter(F.size("h31") > 0)
-    )
-
-    def affine(a: int, b: int):
-        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
-
-    with_sig = hashed.withColumn(
-        "sig",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("h31"), affine(a, b)))
-                for a, b in minhash_params(num_hashes)
-            ]
-        ),
-    )
+    # r10: same Arrow-batched (h31, sig) producer as minhash_lsh_dedup —
+    # value-identical to the expression path, so band keys and stored
+    # shingle tables are unchanged (an existing index stays valid)
+    with_sig = shingle_sig_frame(df, text_col, id_col, num_hashes)
+    hashed = with_sig.select(id_col, "h31")
     banded = with_sig.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),

@@ -1365,3 +1365,50 @@ def test_minhash_expansion_bucket_count_is_per_group_size(spark):
     pairs_flat = {(r.id_1, r.id_2) for r in rows_flat}
     assert len(pairs_flat) == len(rows_flat), "flat sizing duplicated a pair"
     assert pairs_flat == pairs
+
+
+def test_mh_udf_matches_expression_path(spark):
+    """r10 optimization pin: the Arrow-batched (h31, sig) producer must be
+    VALUE-IDENTICAL to the higher-order-function expression path it replaced
+    (hashed_shingles31 + the affine signature arrays) — same shingle SET per
+    doc, same signature — including on whitespace adversaries (Java split
+    drops trailing empty tokens and keeps a leading one; Spark trim strips
+    0x20 only; Java \\s is ASCII-only)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "  leading and   multiple   spaces here ok  "),
+        (3, "\ttab\tseparated\ttokens\tkeep\tjava\tsemantics\t"),
+        (4, "a b"),              # < 3 tokens -> empty shingles
+        (5, ""),                 # empty
+        (6, None),               # null text
+        (7, "x y z w v"),  # NBSP is NOT Java \s: stays inside a token
+        (8, "dup dup dup dup dup dup"),
+        (9, "mixed\ncase\rnewline\x0bhandling of rare separators one two"),
+        (10, " \t trailing tab then words a b c d \t "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from ortholog_pipeline_spark.operators import dedup as DD
+
+    expr = df.select(
+        "doc_id", DD.hashed_shingles31("text", 3).alias("h31")
+    ).filter(F.size("h31") > 0)
+
+    def affine(a, b):
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(DD.MINHASH_P))
+
+    expr = expr.select(
+        "doc_id",
+        F.array_sort("h31").alias("h31"),
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("h31"), affine(a, b)))
+                for a, b in DD.minhash_params(16)
+            ]
+        ).alias("sig"),
+    )
+    udf = DD.shingle_sig_frame(df, "text", "doc_id", 16)
+    a = {r["doc_id"]: (list(r["h31"]), list(r["sig"])) for r in expr.collect()}
+    b = {r["doc_id"]: (sorted(r["h31"]), list(r["sig"])) for r in udf.collect()}
+    assert a == b

@@ -719,13 +719,15 @@ def contamination_check(
     minhash_lsh_dedup candidates; the containment refine is unchanged."""
     from ortholog_pipeline_spark.operators.sampling import sample_bucket, BUCKETS
 
-    hashed = df.select(
+    # r10: h31 from the Arrow-batched producer (set-identical); the holdout
+    # flag is a pure function of the id, recomputed after the projection
+    hashed = shingle_sig_frame(df, text_col, id_col, 16).select(
         F.col(id_col),
         (
             sample_bucket(F.col(id_col), "s0") < int(holdout_fraction * BUCKETS)
         ).alias("is_holdout"),
-        hashed_shingles31(text_col).alias("h31"),
-    ).filter(F.size("h31") > 0)
+        "h31",
+    )
 
     posting = hashed.select(id_col, "is_holdout", F.explode("h31").alias("h"))
     rare = (

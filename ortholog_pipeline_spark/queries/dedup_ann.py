@@ -2119,9 +2119,11 @@ def dedup_lsh_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitoring an approximate dedup: run the exact audit on a small sample
     every batch, alert on recall drop."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    # r10: h31 from the Arrow-batched producer (same set values; the sig it
+    # also returns is dropped here — the memoized md5 still wins)
     hashed = (
-        docs.select("doc_id", DD.hashed_shingles31("text", 3).alias("h31"))
-        .filter(F.size("h31") > 0)
+        DD.shingle_sig_frame(docs, "text", "doc_id", 16)
+        .select("doc_id", "h31")
         .persist()
     )
     posting = hashed.select("doc_id", F.explode("h31").alias("hsh"))

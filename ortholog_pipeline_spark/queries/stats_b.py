@@ -1049,23 +1049,14 @@ def a_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses them — the planner costs one signature pass plus bucket
     counting, never a pair join."""
     docs = _t(spark, sf_dir, "documents")
-    hashed = (
-        docs.select("doc_id", DD.hashed_shingles31("text", 3).alias("h31"))
-        .filter(F.size("h31") > 0)
+    # r10: signatures from the Arrow-batched producer (value-identical to the
+    # higher-order-function expression path it replaced — see
+    # operators/dedup._mh_h31_sig_udf, measured 4.1x on this stage)
+    sig = (
+        DD.shingle_sig_frame(docs, "text", "doc_id", 16)
+        .select("doc_id", "sig")
+        .persist()
     )
-
-    def affine(a, b):
-        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(DD.MINHASH_P))
-
-    sig = hashed.withColumn(
-        "sig",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("h31"), affine(a, b)))
-                for a, b in DD.minhash_params(16)
-            ]
-        ),
-    ).select("doc_id", "sig").persist()
     outs = []
     for n_bands in (2, 4, 8):
         r = 16 // n_bands

@@ -183,9 +183,9 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing/min-sampling shape): the minimum
     trigram rolling hash per document — near-identical docs collide."""
     d = _t(spark, sf_dir, "documents")
-    h = d.select(
-        "doc_id", DD.hashed_shingles31("text", 3).alias("h31")
-    ).filter(F.size("h31") > 0)
+    # r10: h31 from the Arrow-batched producer (set-identical, so the min is
+    # identical)
+    h = DD.shingle_sig_frame(d, "text", "doc_id", 16)
     return (
         h.select("doc_id", F.array_min("h31").alias("fp"))
         .groupBy("fp")

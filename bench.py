@@ -839,6 +839,16 @@ def main() -> None:
     # environment anchor, measured right after warmup so it sees the same JVM
     # state every round (code pinned — see calibration_probe)
     calibration_sec = calibration_probe(spark)
+    # r11 (VERDICT r10 ask 7): the box's load comes in waves, so a single-point
+    # anchor is under-determined — sample the anchor AND loadavg at session
+    # start and again after the last timed entry. env_shift semantics are
+    # unchanged (start anchor vs history, same as every prior round); the end
+    # anchor + spread are ADDITIVE fields so tools/compare_rounds.py can
+    # refuse to normalize a run whose two anchors disagree > 15%.
+    try:
+        loadavg_start = list(os.getloadavg())
+    except OSError:
+        loadavg_start = None
 
     # history loaded UP FRONT for the self-stabilizing pass (VERDICT r4 item
     # 4): an entry whose best-of-2 still sits >1.3x above its last recorded
@@ -1344,6 +1354,32 @@ def main() -> None:
         else None
     )
 
+    # r11 closing anchor (VERDICT r10 ask 7): same pinned probe, re-measured
+    # after the LAST timed entry. A >15% spread between the two anchors means
+    # the box shifted mid-run and calibration-normalized totals from this run
+    # are under-determined — recorded here, enforced in tools/compare_rounds.py.
+    calibration_end_sec = calibration_probe(spark)
+    try:
+        loadavg_end = list(os.getloadavg())
+    except OSError:
+        loadavg_end = None
+    anchor_spread = (
+        round(
+            max(calibration_sec, calibration_end_sec)
+            / min(calibration_sec, calibration_end_sec),
+            3,
+        )
+        if calibration_sec and calibration_end_sec
+        else None
+    )
+    anchor_note = (
+        f"start/end calibration anchors disagree {anchor_spread}x (> 1.15): "
+        "the box shifted mid-run; normalized cross-round totals from this run "
+        "are under-determined"
+        if anchor_spread and anchor_spread > 1.15
+        else None
+    )
+
     # per-query regression tracking vs the previous recorded run (VERDICT r2
     # item 7): ratio > 1.5 is a fail-soft warning surfaced in the artifact
     prev_ratio: dict[str, float] = {}
@@ -1417,7 +1453,10 @@ def main() -> None:
     hist.append(
         {"sf": sf_val, "queries": timings, "skew_ratio": skew_ratio,
          "stream_state": stream_state, "retimed": sorted(retimed),
-         "calibration_sec": calibration_sec}
+         "calibration_sec": calibration_sec,
+         "calibration_end_sec": calibration_end_sec,
+         "anchor_spread": anchor_spread,
+         "loadavg": {"start": loadavg_start, "end": loadavg_end}}
     )
     try:
         with open(HISTORY_PATH, "w") as fh:
@@ -1466,6 +1505,10 @@ def main() -> None:
                 "prev_ratio": prev_ratio,
                 "median_prev_ratio": median_ratio,
                 "calibration_sec": calibration_sec,
+                "calibration_end_sec": calibration_end_sec,
+                "anchor_spread": anchor_spread,
+                "anchor_note": anchor_note,
+                "loadavg": {"start": loadavg_start, "end": loadavg_end},
                 "env_shift": round(env_shift, 3),
                 "shift_source": shift_source,
                 "shift_review_note": shift_review_note,
@@ -1498,6 +1541,8 @@ def main() -> None:
                 "regressions": regressions,
                 "median_prev_ratio": median_ratio,
                 "calibration_sec": calibration_sec,
+                "calibration_end_sec": calibration_end_sec,
+                "anchor_spread": anchor_spread,
                 "env_shift": round(env_shift, 3),
                 "skew_ratio": skew_ratio,
                 "stream_state_drift": stream_state_drift,

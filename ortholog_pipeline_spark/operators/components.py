@@ -24,6 +24,7 @@ engine for training-data dedup where transitive closure is required.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ortholog_pipeline_spark.operators import iterate as IT
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -108,10 +109,10 @@ def connected_components(
     # (agg over the star output) instead of two (checkpoint job + agg job) —
     # on shallow near-dup graphs the loop is scheduler-bound, not data-bound,
     # and halving the actions halves the floor
-    cur = _canon(edges).localCheckpoint(eager=False)
+    cur = IT.round_checkpoint(_canon(edges))
     prev_sig = None
     for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        cur = IT.round_checkpoint(_small_star(_large_star(cur)))
         sig = _signature(cur)
         if sig == prev_sig:
             break

@@ -290,6 +290,10 @@ def _mh_h31_sig_udf(num_hashes: int):
     a_mat = np.array([p[0] for p in params], dtype=np.int64).reshape(-1, 1)
     b_mat = np.array([p[1] for p in params], dtype=np.int64).reshape(-1, 1)
     empty = np.empty(0, dtype=np.int64)
+    # num_hashes=0 → the sig-free variant for h31-only consumers
+    # (contamination_check, text_fingerprint_winnow, dedup_lsh_scorecard):
+    # the 16 affine min-reductions are skipped, h31 values are identical
+    want_sig = num_hashes > 0
 
     @pandas_udf(_MH_SCHEMA)
     def mh(texts: pd.Series) -> pd.DataFrame:
@@ -306,7 +310,11 @@ def _mh_h31_sig_udf(num_hashes: int):
                     (th[:-2] * SHINGLE_A + th[1:-1] * SHINGLE_B + th[2:])
                     % MINHASH_M31
                 )
-                sig = ((a_mat * h31 + b_mat) % MINHASH_P).min(axis=1)
+                sig = (
+                    ((a_mat * h31 + b_mat) % MINHASH_P).min(axis=1)
+                    if want_sig
+                    else empty
+                )
             else:
                 h31, sig = empty, empty
             h31_out.append(h31)
@@ -317,10 +325,18 @@ def _mh_h31_sig_udf(num_hashes: int):
 
 
 def shingle_sig_frame(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, k: int = 3
 ) -> DataFrame:
     """(id, h31, sig) for every doc with >= 1 shingle — the shared producer
-    for minhash_lsh_dedup and the incremental/stored-index paths."""
+    for minhash_lsh_dedup and the incremental/stored-index paths.
+
+    ``num_hashes=0`` is the sig-free variant: consumers that only need the
+    shingle SET (containment scans, min-fingerprints, posting joins) skip the
+    per-document affine min-reductions entirely; ``sig`` comes back empty.
+    The trigram (k=3) constraint lives HERE — the vectorized UDF hardcodes
+    the 3-token combine — so every caller inherits the guard."""
+    if k != 3:
+        raise ValueError("shingle_sig_frame/_mh_h31_sig_udf support k=3 only")
     mh = _mh_udf_cache.get(num_hashes)
     if mh is None:
         mh = _mh_udf_cache[num_hashes] = _mh_h31_sig_udf(num_hashes)
@@ -494,15 +510,13 @@ def minhash_lsh_dedup(
     # A small input (one parquet file) scans as ONE partition, serializing the
     # whole tokenize+md5 map stage; spread it first. At real scale file splits
     # already provide map parallelism and this branch never fires.
-    if k != 3:
-        raise ValueError("hashed_shingles31 supports k=3 only")
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target, id_col)
     # r10: shingle hashes AND signatures come from the Arrow-batched producer
     # in one pass (see _mh_h31_sig_udf — 4.1x over the higher-order-function
     # expression path, value-identical)
-    hashed = shingle_sig_frame(df, text_col, id_col, num_hashes)
+    hashed = shingle_sig_frame(df, text_col, id_col, num_hashes, k=k)
     groups = None
     if collapse_exact:
         groups = (
@@ -720,14 +734,18 @@ def contamination_check(
     from ortholog_pipeline_spark.operators.sampling import sample_bucket, BUCKETS
 
     # r10: h31 from the Arrow-batched producer (set-identical); the holdout
-    # flag is a pure function of the id, recomputed after the projection
-    hashed = shingle_sig_frame(df, text_col, id_col, 16).select(
+    # flag is a pure function of the id, recomputed after the projection.
+    # r11: sig-free variant (num_hashes=0 — only h31 is consumed here, so the
+    # 16 affine min-reductions were wasted NumPy work per doc) and persisted —
+    # the frame feeds the posting explode AND the holdout-size branch, so the
+    # Arrow UDF stage otherwise runs once per consuming branch (ADVICE r10).
+    hashed = shingle_sig_frame(df, text_col, id_col, 0).select(
         F.col(id_col),
         (
             sample_bucket(F.col(id_col), "s0") < int(holdout_fraction * BUCKETS)
         ).alias("is_holdout"),
         "h31",
-    )
+    ).persist()
 
     posting = hashed.select(id_col, "is_holdout", F.explode("h31").alias("h"))
     rare = (
@@ -897,13 +915,15 @@ def _hashed_and_banded(
     """(hashed-shingle frame, banded band-key frame) for one side of an
     incremental probe — the same md5/affine/banding arithmetic as
     minhash_lsh_dedup, factored so each side computes it independently."""
-    if k != 3:
-        raise ValueError("hashed_shingles31 supports k=3 only")
     rows_per_band = num_hashes // bands
     # r10: same Arrow-batched (h31, sig) producer as minhash_lsh_dedup —
     # value-identical to the expression path, so band keys and stored
-    # shingle tables are unchanged (an existing index stays valid)
-    with_sig = shingle_sig_frame(df, text_col, id_col, num_hashes)
+    # shingle tables are unchanged (an existing index stays valid).
+    # r11: persisted — the frame feeds the banded branch AND (via `hashed`)
+    # the posting/size branches, so without the persist the Arrow UDF stage
+    # (per-token md5 + affine min-reductions) re-executes once per consuming
+    # branch (ADVICE r10; guide §5 reuse rule).
+    with_sig = shingle_sig_frame(df, text_col, id_col, num_hashes, k=k).persist()
     hashed = with_sig.select(id_col, "h31")
     banded = with_sig.select(
         F.col(id_col),

@@ -31,6 +31,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+#: Session conf gating how :func:`round_checkpoint` truncates lineage.
+RELIABLE_CHECKPOINT_CONF = "spark.ortholog.checkpoint.reliable"
+
+
+def round_checkpoint(df: DataFrame) -> DataFrame:
+    """Truncate lineage at an iteration/flow round boundary (lazily).
+
+    Default: ``localCheckpoint(eager=False)`` — blocks live on executors
+    (MEMORY_AND_DISK) with NO reliable copy. The fault-tolerance tradeoff
+    (ADVICE r10): after materialization, losing an executor (crash, OOM, or a
+    dynamic-allocation decommission) makes the RDD unrecoverable and fails the
+    job — local checkpointing is documented-unsafe with dynamic allocation.
+    On the bench's single-JVM local mode the executor IS the driver, so the
+    exposure is zero there; on a long-lived production cluster set
+
+        spark.ortholog.checkpoint.reliable=true   (+ sc.setCheckpointDir)
+
+    and every round boundary switches to reliable ``checkpoint(eager=False)``:
+    blocks go to the checkpoint dir (HDFS/object store), surviving executor
+    loss, at the cost of a write+read per boundary. Superseded round frames
+    are NOT unpersisted here: a locally-checkpointed RDD's persisted blocks
+    are its ONLY copy (unpersisting one invalidates it — Spark refuses
+    lineage recomputation past a checkpoint), and dead generations' blocks
+    are evictable storage-pool entries (MEMORY_AND_DISK, LRU) rather than a
+    leak; the reliable path's files are bounded by the session's checkpoint
+    dir lifecycle."""
+    spark = df.sparkSession
+    reliable = (
+        str(spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false")).lower() == "true"
+    )
+    if reliable:
+        if spark.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                f"{RELIABLE_CHECKPOINT_CONF}=true requires "
+                "spark.sparkContext.setCheckpointDir(...) first"
+            )
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def step_generation(new: DataFrame, prev: DataFrame | None) -> DataFrame:
     """Persist + materialize ``new``, then release ``prev``'s storage.
 

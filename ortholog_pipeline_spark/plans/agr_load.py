@@ -28,6 +28,7 @@ from ortholog_pipeline_spark.functions.strings import (
     yes_no_to_yn,
 )
 from ortholog_pipeline_spark.operators import sync
+from ortholog_pipeline_spark.operators import iterate as IT
 from ortholog_pipeline_spark.schemas import SPECIES, XDB_KEY_AGR_GENE
 from ortholog_pipeline_spark.sources.state import StateStore, next_surrogate_keys
 
@@ -200,7 +201,8 @@ def _stage_agr_load(
     # plans/species_load.py: with this many consumers, planning cost compounds)
     resolved_lines = _resolve_side(
         _resolve_side(lines, 1, curie_dim, symbol_dim), 2, curie_dim, symbol_dim
-    ).localCheckpoint(eager=False)
+    )
+    resolved_lines = IT.round_checkpoint(resolved_lines)
 
     # ONE job for both surrogate-key high-water marks (minting needs them
     # only in the mint branch, but the fused scan of two dimension snapshots
@@ -257,8 +259,9 @@ def _stage_agr_load(
     minted = (
         next_surrogate_keys(to_mint, max_rgd_hw, "rgd_id")
         .withColumn("rgd_id", F.col("rgd_id").cast("int"))  # match snapshot schema
-        .localCheckpoint(eager=False)  # 5 consumers: 3 mint commits + 2 dims
     )
+    # 5 consumers: 3 mint commits + 2 dims
+    minted = IT.round_checkpoint(minted)
     if minted.limit(1).count():
         ts0 = F.lit(run_ts)
         new_xrefs = next_surrogate_keys(
@@ -403,8 +406,8 @@ def _stage_agr_load(
     # lazily localCheckpointed: the snapshot write (inserts + deletes +
     # updates), the scalar-counts job, and the caller's audit stream all
     # branch off this full-outer join — one materialization, short plans
-    verdicts = sync.sync_full_outer(incoming, agr, key3, content).localCheckpoint(
-        eager=False
+    verdicts = IT.round_checkpoint(
+        sync.sync_full_outer(incoming, agr, key3, content)
     )
 
     inserts = (

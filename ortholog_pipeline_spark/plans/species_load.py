@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ortholog_pipeline_spark.operators import bestfit, grouping, quality, resolve, sync
+from ortholog_pipeline_spark.operators import iterate as IT
 from ortholog_pipeline_spark.schemas import (
     ORTHOLOG_TYPE_DIRECT,
     PIPELINE_USER_ID,
@@ -336,7 +337,7 @@ def run_species_load(
     # lineage re-enters EVERY downstream plan (tiers, weak candidates,
     # conflict join); truncating it here shrinks each of those plan trees
     # and the per-action planning cost with them
-    closed = closed.localCheckpoint(eager=False)
+    closed = IT.round_checkpoint(closed)
     closed.count()
     if human_guard.get["n_nonhuman"]:
         raise ValueError("ortholog group keyed by a non-human source gene")
@@ -380,14 +381,14 @@ def run_species_load(
     # object all re-enter this frame, and its lineage (4-way tier union with
     # two best-fit windows) is the most expensive recompute in the plan.
     tiers = _tier_candidates(closed, genes, species_scope, agr)
-    picks = _cascade_pick(tiers).localCheckpoint(eager=False)
+    picks = IT.round_checkpoint(_cascade_pick(tiers))
 
     # J7 conflict verdicts vs existing — consumed by inserts, deletes, stale, touch,
     # downgrades and the result object: persist to stop 6× recomputation of the
     # cascade + full-outer join lineage
     verdicts, ex_ranked = _conflict_verdicts(picks, species_scope, genes)
-    verdicts = verdicts.localCheckpoint(eager=False)
-    ex_ranked = ex_ranked.localCheckpoint(eager=False)
+    verdicts = IT.round_checkpoint(verdicts)
+    ex_ranked = IT.round_checkpoint(ex_ranked)
 
     ts = F.lit(run_ts)
     species_of = F.broadcast(
@@ -434,8 +435,8 @@ def run_species_load(
     inserts = (
         next_surrogate_keys(inserts_raw, (max_key_row or 0), "genetogene_key")
         .select(*[f.name for f in orthologs.schema.fields])
-        .localCheckpoint(eager=False)
     )
+    inserts = IT.round_checkpoint(inserts)
 
     # deletes, three sources (all manual-guarded, churn-gated before commit):
     #   replaced — best existing outranked by the incoming pick (DELETE_EXISTING);
@@ -498,9 +499,8 @@ def run_species_load(
     # of once per commit, and (b) truncates the cascade lineage out of both
     # commit plans — see the `inserts` note above for why plan-tree size is
     # the real constraint here.
-    all_deletes = (
+    all_deletes = IT.round_checkpoint(
         deletes.unionByName(dup_deletes.select("genetogene_key"))
-        .localCheckpoint(eager=False)
     )
 
     # S10: matched rows get their last-modified stamp refreshed

@@ -2120,9 +2120,11 @@ def dedup_lsh_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     every batch, alert on recall drop."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     # r10: h31 from the Arrow-batched producer (same set values; the sig it
-    # also returns is dropped here — the memoized md5 still wins)
+    # also returns is dropped here — the memoized md5 still wins).
+    # r11: sig-free variant (num_hashes=0) — the dropped sig no longer costs
+    # 16 affine min-reductions per doc.
     hashed = (
-        DD.shingle_sig_frame(docs, "text", "doc_id", 16)
+        DD.shingle_sig_frame(docs, "text", "doc_id", 0)
         .select("doc_id", "h31")
         .persist()
     )

@@ -223,12 +223,15 @@ def g_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e0.unionByName(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    # lazy localCheckpoint (r10, guide §2.4/§5): every step_generation round
-    # is an eager action whose plan re-derives e (lineitem scan + distinct
-    # shuffle) — 3 rounds + the final action paid it 4x. One materialization
-    # of the narrow (long, long) edge list serves all rounds. Measured at
-    # sf0.1 (interleaved best-of-3, identical output): 4.08 s -> 3.34 s.
-    ).localCheckpoint(eager=False)
+    # lazy round_checkpoint (r10, guide §2.4/§5; r11: config-gated reliable
+    # variant — see operators/iterate.round_checkpoint for the
+    # fault-tolerance tradeoff): every step_generation round is an eager
+    # action whose plan re-derives e (lineitem scan + distinct shuffle) —
+    # 3 rounds + the final action paid it 4x. One materialization of the
+    # narrow (long, long) edge list serves all rounds. Measured at sf0.1
+    # (interleaved best-of-3, identical output): 4.08 s -> 3.34 s.
+    )
+    e = IT.round_checkpoint(e)
     dist = spark.createDataFrame(
         [(0, 0), (1, 0), (2, 0)], schema="node long, d long"
     )
@@ -374,7 +377,11 @@ def g_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        # lazy localCheckpoint per round (r10, guide §2.4/§5): each peel
+        # lazy round_checkpoint per round (r10, guide §2.4/§5; r11:
+        # config-gated reliable variant — see operators/iterate
+        # .round_checkpoint for the executor-loss/dynamic-allocation
+        # tradeoff and why superseded round frames are not unpersisted):
+        # each peel
         # round's degree aggregate AND its two semi-joins re-enter the edge
         # frame, so the unrolled lineage multiplies ~5x per round — the
         # final single-action plan carried 564 Exchange / 750 scan operators
@@ -390,8 +397,8 @@ def g_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a 7x regression measured CACHING the frame while keeping full
         # lineage in every consumer's plan — localCheckpoint replaces the
         # lineage, which is the part that was quadratic.)
-        .localCheckpoint(eager=False)
     )
+    edges = IT.round_checkpoint(edges)
     k = 60
     for i in range(3):
         deg = (
@@ -414,7 +421,7 @@ def g_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             # O(1) deep already (its inputs are checkpointed), and keeping it
             # in the returned plan leaves the semi-join shape visible to the
             # plan-audit tests; measured equal-or-faster than checkpointing it
-            edges = edges.localCheckpoint(eager=False)
+            edges = IT.round_checkpoint(edges)
     dd = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -516,11 +523,13 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e0.unionByName(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    # lazy localCheckpoint (r10): e re-enters every eager vote round AND the
-    # labels init — same per-round re-derivation as g_bfs_distance; one
-    # materialization serves all. Measured at sf0.1: 2.76 s -> 2.45 s,
+    # lazy round_checkpoint (r10; r11 config-gated reliable variant — see
+    # operators/iterate.round_checkpoint): e re-enters every eager vote round
+    # AND the labels init — same per-round re-derivation as g_bfs_distance;
+    # one materialization serves all. Measured at sf0.1: 2.76 s -> 2.45 s,
     # identical output.
-    ).localCheckpoint(eager=False)
+    )
+    e = IT.round_checkpoint(e)
     labels = e.select(F.col("u").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )

@@ -184,8 +184,9 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram rolling hash per document — near-identical docs collide."""
     d = _t(spark, sf_dir, "documents")
     # r10: h31 from the Arrow-batched producer (set-identical, so the min is
-    # identical)
-    h = DD.shingle_sig_frame(d, "text", "doc_id", 16)
+    # identical). r11: sig-free variant (num_hashes=0) — only array_min(h31)
+    # is consumed, so the 16 affine min-reductions were wasted work per doc.
+    h = DD.shingle_sig_frame(d, "text", "doc_id", 0)
     return (
         h.select("doc_id", F.array_min("h31").alias("fp"))
         .groupBy("fp")

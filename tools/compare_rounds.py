@@ -280,6 +280,17 @@ def main() -> None:
     else:
         cal_a, cal_b = ba.get("calibration_sec"), bb.get("calibration_sec")
         env = (cal_b / cal_a) if cal_a and cal_b else None
+        # r11 (VERDICT r10 ask 7): a run whose start/end anchors disagree
+        # >15% sampled a box that shifted mid-run — a single-point anchor is
+        # then under-determined, so REFUSE to normalize (raw ratios only).
+        for tag, art in ((args.round_a, ba), (args.round_b, bb)):
+            spread = art.get("anchor_spread")
+            if spread and spread > 1.15:
+                print(f"   !! {tag}: start/end anchors disagree {spread}x "
+                      f"(cal {art.get('calibration_sec')} -> "
+                      f"{art.get('calibration_end_sec')} s) — normalization "
+                      "refused, raw ratios only")
+                env = None
         tot_a, tot_b = ba.get("value"), bb.get("value")
         raw = round(tot_b / tot_a, 3) if tot_a else None
         print(f"   total: {tot_a} -> {tot_b} s  raw ratio {raw}")

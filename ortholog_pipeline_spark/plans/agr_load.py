@@ -262,6 +262,8 @@ def _stage_agr_load(
     )
     # 5 consumers: 3 mint commits + 2 dims
     minted = IT.round_checkpoint(minted)
+    mint_pool = None
+    mint_futs: list = []
     if minted.limit(1).count():
         ts0 = F.lit(run_ts)
         new_xrefs = next_surrogate_keys(
@@ -279,7 +281,12 @@ def _stage_agr_load(
         # the three mint commits touch three DIFFERENT snapshot tables with no
         # producer/consumer edge between them (all read only `minted`, already
         # checkpointed) — run them concurrently like the species flow's fused
-        # snapshot commits
+        # snapshot commits. r11 (guide §2.6): the pool is NOT joined here —
+        # the downstream verdict build and its scalar-counts job read only
+        # the CURRENT published snapshots (never the staged mint versions),
+        # so staging overlaps that job and is joined right after it, before
+        # the churn guard can abort the run (an abort must not race
+        # in-flight staging writes).
         from concurrent.futures import ThreadPoolExecutor
 
         def _mint_genes():
@@ -315,13 +322,12 @@ def _stage_agr_load(
                 publish=False,
             )
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            for fut in [
-                pool.submit(_mint_genes),
-                pool.submit(_mint_rgd_ids),
-                pool.submit(_mint_xrefs),
-            ]:
-                fut.result()
+        mint_pool = ThreadPoolExecutor(max_workers=3)
+        mint_futs = [
+            mint_pool.submit(_mint_genes),
+            mint_pool.submit(_mint_rgd_ids),
+            mint_pool.submit(_mint_xrefs),
+        ]
         mint_dim_1 = minted.select(
             F.col("curie").alias("gene1_id"), F.col("rgd_id").alias("_mint_1")
         )
@@ -432,14 +438,23 @@ def _stage_agr_load(
     # = every snapshot row), AND the two result counts all come from ONE
     # aggregation job over the checkpointed verdicts instead of four actions.
     stale = verdicts.filter(F.col("sync_verdict") == sync.DELETE)
-    _c = verdicts.agg(
-        F.sum(F.when(F.col("sync_verdict") == sync.INSERT, 1).otherwise(0)).alias("ins"),
-        F.sum(F.when(F.col("sync_verdict") == sync.UPDATE, 1).otherwise(0)).alias("upd"),
-        F.sum(F.when(F.col("sync_verdict") == sync.DELETE, 1).otherwise(0)).alias("del"),
-        F.sum(
-            F.when(F.col("sync_verdict") != sync.INSERT, 1).otherwise(0)
-        ).alias("existing"),
-    ).collect()[0]
+    try:
+        _c = verdicts.agg(
+            F.sum(F.when(F.col("sync_verdict") == sync.INSERT, 1).otherwise(0)).alias("ins"),
+            F.sum(F.when(F.col("sync_verdict") == sync.UPDATE, 1).otherwise(0)).alias("upd"),
+            F.sum(F.when(F.col("sync_verdict") == sync.DELETE, 1).otherwise(0)).alias("del"),
+            F.sum(
+                F.when(F.col("sync_verdict") != sync.INSERT, 1).otherwise(0)
+            ).alias("existing"),
+        ).collect()[0]
+    finally:
+        # join the overlapped mint staging (r11, guide §2.6) BEFORE the churn
+        # guard below can raise: run_agr_load's abort path must never race
+        # in-flight staging writes, and a mint failure must abort the run
+        if mint_pool is not None:
+            for _f in mint_futs:
+                _f.result()
+            mint_pool.shutdown()
     n_ins, n_upd = int(_c["ins"] or 0), int(_c["upd"] or 0)
     n_stale, n_total = int(_c["del"] or 0), int(_c["existing"] or 0)
     if n_total:

@@ -163,12 +163,28 @@ def _tier_candidates(
 
 def _cascade_pick(tiers: DataFrame) -> DataFrame:
     """First tier wins per key; a blocked tier wins the cascade but yields no
-    ortholog (the A8 conflict swallows the key)."""
-    w = Window.partitionBy(*KEY).orderBy(F.col("tier").asc())
+    ortholog (the A8 conflict swallows the key).
+
+    r11 (guide §2.3): ``min_by`` aggregate instead of a row_number window —
+    the hash aggregate partially aggregates MAP-SIDE (≤ 1 struct per key per
+    map task crosses the exchange instead of every tier row) and drops the
+    window's full partition sort. Deterministic because tier is unique per
+    key by construction: each tier subframe emits at most one row per key
+    (manual/alliance groupBy, best-fit rank-1), so min_by never ties."""
     return (
-        tiers.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (~F.col("blocked")))
-        .drop("_rn", "blocked")
+        tiers.groupBy(*KEY)
+        .agg(
+            F.min_by(
+                F.struct(
+                    "tier", "dest_rgd_id", "blocked",
+                    "xref_data_src", "xref_data_set",
+                ),
+                F.col("tier"),
+            ).alias("_top")
+        )
+        .select(*KEY, "_top.*")
+        .filter(~F.col("blocked"))
+        .drop("blocked")
     )
 
 
@@ -338,11 +354,6 @@ def run_species_load(
     # conflict join); truncating it here shrinks each of those plan trees
     # and the per-action planning cost with them
     closed = IT.round_checkpoint(closed)
-    closed.count()
-    if human_guard.get["n_nonhuman"]:
-        raise ValueError("ortholog group keyed by a non-human source gene")
-    if merge_guard.get["n_unmergeable"]:
-        grouping.check_mergeable(closed)  # raises with the offending pair
 
     # existing orthologs relevant to this run: keys of either direction
     in_scope = (F.col("dest_species_type_key") == dest_species_type_key) | (
@@ -356,7 +367,15 @@ def run_species_load(
     # snapshot commits; the union of the two 1-row aggregates runs both table
     # scans as parallel stages of a single action (flow job-count budget,
     # VERDICT r4 item 1).
-    _stat_rows = (
+    #
+    # r11 (guide §2.6): this scalar job reads only the SNAPSHOT tables — it
+    # shares no producer edge with the parse→resolve→merge chain — so it is
+    # submitted from a second scheduler thread and OVERLAPS the `closed`
+    # materialization instead of following it. Spark job groups/descriptions
+    # inherit through InheritableThreadLocal, so the job-budget pin still
+    # counts it; job count is unchanged, only the serial wall between the two
+    # actions goes away.
+    _stats_plan = (
         orthologs.agg(
             F.max("genetogene_key").alias("_mx"),
             F.sum(F.when(in_scope, 1).otherwise(0)).alias("_n_scope"),
@@ -369,8 +388,17 @@ def run_species_load(
                 F.lit(None).cast("long").alias("_n_scope"),
             )
         )
-        .collect()
     )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _stats_pool:
+        _stats_fut = _stats_pool.submit(_stats_plan.collect)
+        closed.count()
+        if human_guard.get["n_nonhuman"]:
+            raise ValueError("ortholog group keyed by a non-human source gene")
+        if merge_guard.get["n_unmergeable"]:
+            grouping.check_mergeable(closed)  # raises with the offending pair
+        _stat_rows = _stats_fut.result()
     _stats = {r["_t"]: r for r in _stat_rows}
     max_key_row = _stats["orth"]["_mx"]
     n_scope = _stats["orth"]["_n_scope"] or 0
